@@ -1,0 +1,18 @@
+"""Hermetic test defaults: CPU JAX with an 8-device virtual mesh.
+
+Tests never touch real TPU hardware or the network; multi-device sharding is
+validated on the virtual CPU mesh (the analogue of the reference's hand-rolled
+fakes — reference test strategy: src/adapters/sources/test_fixtures.rs,
+tests/analyze_flow.rs).
+"""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
