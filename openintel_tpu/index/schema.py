@@ -1,0 +1,74 @@
+"""Index schema: CSR postings over terms, dense embedding index, BM25 stats.
+
+TPU-first layout decisions:
+- postings are term-major CSR (term_offsets / doc_ids / tf), with doc ids
+  ascending within each term — deterministic merges and monotonic scatters;
+- per-posting *impacts* (the length-normalised saturated tf) are precomputed at
+  build time, so query-time work is a pure gather-scale-scatter: contribution =
+  idf(t) * qtf * impact(t, d). This fuses the tf/idf saturation into the index,
+  the Pallas-side analogue of BASELINE.json's "SpMV with tf/idf saturation
+  fused in";
+- the dense index stores L2-normalised embeddings so cosine == dot (MXU), with
+  optional bfloat16 storage for HBM footprint.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from openintel_tpu.ops.tokenizer import Vocab
+
+
+@dataclass(frozen=True)
+class BM25Config:
+    """Okapi BM25 constants. idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (always
+    positive, Lucene-style); sat(tf, dl) = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))."""
+
+    k1: float = 1.2
+    b: float = 0.75
+
+
+@dataclass
+class PostingsIndex:
+    """Term-major CSR postings with fused impacts."""
+
+    term_offsets: np.ndarray  # (V+1,) int64 — CSR row pointers per term id
+    doc_ids: np.ndarray  # (nnz,) int32 — ascending within each term
+    tf: np.ndarray  # (nnz,) float32 — raw term frequencies
+    impact: np.ndarray  # (nnz,) float32 — sat(tf, doc_len) precomputed
+    df: np.ndarray  # (V,) int32
+    idf: np.ndarray  # (V,) float32
+    doc_len: np.ndarray  # (N,) float32
+    avgdl: float
+    n_docs: int
+    vocab: Vocab
+    config: BM25Config
+
+    @property
+    def nnz(self) -> int:
+        return int(self.doc_ids.shape[0])
+
+    def postings(self, term_id: int) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, impacts) slice for one term id."""
+        lo, hi = int(self.term_offsets[term_id]), int(self.term_offsets[term_id + 1])
+        return self.doc_ids[lo:hi], self.impact[lo:hi]
+
+
+@dataclass
+class DenseIndex:
+    """L2-normalised document embeddings; cosine similarity == dot product."""
+
+    embeddings: np.ndarray  # (N, D) float32 or bfloat16, rows unit-norm
+    n_docs: int
+    dim: int
+
+    @staticmethod
+    def from_embeddings(raw: np.ndarray, *, dtype=np.float32) -> "DenseIndex":
+        raw = np.asarray(raw, dtype=np.float32)
+        norms = np.linalg.norm(raw, axis=1, keepdims=True)
+        normed = raw / np.maximum(norms, 1e-12)
+        return DenseIndex(
+            embeddings=normed.astype(dtype), n_docs=raw.shape[0], dim=raw.shape[1]
+        )

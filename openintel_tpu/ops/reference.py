@@ -1,0 +1,134 @@
+"""Pure-NumPy reference scorers — the golden oracle for every device kernel.
+
+Device implementations (XLA and Pallas) are asserted equal to these in tests,
+the TPU analogue of the reference's canned-JSON parser-fixture discipline
+(SURVEY.md §4). Ranking order is defined here once: descending score, ties
+broken by ascending doc id.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from openintel_tpu.index.schema import PostingsIndex
+
+RRF_K = 60.0
+
+
+def rank_topk(scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic top-k: descending score, ties by ascending doc id.
+
+    Accepts (N,) or (B, N); returns (vals, ids) shaped (..., k)."""
+    scores = np.asarray(scores)
+    single = scores.ndim == 1
+    if single:
+        scores = scores[None]
+    B, N = scores.shape
+    k = min(k, N)
+    ids = np.empty((B, k), dtype=np.int32)
+    vals = np.empty((B, k), dtype=scores.dtype)
+    for b in range(B):
+        order = np.lexsort((np.arange(N), -scores[b]))[:k]
+        ids[b] = order
+        vals[b] = scores[b, order]
+    if single:
+        return vals[0], ids[0]
+    return vals, ids
+
+
+def bm25_scores(
+    index: PostingsIndex, query_term_ids: Sequence[int]
+) -> np.ndarray:
+    """Exact BM25 scores over all docs for one query (term ids, with repeats
+    acting as query-tf weights)."""
+    scores = np.zeros(index.n_docs, dtype=np.float64)
+    qtf: dict[int, int] = {}
+    for t in query_term_ids:
+        if t > 0:
+            qtf[t] = qtf.get(t, 0) + 1
+    for t, count in qtf.items():
+        ids, impacts = index.postings(t)
+        scores[ids] += float(index.idf[t]) * count * impacts.astype(np.float64)
+    return scores.astype(np.float32)
+
+
+def bm25_topk(
+    index: PostingsIndex, query_term_ids: Sequence[int], k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    return rank_topk(bm25_scores(index, query_term_ids), k)
+
+
+def cosine_scores(embeddings: np.ndarray, queries: np.ndarray) -> np.ndarray:
+    """(B, N) cosine scores; both sides are L2-normalised here for safety."""
+    e = np.asarray(embeddings, dtype=np.float32)
+    q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+    e = e / np.maximum(np.linalg.norm(e, axis=1, keepdims=True), 1e-12)
+    q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    return q @ e.T
+
+
+def cosine_topk(
+    embeddings: np.ndarray, queries: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    return rank_topk(cosine_scores(embeddings, queries), k)
+
+
+def rrf_fuse(
+    ids_lists: Sequence[np.ndarray],
+    k: int,
+    *,
+    rrf_k: float = RRF_K,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Reciprocal-rank fusion of ranked id lists (1-based ranks):
+    fused(d) = sum over lists with d at rank r of 1/(rrf_k + r).
+
+    Docs outside every list contribute nothing. Returns (fused_vals, ids) of
+    the top-k fused docs, ties by ascending doc id. Input lists are top-k id
+    arrays (each (K,) for a single query or (B, K) batched)."""
+    lists = [np.asarray(x) for x in ids_lists]
+    single = lists[0].ndim == 1
+    if single:
+        lists = [x[None] for x in lists]
+    B = lists[0].shape[0]
+    out_ids = []
+    out_vals = []
+    for b in range(B):
+        fused: dict[int, float] = {}
+        for lst in lists:
+            for r, doc in enumerate(lst[b], start=1):
+                doc = int(doc)
+                fused[doc] = fused.get(doc, 0.0) + 1.0 / (rrf_k + r)
+        docs = np.array(sorted(fused), dtype=np.int64)
+        vals = np.array([fused[int(d)] for d in docs], dtype=np.float32)
+        order = np.lexsort((docs, -vals))[:k]
+        ids = docs[order]
+        v = vals[order]
+        if len(ids) < k:  # pad with -1 / 0.0 (fewer unique candidates than k)
+            ids = np.concatenate([ids, -np.ones(k - len(ids), np.int64)])
+            v = np.concatenate([v, np.zeros(k - len(v), np.float32)])
+        out_ids.append(ids.astype(np.int32))
+        out_vals.append(v)
+    ids_arr = np.stack(out_ids)
+    vals_arr = np.stack(out_vals)
+    if single:
+        return vals_arr[0], ids_arr[0]
+    return vals_arr, ids_arr
+
+
+def hybrid_topk(
+    index: PostingsIndex,
+    embeddings: np.ndarray,
+    query_term_ids: Sequence[int],
+    query_embedding: np.ndarray,
+    k: int,
+    *,
+    candidates_per_arm: int | None = None,
+    rrf_k: float = RRF_K,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Reference hybrid: BM25 top-c + dense top-c -> RRF -> top-k."""
+    c = candidates_per_arm or k
+    _, bm_ids = bm25_topk(index, query_term_ids, c)
+    _, dn_ids = cosine_topk(embeddings, query_embedding, c)
+    return rrf_fuse([bm_ids, dn_ids], k, rrf_k=rrf_k)

@@ -1,0 +1,104 @@
+"""BM25: index build, reference scorer, and device parity."""
+
+import numpy as np
+
+from openintel_tpu.index.build import bm25_idf, build_postings_index
+from openintel_tpu.ops import reference as ref
+from openintel_tpu.ops.bm25 import (
+    bm25_scores_device,
+    bm25_topk,
+    build_query_plan,
+    encode_query,
+)
+
+DOCS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick red fox",
+    "lazy dogs sleep all day",
+    "quick quick quick repetition",
+    "completely unrelated text about markets",
+    "fox dog fox dog fox",
+]
+
+
+def test_index_build_stats():
+    idx = build_postings_index(DOCS)
+    assert idx.n_docs == 6
+    assert idx.doc_len[0] == 9
+    assert idx.avgdl == np.mean([9, 4, 5, 4, 5, 5])
+    fox_id = idx.vocab.token_to_id["fox"]
+    ids, impacts = idx.postings(fox_id)
+    np.testing.assert_array_equal(ids, [0, 1, 5])  # ascending doc ids
+    assert idx.df[fox_id] == 3
+    # idf formula
+    np.testing.assert_allclose(
+        idx.idf[fox_id], np.log1p((6 - 3 + 0.5) / (3 + 0.5)), rtol=1e-6
+    )
+    # impacts grow with tf but saturate
+    assert impacts[2] > impacts[0]  # tf 3 in doc 5 vs tf 1 in doc 0
+
+
+def test_idf_monotone_decreasing_in_df():
+    idf = bm25_idf(np.array([1, 2, 5, 10]), 10)
+    assert np.all(np.diff(idf) < 0)
+    assert np.all(idf > 0)
+
+
+def test_reference_scores_favor_matching_docs():
+    idx = build_postings_index(DOCS)
+    q = encode_query(idx, "quick fox")
+    scores = ref.bm25_scores(idx, q)
+    assert scores.shape == (6,)
+    assert scores[1] > scores[2]  # doc 1 has both terms, doc 2 neither
+    assert scores[4] == 0.0
+    vals, ids = ref.bm25_topk(idx, q, 3)
+    assert ids[0] in (0, 1, 5)
+
+
+def test_device_scores_match_reference_exactly():
+    idx = build_postings_index(DOCS)
+    queries = ["quick fox", "lazy dog sleeps", "unrelated markets", "zzz unknown"]
+    term_ids = [encode_query(idx, q) for q in queries]
+    plan = build_query_plan(idx, term_ids)
+    device = np.asarray(bm25_scores_device(plan.doc_ids, plan.weights, plan.n_docs))
+    for b, tids in enumerate(term_ids):
+        expected = ref.bm25_scores(idx, tids)
+        np.testing.assert_allclose(device[b], expected, rtol=1e-6, atol=1e-7)
+
+
+def test_device_topk_matches_reference_order():
+    idx = build_postings_index(DOCS)
+    queries = ["quick fox", "the dog", "quick quick"]
+    term_ids = [encode_query(idx, q) for q in queries]
+    vals, ids = bm25_topk(idx, term_ids, 4)
+    ref_vals, ref_ids = ref.rank_topk(
+        np.stack([ref.bm25_scores(idx, t) for t in term_ids]), 4
+    )
+    np.testing.assert_allclose(vals, ref_vals, rtol=1e-6)
+    np.testing.assert_array_equal(ids, ref_ids)
+
+
+def test_repeated_query_terms_weight_by_qtf():
+    idx = build_postings_index(DOCS)
+    q1 = encode_query(idx, "fox")
+    q2 = encode_query(idx, "fox fox")
+    s1 = ref.bm25_scores(idx, q1)
+    s2 = ref.bm25_scores(idx, q2)
+    np.testing.assert_allclose(s2, 2 * s1, rtol=1e-6)
+
+
+def test_scale_parity_on_synthetic_corpus():
+    from openintel_tpu.index.synthetic import (
+        synthetic_queries_from_docs,
+        synthetic_token_corpus,
+    )
+
+    docs = synthetic_token_corpus(500, vocab_size=2000, seed=7)
+    idx = build_postings_index(docs)
+    queries = synthetic_queries_from_docs(docs, 8, seed=8)
+    term_ids = [encode_query(idx, q) for q in queries]
+    vals, ids = bm25_topk(idx, term_ids, 10)
+    for b, tids in enumerate(term_ids):
+        rv, ri = ref.bm25_topk(idx, tids, 10)
+        np.testing.assert_allclose(vals[b], rv, rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(ids[b], ri)

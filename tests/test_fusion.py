@@ -1,0 +1,55 @@
+"""RRF fusion: device vs NumPy reference, dedupe and tie-break semantics."""
+
+import numpy as np
+
+from openintel_tpu.ops import reference as ref
+from openintel_tpu.ops.fusion import rrf_fuse_device
+
+
+def test_rrf_reference_basic():
+    a = np.array([3, 1, 2], np.int32)
+    b = np.array([1, 3, 9], np.int32)
+    vals, ids = ref.rrf_fuse([a, b], k=4)
+    # doc 3: 1/61 + 1/62 ; doc 1: 1/62 + 1/61 -> tie, doc 1 wins by id
+    assert ids[0] == 1 and ids[1] == 3
+    assert vals[0] == vals[1]
+    assert ids[2] == 2  # 1/63 beats 1/63? doc 2: 1/63, doc 9: 1/63 -> tie, id 2 wins
+    assert ids[3] == 9
+
+
+def test_device_matches_reference_randomized():
+    rng = np.random.default_rng(0)
+    B, K = 16, 10
+    for trial in range(5):
+        ids_a = np.stack(
+            [rng.choice(100, size=K, replace=False) for _ in range(B)]
+        ).astype(np.int32)
+        ids_b = np.stack(
+            [rng.choice(100, size=K, replace=False) for _ in range(B)]
+        ).astype(np.int32)
+        dv, di = rrf_fuse_device(ids_a, ids_b, k=K)
+        rv, ri = ref.rrf_fuse([ids_a, ids_b], k=K)
+        np.testing.assert_allclose(np.asarray(dv), rv, rtol=1e-6, atol=1e-7)
+        np.testing.assert_array_equal(np.asarray(di), ri)
+
+
+def test_device_dedupes_shared_docs():
+    a = np.array([[5, 6, 7]], np.int32)
+    b = np.array([[5, 8, 6]], np.int32)
+    vals, ids = rrf_fuse_device(a, b, k=5)
+    ids = np.asarray(ids)[0]
+    # doc 5 appears once with summed contribution, not twice
+    assert list(ids).count(5) == 1
+    assert ids[0] == 5  # rank 1 in both lists -> highest fused score
+    rv, ri = ref.rrf_fuse([a, b], k=5)
+    np.testing.assert_array_equal(ids, ri[0])
+
+
+def test_device_handles_padding_ids():
+    a = np.array([[4, -1, -1]], np.int32)
+    b = np.array([[-1, -1, -1]], np.int32)
+    vals, ids = rrf_fuse_device(a, b, k=3)
+    ids = np.asarray(ids)[0]
+    vals = np.asarray(vals)[0]
+    assert ids[0] == 4 and vals[0] > 0
+    assert (ids[1:] == -1).all() and (vals[1:] == 0).all()
