@@ -1,0 +1,219 @@
+"""Fused dense-retrieval kernel: blocked Q x D cosine matmul with an on-chip
+running top-k — the score matrix never touches HBM.
+
+This is the framework's hot kernel (SURVEY.md §7 hard part (a)): per corpus
+block, an MXU matmul produces (TQ, TC) scores in VMEM; a per-row running,
+descending-sorted top-k lives in VMEM scratch across grid steps.
+
+Per block, the only unconditional VPU work is one max-reduce (the gate).
+Merging is adaptive behind the gate, keyed on a candidate count:
+- gate fails (no row's block max reaches its k-th best) -> skip entirely,
+  the common case once thresholds warm up;
+- count <= k -> extract candidates one at a time (row-parallel max + masked
+  min-position) in a ``while_loop`` that stops when candidates are exhausted,
+  inserting each into the sorted running list with a roll-and-select shift;
+- count  > k -> full re-selection over [running | block] (first blocks only).
+
+Selection avoids argmax/cumsum (not guaranteed to lower in Mosaic) using only
+max/min reduces and compares: the first-occurrence max index is found by
+min-reducing an iota masked to max positions. Tie-breaking matches the NumPy
+reference everywhere (descending score, ascending doc id): candidates with an
+equal score but lower id displace the incumbent, running entries precede the
+block, blocks scan ascending.
+
+Do NOT attach a pl.CostEstimate here: measured on v5e it regresses this kernel
+~6x (it distorts the scheduler's pipelining decisions).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(-jnp.inf)
+BIG_I32 = 2**30  # plain int so the kernel embeds it as a literal, not a capture
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _select_topk(ext_vals, ext_ids, k):
+    """Full top-k re-selection over (rows, width) candidates; returns sorted
+    (vals, ids) each (rows, k). First-occurrence ties win."""
+    rows, width = ext_vals.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1)
+    vals_cols, ids_cols = [], []
+    for _ in range(k):
+        mx = jnp.max(ext_vals, axis=1, keepdims=True)
+        at_max = ext_vals == mx
+        pos = jnp.min(jnp.where(at_max, col, BIG_I32), axis=1, keepdims=True)
+        onehot = col == pos
+        ids_cols.append(jnp.sum(jnp.where(onehot, ext_ids, 0), axis=1, keepdims=True))
+        vals_cols.append(mx)
+        ext_vals = jnp.where(onehot, NEG_INF, ext_vals)
+    return jnp.concatenate(vals_cols, axis=1), jnp.concatenate(ids_cols, axis=1)
+
+
+def _kernel(
+    q_ref,  # (TQ, D) queries tile
+    emb_ref,  # (TC, D) corpus block
+    out_vals_ref,  # (TQ, K)
+    out_ids_ref,  # (TQ, K)
+    run_vals,  # scratch (TQ, K) f32, sorted descending per row
+    run_ids,  # scratch (TQ, K) i32
+    *,
+    k: int,
+    block_c: int,
+    n_docs: int,
+):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        run_vals[:] = jnp.full_like(run_vals, NEG_INF)
+        run_ids[:] = jnp.full_like(run_ids, -1)
+
+    # bf16 inputs use the MXU natively (Mosaic rejects HIGHEST for bf16);
+    # f32 inputs force exact f32 passes for reference parity.
+    precision = None if q_ref.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        emb_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )  # (TQ, TC)
+    tq = scores.shape[0]
+
+    # Gate: one max-reduce. ">=" is conservative on ties so id-tie-break
+    # candidates still enter the merge path. Padding columns (zero-filled
+    # embedding rows -> score 0) can only over-trigger, never corrupt: the
+    # merge path masks them to -inf before any candidate is considered.
+    block_max = jnp.max(scores, axis=1, keepdims=True)  # (TQ, 1)
+    trigger = jnp.any(block_max >= run_vals[:, k - 1 : k])
+
+    @pl.when(trigger)
+    def _merge():
+        col = jax.lax.broadcasted_iota(jnp.int32, (tq, block_c), 1)
+        gids = j * block_c + col
+        s0 = jnp.where(gids < n_docs, scores, NEG_INF)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1)
+
+        # A candidate must enter the list if it beats the k-th best, or ties
+        # it with a lower doc id (exact reference tie-breaking).
+        def beats_kth(v, i):
+            kth_v = run_vals[:, k - 1 : k]
+            kth_i = run_ids[:, k - 1 : k]
+            return (v > kth_v) | ((v == kth_v) & (i < kth_i) & (kth_i >= 0))
+
+        cand = beats_kth(s0, gids)
+        n_new = jnp.max(jnp.sum(cand.astype(jnp.int32), axis=1))
+
+        @pl.when((n_new > 0) & (n_new <= k))
+        def _insert_path():
+            # One candidate per row per iteration; the loop runs only while
+            # some row still has a qualifying candidate (typically 1-2).
+            def cond(s):
+                return jnp.any(beats_kth(s, gids))
+
+            def body(s):
+                mx = jnp.max(s, axis=1, keepdims=True)  # (TQ, 1)
+                at_max = s == mx
+                pos = jnp.min(
+                    jnp.where(at_max, col, BIG_I32), axis=1, keepdims=True
+                )
+                onehot = col == pos
+                mid = jnp.sum(jnp.where(onehot, gids, 0), axis=1, keepdims=True)
+                improved = beats_kth(mx, mid)  # (TQ, 1)
+
+                # Insertion rank: entries strictly better, or equal, lower id.
+                better = (run_vals[:] > mx) | (
+                    (run_vals[:] == mx) & (run_ids[:] < mid) & (run_ids[:] >= 0)
+                )
+                r = jnp.sum(better.astype(jnp.int32), axis=1, keepdims=True)
+                shifted_v = pltpu.roll(run_vals[:], 1, 1)
+                shifted_i = pltpu.roll(run_ids[:], 1, 1)
+                new_v = jnp.where(
+                    slot < r, run_vals[:], jnp.where(slot == r, mx, shifted_v)
+                )
+                new_i = jnp.where(
+                    slot < r, run_ids[:], jnp.where(slot == r, mid, shifted_i)
+                )
+                run_vals[:] = jnp.where(improved, new_v, run_vals[:])
+                run_ids[:] = jnp.where(improved, new_i, run_ids[:])
+                return jnp.where(onehot, NEG_INF, s)
+
+            jax.lax.while_loop(cond, body, s0)
+
+        @pl.when(n_new > k)
+        def _reselect_path():
+            ext_vals = jnp.concatenate([run_vals[:], s0], axis=1)
+            ext_ids = jnp.concatenate([run_ids[:], gids], axis=1)
+            new_vals, new_ids = _select_topk(ext_vals, ext_ids, k)
+            run_vals[:] = new_vals
+            run_ids[:] = new_ids
+
+    @pl.when(j == nj - 1)
+    def _finalize():
+        out_vals_ref[:] = run_vals[:]
+        out_ids_ref[:] = run_ids[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_q", "block_c", "interpret")
+)
+def dense_topk_pallas(
+    doc_emb: jax.Array,  # (N, D) unit-norm rows, f32 or bf16
+    queries: jax.Array,  # (B, D) unit-norm rows, same dtype as doc_emb
+    k: int = 10,
+    block_q: int = 128,
+    block_c: int = 1024,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused cosine top-k. Returns (vals (B, k) f32, ids (B, k) i32)."""
+    n_docs, dim = doc_emb.shape
+    b = queries.shape[0]
+    assert k <= block_c, "k must not exceed the corpus block size"
+
+    n_pad = _round_up(max(n_docs, block_c), block_c)
+    if n_pad != n_docs:
+        doc_emb = jnp.concatenate(
+            [doc_emb, jnp.zeros((n_pad - n_docs, dim), doc_emb.dtype)], axis=0
+        )
+    b_pad = _round_up(max(b, block_q), block_q)
+    if b_pad != b:
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((b_pad - b, dim), queries.dtype)], axis=0
+        )
+
+    grid = (b_pad // block_q, n_pad // block_c)
+    kernel = functools.partial(_kernel, k=k, block_c=block_c, n_docs=n_docs)
+
+    out_vals, out_ids = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_q, dim), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_c, dim), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_q, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, k), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, k), jnp.float32),
+            pltpu.VMEM((block_q, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(queries, doc_emb)
+    return out_vals[:b], out_ids[:b]

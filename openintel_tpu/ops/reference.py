@@ -72,7 +72,10 @@ def cosine_scores(embeddings: np.ndarray, queries: np.ndarray) -> np.ndarray:
 def cosine_topk(
     embeddings: np.ndarray, queries: np.ndarray, k: int
 ) -> tuple[np.ndarray, np.ndarray]:
-    return rank_topk(cosine_scores(embeddings, queries), k)
+    vals, ids = rank_topk(cosine_scores(embeddings, queries), k)
+    if np.asarray(queries).ndim == 1:  # single query in, single ranking out
+        return vals[0], ids[0]
+    return vals, ids
 
 
 def rrf_fuse(

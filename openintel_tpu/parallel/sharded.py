@@ -1,0 +1,192 @@
+"""Sharded retrieval: per-shard top-k + ICI all-gather merge.
+
+The corpus shards evenly over the "corpus" mesh axis; query batches shard over
+"data". Each chip scores only its local documents (dense matmul and/or BM25
+scatter), computes a local top-k, converts to global doc ids, and the k-sized
+candidate lists all-gather over ICI (k << shard size, so the collective moves
+bytes-per-query, not the corpus). The merge is deterministic: candidates
+arrive ordered (shard, local rank) = ascending doc id on ties, and
+``lax.top_k`` keeps the first occurrence — so the cross-shard result is
+bit-identical to a single-shard run over the whole corpus (SURVEY.md hard
+part (d)).
+
+Global BM25 statistics (df, avgdl) are computed with psum collectives at
+index-build time so every shard scores against corpus-wide idf.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from openintel_tpu.ops.dense import dense_topk_xla
+from openintel_tpu.ops.fusion import RRF_K, rrf_fuse_device
+from openintel_tpu.parallel.mesh import CORPUS_AXIS, DATA_AXIS
+
+
+def _merge_gathered(vals_g: jax.Array, ids_g: jax.Array, k: int):
+    """Merge all-gathered per-shard candidates (S, B, k) -> (B, k).
+
+    Shards are concatenated in shard order, so on exactly-equal scores the
+    lower shard (= lower global doc id) wins, matching single-shard ranking."""
+    s, b, kk = vals_g.shape
+    flat_vals = jnp.transpose(vals_g, (1, 0, 2)).reshape(b, s * kk)
+    flat_ids = jnp.transpose(ids_g, (1, 0, 2)).reshape(b, s * kk)
+    vals, sel = jax.lax.top_k(flat_vals, k)
+    ids = jnp.take_along_axis(flat_ids, sel, axis=1)
+    return vals, ids
+
+
+def sharded_dense_topk(
+    mesh: Mesh,
+    doc_emb: jax.Array,  # (N, D), N divisible by the corpus axis size
+    queries: jax.Array,  # (B, D), B divisible by the data axis size
+    k: int,
+    *,
+    block_size: int = 4096,
+    use_pallas: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Dense cosine top-k over a corpus sharded across the mesh."""
+    n_docs = doc_emb.shape[0]
+    n_shards = mesh.shape[CORPUS_AXIS]
+    assert n_docs % n_shards == 0, "pad the corpus to shard evenly"
+    shard_size = n_docs // n_shards
+
+    def local(emb_local, q_local):
+        if use_pallas:
+            from openintel_tpu.ops.pallas.dense_topk import dense_topk_pallas
+
+            vals, ids = dense_topk_pallas(emb_local, q_local, k=k)
+        else:
+            vals, ids = dense_topk_xla(emb_local, q_local, k, block_size)
+        shard = jax.lax.axis_index(CORPUS_AXIS)
+        gids = jnp.where(ids >= 0, ids + shard * shard_size, -1)
+        vals_g = jax.lax.all_gather(vals, CORPUS_AXIS)  # (S, B_local, k)
+        ids_g = jax.lax.all_gather(gids, CORPUS_AXIS)
+        return _merge_gathered(vals_g, ids_g, k)
+
+    f = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(CORPUS_AXIS, None), P(DATA_AXIS, None)),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+        check_vma=False,
+    )
+    return f(doc_emb, queries)
+
+
+def sharded_bm25_topk(
+    mesh: Mesh,
+    plan_doc_ids: jax.Array,  # (S, B, Pw) per-shard plans, sentinel=shard_size
+    plan_weights: jax.Array,  # (S, B, Pw)
+    shard_size: int,
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """BM25 top-k over sharded postings (host builds per-shard query plans)."""
+    from openintel_tpu.ops.bm25 import bm25_scores_device
+
+    def local(ids_local, w_local):
+        ids2 = ids_local[0]  # (B, Pw) — this shard's plan
+        w2 = w_local[0]
+        scores = bm25_scores_device(ids2, w2, shard_size)
+        vals, lids = jax.lax.top_k(scores, k)
+        shard = jax.lax.axis_index(CORPUS_AXIS)
+        gids = lids.astype(jnp.int32) + shard * shard_size
+        vals_g = jax.lax.all_gather(vals, CORPUS_AXIS)
+        ids_g = jax.lax.all_gather(gids, CORPUS_AXIS)
+        return _merge_gathered(vals_g, ids_g, k)
+
+    f = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(CORPUS_AXIS, DATA_AXIS, None), P(CORPUS_AXIS, DATA_AXIS, None)),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+        check_vma=False,
+    )
+    return f(plan_doc_ids, plan_weights)
+
+
+def sharded_hybrid_topk(
+    mesh: Mesh,
+    doc_emb: jax.Array,  # (N, D) corpus-sharded dense index
+    queries: jax.Array,  # (B, D) query embeddings
+    plan_doc_ids: jax.Array,  # (S, B, Pw) per-shard BM25 plans
+    plan_weights: jax.Array,  # (S, B, Pw)
+    k: int,
+    *,
+    candidates_per_arm: Optional[int] = None,
+    rrf_k: float = RRF_K,
+    block_size: int = 4096,
+    use_pallas: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Full hybrid query step, one device program: per-shard BM25 + dense
+    local top-c, ICI all-gather, global merges, RRF fusion, final top-k."""
+    from openintel_tpu.ops.bm25 import bm25_scores_device
+
+    c = candidates_per_arm or k
+    n_docs = doc_emb.shape[0]
+    n_shards = mesh.shape[CORPUS_AXIS]
+    assert n_docs % n_shards == 0
+    shard_size = n_docs // n_shards
+
+    def local(emb_local, q_local, ids_local, w_local):
+        shard = jax.lax.axis_index(CORPUS_AXIS)
+        # dense arm
+        if use_pallas:
+            from openintel_tpu.ops.pallas.dense_topk import dense_topk_pallas
+
+            d_vals, d_ids = dense_topk_pallas(emb_local, q_local, k=c)
+        else:
+            d_vals, d_ids = dense_topk_xla(emb_local, q_local, c, block_size)
+        d_gids = jnp.where(d_ids >= 0, d_ids + shard * shard_size, -1)
+        # lexical arm
+        scores = bm25_scores_device(ids_local[0], w_local[0], shard_size)
+        b_vals, b_lids = jax.lax.top_k(scores, c)
+        b_gids = b_lids.astype(jnp.int32) + shard * shard_size
+        # ICI all-gather of k-sized candidate lists, then global merges
+        d_vals_g = jax.lax.all_gather(d_vals, CORPUS_AXIS)
+        d_ids_g = jax.lax.all_gather(d_gids, CORPUS_AXIS)
+        b_vals_g = jax.lax.all_gather(b_vals, CORPUS_AXIS)
+        b_ids_g = jax.lax.all_gather(b_gids, CORPUS_AXIS)
+        _, d_top = _merge_gathered(d_vals_g, d_ids_g, c)
+        _, b_top = _merge_gathered(b_vals_g, b_ids_g, c)
+        return rrf_fuse_device(b_top, d_top, k, rrf_k)
+
+    f = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(CORPUS_AXIS, None),
+            P(DATA_AXIS, None),
+            P(CORPUS_AXIS, DATA_AXIS, None),
+            P(CORPUS_AXIS, DATA_AXIS, None),
+        ),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+        check_vma=False,
+    )
+    return f(doc_emb, queries, plan_doc_ids, plan_weights)
+
+
+def global_bm25_stats(mesh: Mesh, local_df: jax.Array, local_len_sum: jax.Array,
+                      local_n_docs: jax.Array):
+    """psum-reduce per-shard df / doc-length sums into corpus-wide stats
+    (used at index-build time so every shard scores with global idf)."""
+
+    def local(df, len_sum, n):
+        df_g = jax.lax.psum(df, CORPUS_AXIS)
+        len_g = jax.lax.psum(len_sum, CORPUS_AXIS)
+        n_g = jax.lax.psum(n, CORPUS_AXIS)
+        return df_g, len_g, n_g
+
+    f = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(CORPUS_AXIS, None), P(CORPUS_AXIS), P(CORPUS_AXIS)),
+        out_specs=(P(None, None), P(None), P(None)),
+        check_vma=False,
+    )
+    return f(local_df, local_len_sum, local_n_docs)

@@ -1,0 +1,53 @@
+"""Pallas fused dense top-k kernel vs the XLA baseline and NumPy reference.
+
+Runs in interpreter mode on CPU (hermetic); the compiled path is exercised on
+real TPU by bench.py and the driver's compile check.
+"""
+
+import numpy as np
+
+from openintel_tpu.index.synthetic import (
+    synthetic_embeddings,
+    synthetic_query_embeddings,
+)
+from openintel_tpu.ops import reference as ref
+from openintel_tpu.ops.pallas.dense_topk import dense_topk_pallas
+
+
+def test_pallas_matches_reference_small():
+    emb = synthetic_embeddings(600, dim=128, seed=0)
+    q, _ = synthetic_query_embeddings(emb, 4, seed=1)
+    vals, ids = dense_topk_pallas(emb, q, k=10, block_q=8, block_c=256, interpret=True)
+    ref_vals, ref_ids = ref.cosine_topk(emb, q, 10)
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ids), ref_ids)
+
+
+def test_pallas_non_divisible_corpus_and_batch():
+    emb = synthetic_embeddings(555, dim=64, seed=2)
+    q, _ = synthetic_query_embeddings(emb, 3, seed=3)
+    vals, ids = dense_topk_pallas(emb, q, k=7, block_q=8, block_c=128, interpret=True)
+    ref_vals, ref_ids = ref.cosine_topk(emb, q, 7)
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ids), ref_ids)
+    assert np.asarray(ids).max() < 555
+
+
+def test_pallas_duplicate_scores_tiebreak_by_doc_id():
+    # Duplicate rows -> exactly equal scores; lower doc id must win.
+    base = synthetic_embeddings(64, dim=32, seed=4)
+    emb = np.concatenate([base, base], axis=0)  # doc i == doc i+64
+    q = base[:2]
+    _, ids = dense_topk_pallas(emb, q, k=2, block_q=8, block_c=64, interpret=True)
+    ids = np.asarray(ids)
+    assert ids[0, 0] == 0 and ids[0, 1] == 64
+    assert ids[1, 0] == 1 and ids[1, 1] == 65
+
+
+def test_pallas_corpus_smaller_than_block():
+    emb = synthetic_embeddings(50, dim=32, seed=5)
+    q = emb[:2]
+    vals, ids = dense_topk_pallas(emb, q, k=5, block_q=8, block_c=128, interpret=True)
+    ref_vals, ref_ids = ref.cosine_topk(emb, q, 5)
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ids), ref_ids)
