@@ -71,3 +71,69 @@ def synthetic_query_embeddings(
     ).astype(np.float32)
     q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
     return q, targets.astype(np.int32)
+
+
+def synthetic_postings_index(
+    n_docs: int,
+    *,
+    vocab_size: int = 30_000,
+    mean_len: int = 24,
+    seed: int = 0,
+):
+    """Build a bench-scale PostingsIndex directly as CSR arrays (no host
+    tokenisation) — statistically equivalent to a Zipf token corpus, used to
+    benchmark query-time scoring at 1M+ docs without waiting on index build."""
+    from openintel_tpu.index.build import bm25_idf, bm25_impact
+    from openintel_tpu.index.schema import BM25Config, PostingsIndex
+    from openintel_tpu.ops.tokenizer import Vocab
+
+    rng = np.random.default_rng(seed)
+    ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
+    probs = 1.0 / ranks**1.1
+    probs /= probs.sum()
+
+    # Expected term-frequency mass per term: df ~ n_docs * (1 - exp(-p*L)).
+    lam = probs * mean_len
+    df = np.minimum(
+        np.maximum(rng.binomial(n_docs, np.minimum(1.0, lam)), 0), n_docs
+    ).astype(np.int64)
+    nnz = int(df.sum())
+
+    # CSR row pointers: slot 0 is the padding term (empty postings).
+    offs = np.concatenate([[0], np.cumsum(df)]).astype(np.int64)
+    term_offsets = np.zeros(vocab_size + 2, dtype=np.int64)
+    term_offsets[2:] = offs[1:]
+
+    doc_ids = np.empty(nnz, dtype=np.int32)
+    exact = n_docs <= 50_000  # exact sampling for tests; fast path at bench scale
+    for t in range(vocab_size):
+        lo, hi = offs[t], offs[t + 1]
+        if hi > lo:
+            if exact:
+                ids = rng.choice(n_docs, size=hi - lo, replace=False)
+            else:
+                ids = rng.integers(0, n_docs, size=hi - lo)
+            doc_ids[lo:hi] = np.sort(ids).astype(np.int32)
+    tf = np.maximum(1, rng.poisson(0.3, size=nnz)).astype(np.float32)
+
+    doc_len = np.maximum(
+        rng.poisson(mean_len, size=n_docs), 3
+    ).astype(np.float32)
+    avgdl = float(doc_len.astype(np.float64).mean())
+    cfg = BM25Config()
+    vocab = Vocab(token_to_id={f"t{i}": i + 1 for i in range(vocab_size)})
+    df_full = np.zeros(vocab_size + 1, dtype=np.int32)
+    df_full[1:] = df
+    return PostingsIndex(
+        term_offsets=term_offsets,
+        doc_ids=doc_ids,
+        tf=tf,
+        impact=bm25_impact(tf, doc_len[doc_ids], avgdl, cfg),
+        df=df_full,
+        idf=bm25_idf(df_full, n_docs),
+        doc_len=doc_len,
+        avgdl=avgdl,
+        n_docs=n_docs,
+        vocab=vocab,
+        config=cfg,
+    )

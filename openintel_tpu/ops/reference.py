@@ -57,7 +57,13 @@ def bm25_scores(
 def bm25_topk(
     index: PostingsIndex, query_term_ids: Sequence[int], k: int
 ) -> tuple[np.ndarray, np.ndarray]:
-    return rank_topk(bm25_scores(index, query_term_ids), k)
+    """Ranking contract: only docs matching >= 1 query term rank (scores are
+    strictly positive); short rankings pad with (0.0, -1)."""
+    scores = bm25_scores(index, query_term_ids)
+    masked = np.where(scores > 0.0, scores, -np.inf)
+    vals, ids = rank_topk(masked, k)
+    pad = ~np.isfinite(vals)
+    return np.where(pad, 0.0, vals), np.where(pad, -1, ids).astype(np.int32)
 
 
 def cosine_scores(embeddings: np.ndarray, queries: np.ndarray) -> np.ndarray:
@@ -102,6 +108,8 @@ def rrf_fuse(
         for lst in lists:
             for r, doc in enumerate(lst[b], start=1):
                 doc = int(doc)
+                if doc < 0:  # padding from a short ranking
+                    continue
                 fused[doc] = fused.get(doc, 0.0) + 1.0 / (rrf_k + r)
         docs = np.array(sorted(fused), dtype=np.int64)
         vals = np.array([fused[int(d)] for d in docs], dtype=np.float32)

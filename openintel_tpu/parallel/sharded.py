@@ -87,18 +87,19 @@ def sharded_bm25_topk(
     k: int,
 ) -> tuple[jax.Array, jax.Array]:
     """BM25 top-k over sharded postings (host builds per-shard query plans)."""
-    from openintel_tpu.ops.bm25 import bm25_scores_device
+    from openintel_tpu.ops.bm25 import bm25_topk_device
 
     def local(ids_local, w_local):
-        ids2 = ids_local[0]  # (B, Pw) — this shard's plan
-        w2 = w_local[0]
-        scores = bm25_scores_device(ids2, w2, shard_size)
-        vals, lids = jax.lax.top_k(scores, k)
+        vals, lids = bm25_topk_device(ids_local[0], w_local[0], shard_size, k)
         shard = jax.lax.axis_index(CORPUS_AXIS)
-        gids = lids.astype(jnp.int32) + shard * shard_size
+        gids = jnp.where(lids >= 0, lids + shard * shard_size, -1)
+        # padded slots carry score 0.0; push them below every real score
+        vals = jnp.where(lids >= 0, vals, -jnp.inf)
         vals_g = jax.lax.all_gather(vals, CORPUS_AXIS)
         ids_g = jax.lax.all_gather(gids, CORPUS_AXIS)
-        return _merge_gathered(vals_g, ids_g, k)
+        mvals, mids = _merge_gathered(vals_g, ids_g, k)
+        pad = mids < 0
+        return jnp.where(pad, 0.0, mvals), mids
 
     f = jax.shard_map(
         local,
@@ -125,7 +126,7 @@ def sharded_hybrid_topk(
 ) -> tuple[jax.Array, jax.Array]:
     """Full hybrid query step, one device program: per-shard BM25 + dense
     local top-c, ICI all-gather, global merges, RRF fusion, final top-k."""
-    from openintel_tpu.ops.bm25 import bm25_scores_device
+    from openintel_tpu.ops.bm25 import bm25_topk_device
 
     c = candidates_per_arm or k
     n_docs = doc_emb.shape[0]
@@ -143,10 +144,10 @@ def sharded_hybrid_topk(
         else:
             d_vals, d_ids = dense_topk_xla(emb_local, q_local, c, block_size)
         d_gids = jnp.where(d_ids >= 0, d_ids + shard * shard_size, -1)
-        # lexical arm
-        scores = bm25_scores_device(ids_local[0], w_local[0], shard_size)
-        b_vals, b_lids = jax.lax.top_k(scores, c)
-        b_gids = b_lids.astype(jnp.int32) + shard * shard_size
+        # lexical arm (scatter-free sort + segmented-scan reduction)
+        b_vals, b_lids = bm25_topk_device(ids_local[0], w_local[0], shard_size, c)
+        b_gids = jnp.where(b_lids >= 0, b_lids + shard * shard_size, -1)
+        b_vals = jnp.where(b_lids >= 0, b_vals, -jnp.inf)
         # ICI all-gather of k-sized candidate lists, then global merges
         d_vals_g = jax.lax.all_gather(d_vals, CORPUS_AXIS)
         d_ids_g = jax.lax.all_gather(d_gids, CORPUS_AXIS)

@@ -68,14 +68,15 @@ def test_device_scores_match_reference_exactly():
 
 def test_device_topk_matches_reference_order():
     idx = build_postings_index(DOCS)
-    queries = ["quick fox", "the dog", "quick quick"]
+    queries = ["quick fox", "the dog", "quick quick", "zzz unknown"]
     term_ids = [encode_query(idx, q) for q in queries]
     vals, ids = bm25_topk(idx, term_ids, 4)
-    ref_vals, ref_ids = ref.rank_topk(
-        np.stack([ref.bm25_scores(idx, t) for t in term_ids]), 4
-    )
-    np.testing.assert_allclose(vals, ref_vals, rtol=1e-6)
-    np.testing.assert_array_equal(ids, ref_ids)
+    for b, tids in enumerate(term_ids):
+        rv, ri = ref.bm25_topk(idx, tids, 4)
+        np.testing.assert_allclose(vals[b], rv, rtol=1e-6, atol=1e-7)
+        np.testing.assert_array_equal(ids[b], ri)
+    # the unknown-term query ranks nothing: all padding
+    assert (ids[3] == -1).all() and (vals[3] == 0.0).all()
 
 
 def test_repeated_query_terms_weight_by_qtf():

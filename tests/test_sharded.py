@@ -106,10 +106,11 @@ def test_sharded_bm25_matches_single_shard():
 
     mesh = make_mesh(data=1, corpus=8)
     vals, ids = sharded_bm25_topk(mesh, pdi, pw, shard_size, K)
+    from ranking_utils import assert_ranking_close
+
     for b, tids in enumerate(term_ids):
         rv, ri = ref.bm25_topk(global_idx, tids, K)
-        np.testing.assert_allclose(np.asarray(vals)[b], rv, rtol=1e-5, atol=1e-6)
-        np.testing.assert_array_equal(np.asarray(ids)[b], ri)
+        assert_ranking_close(np.asarray(vals)[b], np.asarray(ids)[b], rv, ri)
 
 
 def test_sharded_hybrid_matches_reference():
