@@ -1,0 +1,378 @@
+"""CLI entry point (reference: src/cli/args.rs, src/main.rs).
+
+Subcommands: analyze, scan, compare, pulse, risk, search, index, setup, mcp.
+``--offline`` wires the deterministic fixture sources + mock market — the only
+mode that works without network egress, and the golden-parity demo path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import datetime as dt
+import json
+import sys
+from typing import Optional
+
+from openintel_tpu.application import analyze
+from openintel_tpu.application.request import AnalysisRequest
+from openintel_tpu.cli import render
+from openintel_tpu.config.settings import AppConfig, OutputFormat
+from openintel_tpu.domain.risk import LONG
+
+
+def _wire(offline: bool):
+    """-> (social_sources, market_source, bar_source, credentials)."""
+    if offline:
+        from openintel_tpu.sources.fixtures import MockMarketSource, fixture_social
+        from openintel_tpu.sources.yahoo import FixtureBars
+
+        return fixture_social(), MockMarketSource(), FixtureBars(), None
+
+    from openintel_tpu.config.secrets import Credentials
+    from openintel_tpu.config.store import KeychainStore
+    from openintel_tpu.sources import build_social_sources
+    from openintel_tpu.sources.yahoo import YahooMarketSource
+
+    creds = Credentials.load(KeychainStore())
+    market = YahooMarketSource()
+    return build_social_sources(creds), market, market, creds
+
+
+def _add_source_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--reddit", action="store_true", help="enable only Reddit")
+    p.add_argument("--bluesky", action="store_true", help="enable only Bluesky")
+    p.add_argument("--no-market", action="store_true", help="skip the market snapshot")
+    p.add_argument("--limit", type=int, default=50, help="posts per source (default 50)")
+    p.add_argument(
+        "--format", choices=["table", "json"], default="table", help="output format"
+    )
+    p.add_argument(
+        "--offline",
+        action="store_true",
+        help="use deterministic fixture sources + mock market (no network)",
+    )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="openintel",
+        description=(
+            "OpenIntel-TPU — fuses social sentiment with market action into a "
+            "speculation report; TPU-resident hybrid retrieval engine inside."
+        ),
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("analyze", help="analyze one ticker")
+    p.add_argument("ticker")
+    _add_source_flags(p)
+
+    p = sub.add_parser("scan", help="analyze a watchlist concurrently")
+    p.add_argument("tickers", nargs="+")
+    _add_source_flags(p)
+
+    p = sub.add_parser("compare", help="compare tickers ranked by a signal")
+    p.add_argument("tickers", nargs="+")
+    p.add_argument(
+        "--rank-by",
+        choices=["crowding", "speculation_index", "net_sentiment", "divergence"],
+        default="crowding",
+    )
+    _add_source_flags(p)
+
+    p = sub.add_parser("pulse", help="paid X catalyst feed (cost-accounted)")
+    p.add_argument("ticker")
+    p.add_argument("--accounts", nargs="*", default=[], help="X handles (no @)")
+    p.add_argument("--keywords", nargs="*", default=[], help="company-language terms")
+    p.add_argument("--hours", type=int, default=24, help="lookback hours (max 167)")
+    p.add_argument("--limit", type=int, default=20, help="max posts (max 100)")
+    p.add_argument("--format", choices=["table", "json"], default="table")
+
+    p = sub.add_parser("risk", help="ATR(14) risk calculator — never advice")
+    p.add_argument("ticker")
+    p.add_argument("--budget", type=float, required=True, help="risk budget USD")
+    p.add_argument("--direction", choices=["long", "short"], default="long")
+    p.add_argument("--stop-multiple", type=float, default=None)
+    p.add_argument("--entry", type=float, default=None)
+    p.add_argument("--format", choices=["table", "json"], default="table")
+    p.add_argument("--offline", action="store_true", help="use fixture bars")
+
+    p = sub.add_parser("search", help="hybrid retrieval over an indexed corpus")
+    p.add_argument("query", nargs="+", help="one or more queries")
+    p.add_argument("--index", required=True, help="index path prefix (from `index`)")
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument(
+        "--mode", choices=["hybrid", "bm25", "dense"], default="hybrid"
+    )
+    p.add_argument("--format", choices=["table", "json"], default="table")
+
+    p = sub.add_parser("index", help="build a hybrid index from a corpus file")
+    p.add_argument("corpus", help="text file, one document per line")
+    p.add_argument("--out", required=True, help="output path prefix")
+    p.add_argument("--dim", type=int, default=384, help="embedding dim")
+    p.add_argument("--bf16", action="store_true", help="store embeddings as bfloat16")
+
+    p = sub.add_parser("setup", help="guided credential setup with live verify")
+    p.add_argument("source", choices=["reddit", "bluesky", "x"])
+    p.add_argument("--forget", action="store_true", help="delete stored credentials")
+
+    p = sub.add_parser("mcp", help="serve the MCP tool surface over stdio")
+    p.add_argument("--offline", action="store_true")
+
+    return parser
+
+
+def run_analyze(args) -> tuple[str, int]:
+    social, market, _, _ = _wire(args.offline)
+    config = AppConfig.new(
+        args.ticker,
+        args.reddit,
+        args.bluesky,
+        args.no_market,
+        args.limit,
+        OutputFormat(args.format),
+    )
+    req = AnalysisRequest(
+        ticker=config.ticker,
+        enabled_sources=config.enabled_sources,
+        market_enabled=config.market_enabled,
+        limit=config.limit,
+        engine=config.engine,
+    )
+    try:
+        report = asyncio.run(analyze(req, social, market))
+    except Exception as e:
+        return f"error: {e}", 1
+    if config.format is OutputFormat.JSON:
+        return render.render_report_json(report), 0
+    return render.render_report_table(report), 0
+
+
+def _mcp_args(args, tickers=None) -> dict:
+    out = {
+        "enable_reddit": args.reddit or None,
+        "enable_bluesky": args.bluesky or None,
+        "no_market": args.no_market or None,
+        "limit": args.limit,
+    }
+    if tickers is not None:
+        out["tickers"] = tickers
+    return out
+
+
+def run_scan(args) -> tuple[str, int]:
+    from openintel_tpu.mcp import tools
+
+    social, market, _, _ = _wire(args.offline)
+    out = asyncio.run(
+        tools.run_scan(_mcp_args(args, args.tickers), social, market)
+    )
+    if args.format == "json":
+        return render.render_json(out), 0
+    lines = []
+    for entry in out["entries"]:
+        if "error" in entry:
+            lines.append(f"{entry['ticker']}: error — {entry['error']}")
+        else:
+            r = entry["report"]
+            lines.append(
+                f"{entry['ticker']}: {r['fusion']['alignment']} · "
+                f"crowding {r['fusion']['crowding'] * 100:.0f}% · "
+                f"{r['social']['total_mentions']} mentions"
+            )
+    lines += ["", out["disclaimer"]]
+    return "\n".join(lines) + "\n", 0
+
+
+def run_compare(args) -> tuple[str, int]:
+    from openintel_tpu.mcp import tools
+
+    social, market, _, _ = _wire(args.offline)
+    targs = _mcp_args(args, args.tickers)
+    targs["rank_by"] = args.rank_by
+    out = asyncio.run(tools.run_compare(targs, social, market))
+    if args.format == "json":
+        return render.render_json(out), 0
+    lines = [f"rank by: {out['rank_by']}"]
+    for i, e in enumerate(out["ranked"], 1):
+        r = e["report"]
+        lines.append(
+            f"{i}. {e['ticker']} — metric {e['rank_metric']:.3f} · "
+            f"{r['fusion']['alignment']}"
+        )
+    for err in out["errors"]:
+        lines.append(f"x. {err['ticker']} — error: {err['error']}")
+    lines += ["", out["disclaimer"]]
+    return "\n".join(lines) + "\n", 0
+
+
+def run_pulse(args) -> tuple[str, int]:
+    from openintel_tpu.application.pulse import pulse as pulse_app
+    from openintel_tpu.config.secrets import Credentials
+    from openintel_tpu.config.store import KeychainStore
+    from openintel_tpu.sources.x import XPulseSource
+
+    creds = Credentials.load(KeychainStore())
+    if not creds.x_bearer:
+        return (
+            "x pulse is not configured — set OPENINTEL_X_BEARER or run "
+            "`openintel setup x`\n",
+            1,
+        )
+    feed = XPulseSource(creds.x_bearer)
+    now = dt.datetime.now(dt.timezone.utc)
+    try:
+        report = asyncio.run(
+            pulse_app(
+                args.ticker, args.accounts, args.keywords, args.hours,
+                args.limit, feed, now,
+            )
+        )
+    except Exception as e:
+        return f"error: {e}", 1
+    if args.format == "json":
+        return render.render_pulse_json(report), 0
+    return render.render_pulse_table(report, now), 0
+
+
+def run_risk(args) -> tuple[str, int]:
+    from openintel_tpu.application.risk import risk_frame
+
+    _, _, bars, _ = _wire(args.offline)
+    try:
+        frame = asyncio.run(
+            risk_frame(
+                args.ticker,
+                args.direction or LONG,
+                args.budget,
+                args.stop_multiple,
+                args.entry,
+                bars,
+                dt.datetime.now(dt.timezone.utc),
+            )
+        )
+    except Exception as e:
+        return f"error: {e}", 1
+    if args.format == "json":
+        return render.render_risk_json(frame), 0
+    return render.render_risk_table(frame), 0
+
+
+def run_index(args) -> tuple[str, int]:
+    from pathlib import Path
+
+    import numpy as np
+
+    from openintel_tpu.index.checkpoint import save_dense, save_postings
+    from openintel_tpu.models.retrievers import HybridRetriever
+
+    texts = [
+        line.strip()
+        for line in Path(args.corpus).read_text().splitlines()
+        if line.strip()
+    ]
+    if not texts:
+        return "error: corpus is empty", 1
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16.dtype if args.bf16 else np.float32
+    model = HybridRetriever.build(texts, dim=args.dim, dtype=dtype)
+    save_postings(model.bm25.index, f"{args.out}.postings.npz")
+    save_dense(model.dense.index, f"{args.out}.dense.npz")
+    Path(f"{args.out}.docs.txt").write_text("\n".join(texts))
+    return (
+        f"indexed {len(texts)} docs -> {args.out}.postings.npz + "
+        f"{args.out}.dense.npz ({args.dim}d"
+        f"{', bf16' if args.bf16 else ''})\n",
+        0,
+    )
+
+
+def run_search(args) -> tuple[str, int]:
+    from pathlib import Path
+
+    from openintel_tpu.index.checkpoint import load_dense, load_postings
+    from openintel_tpu.models.retrievers import (
+        BM25Retriever,
+        DenseRetriever,
+        HybridRetriever,
+    )
+
+    postings = load_postings(f"{args.index}.postings.npz")
+    dense = load_dense(f"{args.index}.dense.npz")
+    docs_path = Path(f"{args.index}.docs.txt")
+    docs = docs_path.read_text().splitlines() if docs_path.exists() else None
+
+    queries = args.query
+    if args.mode == "bm25":
+        res = BM25Retriever(postings).search(queries, k=args.k)
+    elif args.mode == "dense":
+        res = DenseRetriever(dense).search(queries, k=args.k)
+    else:
+        res = HybridRetriever(postings, dense).search(
+            queries, k=args.k, candidates_per_arm=2 * args.k
+        )
+
+    if args.format == "json":
+        payload = [
+            {
+                "query": q,
+                "hits": [
+                    {
+                        "doc_id": int(d),
+                        "score": float(s),
+                        **({"text": docs[int(d)]} if docs and d >= 0 else {}),
+                    }
+                    for d, s in zip(res.ids[i], res.scores[i])
+                    if d >= 0
+                ],
+            }
+            for i, q in enumerate(queries)
+        ]
+        return json.dumps(payload, indent=2), 0
+    lines = []
+    for i, q in enumerate(queries):
+        lines.append(f"query: {q}  [{args.mode}]")
+        for rank, (d, s) in enumerate(zip(res.ids[i], res.scores[i]), 1):
+            if d < 0:
+                continue
+            snippet = f"  {docs[int(d)][:100]}" if docs else ""
+            lines.append(f"  {rank:2d}. doc {int(d)}  score {float(s):.4f}{snippet}")
+        lines.append("")
+    return "\n".join(lines), 0
+
+
+def main(argv: Optional[list[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command == "analyze":
+        out, code = run_analyze(args)
+    elif args.command == "scan":
+        out, code = run_scan(args)
+    elif args.command == "compare":
+        out, code = run_compare(args)
+    elif args.command == "pulse":
+        out, code = run_pulse(args)
+    elif args.command == "risk":
+        out, code = run_risk(args)
+    elif args.command == "index":
+        out, code = run_index(args)
+    elif args.command == "search":
+        out, code = run_search(args)
+    elif args.command == "setup":
+        from openintel_tpu.cli.setup import run_setup
+
+        out, code = run_setup(args.source, forget=args.forget)
+    elif args.command == "mcp":
+        from openintel_tpu.mcp.server import serve
+
+        serve(offline=args.offline)
+        return 0
+    else:  # pragma: no cover
+        out, code = f"unknown command {args.command}", 2
+    print(out, end="" if out.endswith("\n") else "\n")
+    return code
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -15,6 +15,7 @@ TPU-first layout decisions:
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Optional
 
 import numpy as np
 
@@ -32,7 +33,13 @@ class BM25Config:
 
 @dataclass
 class PostingsIndex:
-    """Term-major CSR postings with fused impacts."""
+    """Term-major CSR postings with fused impacts.
+
+    ``impact_order`` optionally holds, per term segment, the absolute posting
+    indices sorted by (-impact, doc_id) — the impact-ordered view used for
+    top-M pruned scoring at scale (the impact-sorted-index technique: common
+    query terms contribute only their M highest-impact postings, bounding the
+    device plan width while keeping recall@k near-exact)."""
 
     term_offsets: np.ndarray  # (V+1,) int64 — CSR row pointers per term id
     doc_ids: np.ndarray  # (nnz,) int32 — ascending within each term
@@ -45,6 +52,7 @@ class PostingsIndex:
     n_docs: int
     vocab: Vocab
     config: BM25Config
+    impact_order: Optional[np.ndarray] = None  # (nnz,) int64, lazy
 
     @property
     def nnz(self) -> int:
@@ -54,6 +62,29 @@ class PostingsIndex:
         """(doc_ids, impacts) slice for one term id."""
         lo, hi = int(self.term_offsets[term_id]), int(self.term_offsets[term_id + 1])
         return self.doc_ids[lo:hi], self.impact[lo:hi]
+
+    def ensure_impact_order(self) -> np.ndarray:
+        """Build (or return) the per-term impact-descending permutation."""
+        if self.impact_order is None:
+            order = np.empty(self.nnz, dtype=np.int64)
+            for t in range(self.term_offsets.shape[0] - 1):
+                lo, hi = int(self.term_offsets[t]), int(self.term_offsets[t + 1])
+                if hi > lo:
+                    seg = np.lexsort(
+                        (self.doc_ids[lo:hi], -self.impact[lo:hi])
+                    )
+                    order[lo:hi] = seg + lo
+            self.impact_order = order
+        return self.impact_order
+
+    def pruned_postings(
+        self, term_id: int, max_m: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, impacts) of the term's top-``max_m`` postings by impact."""
+        order = self.ensure_impact_order()
+        lo, hi = int(self.term_offsets[term_id]), int(self.term_offsets[term_id + 1])
+        sel = order[lo : min(hi, lo + max_m)]
+        return self.doc_ids[sel], self.impact[sel]
 
 
 @dataclass

@@ -1,0 +1,352 @@
+"""MCP server over stdio: hand-rolled JSON-RPC 2.0 implementing the Model
+Context Protocol (initialize / tools/list / tools/call / ping), exposing the
+six tools of the reference server (src/mcp/server.rs:39-148) with the same
+agent-facing descriptions (incl. the x_pulse cost-confirmation instruction).
+
+Composition root semantics mirror the reference (src/mcp/server.rs:171-192):
+credentials from env->keychain, social sources wired iff fully configured,
+Yahoo market source, optional X pulse feed; --offline swaps in the
+deterministic fixtures (and is the only mode that works without egress).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import sys
+from typing import Any, Optional, Sequence
+
+from openintel_tpu import __version__
+from openintel_tpu.domain.ports import (
+    BarSource,
+    InfluencerFeed,
+    MarketDataSource,
+    SocialDataSource,
+)
+from openintel_tpu.mcp import tools
+
+PROTOCOL_VERSION = "2024-11-05"
+
+_SOURCE_FLAGS = {
+    "enable_reddit": {
+        "type": "boolean",
+        "description": "Enable the Reddit source (if no source flags are set, all are enabled).",
+    },
+    "enable_bluesky": {
+        "type": "boolean",
+        "description": "Enable the Bluesky source (if no source flags are set, all are enabled).",
+    },
+    "no_market": {
+        "type": "boolean",
+        "description": "Skip the market snapshot (social-only report).",
+    },
+    "limit": {
+        "type": "integer",
+        "description": "Posts to fetch per source (default 50).",
+    },
+}
+
+TOOL_SPECS: list[dict[str, Any]] = [
+    {
+        "name": "list_sources",
+        "description": (
+            "List the social and market data sources OpenIntel can analyze. "
+            "Read-only metadata."
+        ),
+        "inputSchema": {"type": "object", "properties": {}, "required": []},
+    },
+    {
+        "name": "analyze_ticker",
+        "description": (
+            "Analyze one ticker: fuse social sentiment with market action into a "
+            "speculation report (net sentiment, speculation index, crowding, "
+            "alignment = confirming/diverging/quiet). Read-only — does not trade."
+        ),
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "ticker": {"type": "string", "description": 'Ticker symbol, e.g. "AAPL".'},
+                **_SOURCE_FLAGS,
+            },
+            "required": ["ticker"],
+        },
+    },
+    {
+        "name": "scan_watchlist",
+        "description": (
+            "Analyze a watchlist of tickers concurrently. Returns one entry per "
+            "ticker (report or error); one bad ticker does not fail the batch. "
+            "Read-only — does not trade."
+        ),
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "tickers": {
+                    "type": "array",
+                    "items": {"type": "string"},
+                    "description": "Ticker symbols to analyze concurrently.",
+                },
+                **_SOURCE_FLAGS,
+            },
+            "required": ["tickers"],
+        },
+    },
+    {
+        "name": "compare_tickers",
+        "description": (
+            "Compare tickers and rank them by a chosen signal: rank_by ∈ "
+            "{crowding (default), speculation_index, net_sentiment, divergence}. "
+            "Read-only — does not trade."
+        ),
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "tickers": {"type": "array", "items": {"type": "string"}},
+                "rank_by": {
+                    "type": "string",
+                    "enum": list(tools.RANK_BY),
+                    "description": "Ranking signal (default crowding).",
+                },
+                **_SOURCE_FLAGS,
+            },
+            "required": ["tickers"],
+        },
+    },
+    {
+        "name": "x_pulse",
+        "description": (
+            "Fetch recent posts about a ticker from specific high-impact X accounts "
+            "(paid API: ~$0.005 per post read). Before calling: research which accounts "
+            "actually matter for this ticker — CEO/founder, major institutional holders "
+            "or activist funds, respected sector journalists, and market-moving macro "
+            "figures — then propose the account list and estimated max cost "
+            "(max(limit, 10) × $0.005 — X bills a minimum of 10 reads) to the user "
+            "and get their confirmation. Also propose company-language keywords "
+            '(e.g. "Tesla" for TSLA) — these accounts rarely write cashtags, so '
+            "symbol-only matching misses their posts. Omit `accounts` only if the "
+            "user asks for the default macro list. Returned posts are catalyst "
+            "events — reason about them directly; do not treat them as a sentiment "
+            "sample. Read-only — does not trade."
+        ),
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "ticker": {"type": "string", "description": 'Ticker symbol, e.g. "NVDA".'},
+                "accounts": {
+                    "type": "array",
+                    "items": {"type": "string"},
+                    "description": "X handles to listen to (no @). Curate per ticker.",
+                },
+                "keywords": {
+                    "type": "array",
+                    "items": {"type": "string"},
+                    "description": "Company-language search terms; multi-word phrases OK.",
+                },
+                "hours_back": {
+                    "type": "integer",
+                    "description": "Lookback window in hours (default 24, max 167).",
+                },
+                "limit": {
+                    "type": "integer",
+                    "description": (
+                        "Max posts to read — each read costs ~$0.005 (default 20, "
+                        "max 100). X bills a minimum of 10 reads per call."
+                    ),
+                },
+            },
+            "required": ["ticker"],
+        },
+    },
+    {
+        "name": "risk_frame",
+        "description": (
+            "Deterministic risk calculator: given a ticker, a per-trade risk budget in "
+            "USD, and a direction, returns an ATR(14)-based stop level, the whole-share "
+            "size that caps a stop-out at the budget, max loss, and 1R/2R/3R reference "
+            "levels. It does NOT recommend trades — combine it with analyze_ticker / "
+            "x_pulse, present the numbers to the user, and get their explicit approval "
+            "before any execution step. Read-only — does not trade."
+        ),
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "ticker": {"type": "string"},
+                "budget_usd": {
+                    "type": "number",
+                    "description": "Per-trade risk budget in USD — the most a stop-out may lose.",
+                },
+                "direction": {"type": "string", "enum": ["long", "short"]},
+                "stop_multiple": {
+                    "type": "number",
+                    "description": "Stop distance in ATR multiples (default 2.0, clamped 0.5-5).",
+                },
+                "entry": {"type": "number", "description": "Entry price override (default: last close)."},
+            },
+            "required": ["ticker", "budget_usd"],
+        },
+    },
+]
+
+SERVER_INSTRUCTIONS = (
+    "OpenIntel — fuses social sentiment with market action into a speculation "
+    "report (crowding, divergence, sentiment). READ-ONLY: it never places trades."
+)
+
+
+class OpenIntelServer:
+    """Tool dispatch over injected ports; transport-free (testable)."""
+
+    def __init__(
+        self,
+        social: Sequence[SocialDataSource],
+        market: Optional[MarketDataSource],
+        bars: Optional[BarSource] = None,
+        pulse_feed: Optional[InfluencerFeed] = None,
+    ):
+        self.social = list(social)
+        self.market = market
+        self.bars = bars
+        self.pulse_feed = pulse_feed
+
+    async def call_tool(self, name: str, args: dict[str, Any]) -> dict[str, Any]:
+        if name == "list_sources":
+            return tools.run_list_sources(self.social, self.market)
+        if name == "analyze_ticker":
+            return await tools.run_analyze(args, self.social, self.market)
+        if name == "scan_watchlist":
+            return await tools.run_scan(args, self.social, self.market)
+        if name == "compare_tickers":
+            return await tools.run_compare(args, self.social, self.market)
+        if name == "x_pulse":
+            if self.pulse_feed is None:
+                raise RuntimeError(
+                    "x is not configured — set OPENINTEL_X_BEARER or run "
+                    "`openintel setup x`"
+                )
+            return await tools.run_pulse(args, self.pulse_feed)
+        if name == "risk_frame":
+            if self.bars is None:
+                raise RuntimeError("no bar source configured")
+            return await tools.run_risk_frame(args, self.bars)
+        raise ValueError(f"unknown tool: {name}")
+
+    async def handle(self, message: dict[str, Any]) -> Optional[dict[str, Any]]:
+        """One JSON-RPC message in, one response out (None for notifications)."""
+        msg_id = message.get("id")
+        method = message.get("method")
+        if method is None:
+            return None
+        if msg_id is None:  # notification (e.g. notifications/initialized)
+            return None
+        try:
+            if method == "initialize":
+                result: Any = {
+                    "protocolVersion": PROTOCOL_VERSION,
+                    "capabilities": {"tools": {}},
+                    "serverInfo": {"name": "openintel-tpu", "version": __version__},
+                    "instructions": SERVER_INSTRUCTIONS,
+                }
+            elif method == "ping":
+                result = {}
+            elif method == "tools/list":
+                result = {"tools": TOOL_SPECS}
+            elif method == "tools/call":
+                params = message.get("params") or {}
+                out = await self.call_tool(
+                    params.get("name", ""), params.get("arguments") or {}
+                )
+                result = {
+                    "content": [
+                        {"type": "text", "text": json.dumps(out, indent=2)}
+                    ],
+                    "isError": False,
+                }
+            else:
+                return {
+                    "jsonrpc": "2.0",
+                    "id": msg_id,
+                    "error": {"code": -32601, "message": f"method not found: {method}"},
+                }
+            return {"jsonrpc": "2.0", "id": msg_id, "result": result}
+        except Exception as e:
+            if method == "tools/call":
+                # Tool-level failures surface as tool results, not RPC errors.
+                return {
+                    "jsonrpc": "2.0",
+                    "id": msg_id,
+                    "result": {
+                        "content": [{"type": "text", "text": str(e)}],
+                        "isError": True,
+                    },
+                }
+            return {
+                "jsonrpc": "2.0",
+                "id": msg_id,
+                "error": {"code": -32603, "message": str(e)},
+            }
+
+
+async def serve_stdio(server: OpenIntelServer) -> None:
+    """Blocking stdio loop: one JSON-RPC message per line."""
+    loop = asyncio.get_event_loop()
+    while True:
+        line = await loop.run_in_executor(None, sys.stdin.readline)
+        if not line:
+            return
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            message = json.loads(line)
+        except json.JSONDecodeError as e:
+            print(
+                json.dumps(
+                    {
+                        "jsonrpc": "2.0",
+                        "id": None,
+                        "error": {"code": -32700, "message": f"parse error: {e}"},
+                    }
+                ),
+                flush=True,
+            )
+            continue
+        response = await server.handle(message)
+        if response is not None:
+            print(json.dumps(response), flush=True)
+
+
+def build_server(offline: bool = False) -> OpenIntelServer:
+    """Composition root (reference: src/mcp/server.rs:171-192)."""
+    if offline:
+        from openintel_tpu.sources.fixtures import MockMarketSource, fixture_social
+        from openintel_tpu.sources.yahoo import FixtureBars
+
+        return OpenIntelServer(
+            social=fixture_social(),
+            market=MockMarketSource(),
+            bars=FixtureBars(),
+            pulse_feed=None,
+        )
+
+    from openintel_tpu.config.secrets import Credentials
+    from openintel_tpu.config.store import KeychainStore
+    from openintel_tpu.sources import build_social_sources
+    from openintel_tpu.sources.x import XPulseSource
+    from openintel_tpu.sources.yahoo import YahooMarketSource
+
+    credentials = Credentials.load(KeychainStore())
+    social = build_social_sources(credentials)
+    market = YahooMarketSource()
+    pulse_feed = None
+    if credentials.x_bearer:
+        try:
+            pulse_feed = XPulseSource(credentials.x_bearer)
+        except Exception as e:  # pragma: no cover
+            print(f"warning: x pulse disabled: {e}", file=sys.stderr)
+    return OpenIntelServer(
+        social=social, market=market, bars=market, pulse_feed=pulse_feed
+    )
+
+
+def serve(offline: bool = False) -> None:
+    asyncio.run(serve_stdio(build_server(offline=offline)))

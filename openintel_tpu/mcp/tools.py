@@ -1,0 +1,239 @@
+"""Transport-free tool logic for the six MCP tools
+(reference: src/mcp/tools.rs).
+
+- list_sources reports the *wired* sources, not the full SourceKind set;
+- analyze_ticker adds a one-line human ``summary`` gloss;
+- scan_watchlist runs per-ticker concurrently; one bad ticker never fails the
+  batch;
+- compare_tickers ranks by crowding | speculation_index | net_sentiment |
+  divergence (diverging-first, then crowding);
+- x_pulse is the paid, cost-accounted catalyst feed;
+- risk_frame is a calculator, never advice.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import datetime as dt
+from typing import Any, Optional, Sequence
+
+from openintel_tpu.application import DISCLAIMER, analyze
+from openintel_tpu.application.pulse import pulse as pulse_app
+from openintel_tpu.application.request import AnalysisRequest
+from openintel_tpu.application.risk import risk_frame as risk_app
+from openintel_tpu.domain.entities import SpeculationReport
+from openintel_tpu.domain.ports import (
+    BarSource,
+    InfluencerFeed,
+    MarketDataSource,
+    SocialDataSource,
+)
+from openintel_tpu.domain.risk import LONG, SHORT
+from openintel_tpu.domain.values import ALL_SOURCES, Alignment, SourceKind
+
+RANK_BY = ("crowding", "speculation_index", "net_sentiment", "divergence")
+
+
+def run_list_sources(
+    social_sources: Sequence[SocialDataSource],
+    market_source: Optional[MarketDataSource],
+) -> dict[str, Any]:
+    return {
+        "social": [s.kind.value for s in social_sources],
+        "market": [market_source.name] if market_source else [],
+    }
+
+
+def request_from(
+    ticker: str,
+    enable_reddit: Optional[bool] = None,
+    enable_bluesky: Optional[bool] = None,
+    no_market: Optional[bool] = None,
+    limit: Optional[int] = None,
+) -> AnalysisRequest:
+    enabled: list[SourceKind] = []
+    if enable_reddit:
+        enabled.append(SourceKind.REDDIT)
+    if enable_bluesky:
+        enabled.append(SourceKind.BLUESKY)
+    if not enabled:
+        enabled = list(ALL_SOURCES)
+    return AnalysisRequest(
+        ticker=ticker,
+        enabled_sources=tuple(enabled),
+        market_enabled=not bool(no_market),
+        limit=limit if limit is not None else 50,
+    )
+
+
+def summarize(report: SpeculationReport) -> str:
+    """One-line human gloss for the text side of a tool result."""
+    return (
+        f"{report.ticker.as_str()} — {report.fusion.alignment.value}"
+        f" · crowding {report.fusion.crowding * 100.0:.0f}%"
+        f" · {report.social.total_mentions} mentions"
+        f" ({report.social_confidence.value})"
+    )
+
+
+async def run_analyze(
+    args: dict[str, Any],
+    social_sources: Sequence[SocialDataSource],
+    market_source: Optional[MarketDataSource],
+) -> dict[str, Any]:
+    req = request_from(
+        args["ticker"],
+        args.get("enable_reddit"),
+        args.get("enable_bluesky"),
+        args.get("no_market"),
+        args.get("limit"),
+    )
+    report = await analyze(req, social_sources, market_source)
+    return {
+        "summary": summarize(report),
+        "report": report.to_dict(),
+        "disclaimer": DISCLAIMER,
+    }
+
+
+async def run_scan(
+    args: dict[str, Any],
+    social_sources: Sequence[SocialDataSource],
+    market_source: Optional[MarketDataSource],
+) -> dict[str, Any]:
+    async def one(ticker: str) -> dict[str, Any]:
+        req = request_from(
+            ticker,
+            args.get("enable_reddit"),
+            args.get("enable_bluesky"),
+            args.get("no_market"),
+            args.get("limit"),
+        )
+        try:
+            report = await analyze(req, social_sources, market_source)
+            return {"ticker": ticker, "report": report.to_dict()}
+        except Exception as e:  # one bad ticker never fails the batch
+            return {"ticker": ticker, "error": str(e)}
+
+    entries = await asyncio.gather(*(one(t) for t in args.get("tickers", [])))
+    return {"entries": list(entries), "disclaimer": DISCLAIMER}
+
+
+def rank_metric(report: SpeculationReport, rank_by: str) -> float:
+    # `divergence` ranks categorically (diverging first) then by crowding,
+    # so its numeric metric is crowding.
+    if rank_by in ("crowding", "divergence"):
+        return report.fusion.crowding
+    if rank_by == "speculation_index":
+        return report.social.speculation_index.value
+    if rank_by == "net_sentiment":
+        return report.social.net_sentiment.value
+    raise ValueError(f"unknown rank_by {rank_by!r} (expected one of {RANK_BY})")
+
+
+def sort_ranked(ranked: list[dict[str, Any]], rank_by: str) -> None:
+    """Stable descending by metric; divergence mode puts diverging first."""
+    if rank_by == "divergence":
+        ranked.sort(
+            key=lambda e: (
+                e["report"]["fusion"]["alignment"] != Alignment.DIVERGING.value,
+                -e["rank_metric"],
+            )
+        )
+    else:
+        ranked.sort(key=lambda e: -e["rank_metric"])
+
+
+async def run_compare(
+    args: dict[str, Any],
+    social_sources: Sequence[SocialDataSource],
+    market_source: Optional[MarketDataSource],
+) -> dict[str, Any]:
+    rank_by = args.get("rank_by") or "crowding"
+    if rank_by not in RANK_BY:
+        raise ValueError(f"unknown rank_by {rank_by!r} (expected one of {RANK_BY})")
+
+    async def one(ticker: str):
+        req = request_from(
+            ticker,
+            args.get("enable_reddit"),
+            args.get("enable_bluesky"),
+            args.get("no_market"),
+            args.get("limit"),
+        )
+        try:
+            return ticker, await analyze(req, social_sources, market_source), None
+        except Exception as e:
+            return ticker, None, e
+
+    results = await asyncio.gather(*(one(t) for t in args.get("tickers", [])))
+    ranked: list[dict[str, Any]] = []
+    errors: list[dict[str, str]] = []
+    for ticker, report, err in results:
+        if err is not None:
+            errors.append({"ticker": ticker, "error": str(err)})
+        else:
+            ranked.append(
+                {
+                    "ticker": ticker,
+                    "rank_metric": rank_metric(report, rank_by),
+                    "report": report.to_dict(),
+                }
+            )
+    sort_ranked(ranked, rank_by)
+    return {
+        "rank_by": rank_by,
+        "ranked": ranked,
+        "errors": errors,
+        "disclaimer": DISCLAIMER,
+    }
+
+
+async def run_pulse(args: dict[str, Any], feed: InfluencerFeed) -> dict[str, Any]:
+    report = await pulse_app(
+        args["ticker"],
+        args.get("accounts") or [],
+        args.get("keywords") or [],
+        args.get("hours_back") or 24,
+        args.get("limit") or 20,
+        feed,
+        dt.datetime.now(dt.timezone.utc),
+    )
+    summary = (
+        f"{report.ticker} — ⚡ {len(report.posts)} high-impact post(s) in last "
+        f"{report.hours_back}h from {len(report.accounts)} account(s) · "
+        f"{report.posts_read} posts read ≈ ${report.estimated_cost_usd:.2f}"
+    )
+    return {"summary": summary, "report": report.to_dict(), "disclaimer": DISCLAIMER}
+
+
+RISK_FRAMING = (
+    "risk_frame is a calculator, not advice — it never recommends taking a trade."
+)
+
+
+async def run_risk_frame(args: dict[str, Any], bars: BarSource) -> dict[str, Any]:
+    direction = (args.get("direction") or LONG).lower()
+    if direction not in (LONG, SHORT):
+        raise ValueError(f"direction must be '{LONG}' or '{SHORT}'")
+    frame = await risk_app(
+        args["ticker"],
+        direction,
+        float(args["budget_usd"]),
+        args.get("stop_multiple"),
+        args.get("entry"),
+        bars,
+        dt.datetime.now(dt.timezone.utc),
+    )
+    summary = (
+        f"{frame.ticker} {frame.direction} — entry {frame.entry:.2f} · "
+        f"stop {frame.stop:.2f} · {frame.shares} shares · "
+        f"max loss ${frame.max_loss_usd:.2f} (≤ ${frame.budget_usd:.2f}) · "
+        f"1R {frame.targets[0]:.2f}"
+    )
+    return {
+        "summary": summary,
+        "frame": frame.to_dict(),
+        "framing": RISK_FRAMING,
+        "disclaimer": DISCLAIMER,
+    }

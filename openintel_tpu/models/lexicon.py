@@ -76,15 +76,35 @@ def score_token_ids(
     return polarity, speculative
 
 
+# Below this batch size the kernel-launch/compile overhead dwarfs the math;
+# score in NumPy (identical integer-count arithmetic, exact same results).
+DEVICE_BATCH_THRESHOLD = 512
+
+
+def score_token_ids_np(
+    token_ids: np.ndarray, valid: np.ndarray, flags: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """NumPy twin of :func:`score_token_ids` (asserted identical in tests)."""
+    hit = flags[token_ids] * valid[..., None]
+    counts = hit.sum(axis=1)
+    bull, bear, jargon = counts[:, 0], counts[:, 1], counts[:, 2]
+    denom = bull + bear
+    polarity = np.where(denom > 0.0, (bull - bear) / np.maximum(denom, 1.0), 0.0)
+    return polarity, jargon > 0.0
+
+
 def score_texts(texts: Sequence[str]) -> list[PostSignal]:
-    """Tokenise + encode on host, score the whole batch in one device program."""
+    """Tokenise + encode on host; score the batch in one program (device for
+    large batches, NumPy for small ones — identical results)."""
     if not texts:
         return []
     tokens = tokenize_batch(texts)
     ids, mask = encode_padded(tokens, _LEX_VOCAB)
-    polarity, speculative = score_token_ids(ids, mask, _LEX_FLAGS)
-    polarity = np.asarray(polarity)
-    speculative = np.asarray(speculative)
+    if len(texts) < DEVICE_BATCH_THRESHOLD:
+        polarity, speculative = score_token_ids_np(ids, mask, _LEX_FLAGS)
+    else:
+        out = score_token_ids(ids, mask, _LEX_FLAGS)
+        polarity, speculative = np.asarray(out[0]), np.asarray(out[1])
     return [
         PostSignal.of(float(p), bool(s)) for p, s in zip(polarity, speculative)
     ]

@@ -65,9 +65,17 @@ def encode_query(index: PostingsIndex, text: str) -> list[int]:
 
 
 def build_query_plan(
-    index: PostingsIndex, queries_term_ids: Sequence[Sequence[int]]
+    index: PostingsIndex,
+    queries_term_ids: Sequence[Sequence[int]],
+    *,
+    max_postings_per_term: int | None = None,
 ) -> QueryPlan:
-    """Assemble the padded (doc_id, weight) plan for a batch of queries."""
+    """Assemble the padded (doc_id, weight) plan for a batch of queries.
+
+    ``max_postings_per_term`` enables impact-ordered pruning: each term
+    contributes only its top-M postings by impact (bounds the plan width for
+    stop-wordy terms at corpus scale; recall@k stays near-exact because the
+    dropped postings are the term's lowest-impact tail)."""
     rows_ids: list[np.ndarray] = []
     rows_w: list[np.ndarray] = []
     for terms in queries_term_ids:
@@ -78,7 +86,10 @@ def build_query_plan(
         parts_ids = []
         parts_w = []
         for t, count in qtf.items():
-            ids, impacts = index.postings(int(t))
+            if max_postings_per_term is not None:
+                ids, impacts = index.pruned_postings(int(t), max_postings_per_term)
+            else:
+                ids, impacts = index.postings(int(t))
             parts_ids.append(ids)
             parts_w.append(impacts * (float(index.idf[t]) * count))
         if parts_ids:

@@ -103,3 +103,52 @@ def test_scale_parity_on_synthetic_corpus():
         rv, ri = ref.bm25_topk(idx, tids, 10)
         np.testing.assert_allclose(vals[b], rv, rtol=1e-5, atol=1e-6)
         np.testing.assert_array_equal(ids[b], ri)
+
+
+def test_pruned_plan_keeps_recall_on_topk():
+    """Impact-ordered top-M pruning: recall@10 vs exact BM25 stays high."""
+    from openintel_tpu.index.synthetic import (
+        synthetic_queries_from_docs,
+        synthetic_token_corpus,
+    )
+    from openintel_tpu.ops.bm25 import bm25_topk_device
+
+    docs = synthetic_token_corpus(3000, vocab_size=1500, seed=21)
+    idx = build_postings_index(docs)
+    queries = synthetic_queries_from_docs(docs, 16, seed=22)
+    term_ids = [encode_query(idx, q) for q in queries]
+
+    exact_plan = build_query_plan(idx, term_ids)
+    pruned_plan = build_query_plan(idx, term_ids, max_postings_per_term=256)
+    assert pruned_plan.doc_ids.shape[1] <= exact_plan.doc_ids.shape[1]
+
+    ve, ie = bm25_topk_device(exact_plan.doc_ids, exact_plan.weights, idx.n_docs, 10)
+    vp, ip = bm25_topk_device(pruned_plan.doc_ids, pruned_plan.weights, idx.n_docs, 10)
+    import numpy as np
+
+    recalls = []
+    for b in range(16):
+        exact_set = {i for i in np.asarray(ie)[b] if i >= 0}
+        pruned_set = {i for i in np.asarray(ip)[b] if i >= 0}
+        if exact_set:
+            recalls.append(len(exact_set & pruned_set) / len(exact_set))
+    # This synthetic corpus is the worst case for impact pruning (near-flat
+    # impacts: tf mostly 1, mild length variance) — recall still degrades
+    # gracefully, and a large-enough M is lossless (checked below).
+    assert np.mean(recalls) > 0.6
+
+    lossless = build_query_plan(idx, term_ids, max_postings_per_term=idx.n_docs)
+    vl, il = bm25_topk_device(lossless.doc_ids, lossless.weights, idx.n_docs, 10)
+    np.testing.assert_array_equal(np.asarray(il), np.asarray(ie))
+    np.testing.assert_allclose(np.asarray(vl), np.asarray(ve), rtol=1e-6)
+
+
+def test_impact_order_sorted_desc_with_id_ties():
+    idx = build_postings_index(DOCS)
+    fox = idx.vocab.token_to_id["fox"]
+    ids, impacts = idx.pruned_postings(fox, 100)
+    import numpy as np
+
+    assert (np.diff(impacts) <= 1e-9).all()  # descending impact
+    ids1, _ = idx.pruned_postings(fox, 1)
+    assert len(ids1) == 1

@@ -1,0 +1,138 @@
+"""CLI end-to-end tests via main(argv) with --offline fixtures."""
+
+import json
+
+import pytest
+
+from openintel_tpu.cli.main import main
+
+
+def run_cli(capsys, *argv):
+    code = main(list(argv))
+    out = capsys.readouterr().out
+    return out, code
+
+
+def test_analyze_offline_table(capsys):
+    out, code = run_cli(capsys, "analyze", "AAPL", "--offline")
+    assert code == 0
+    assert "=== OpenIntel — AAPL ===" in out
+    assert "mentions: 10 (bull 7 / bear 2 / neutral 1)" in out
+    assert "net sentiment: +0.50" in out
+    assert "speculation index: 30%" in out
+    assert "alignment: confirming_bullish" in out
+    assert "crowding: 50%" in out
+    assert "Not financial advice" in out
+
+
+def test_analyze_offline_json_golden(capsys):
+    out, code = run_cli(capsys, "analyze", "AAPL", "--offline", "--format", "json")
+    assert code == 0
+    doc = json.loads(out)
+    assert doc["social"]["total_mentions"] == 10
+    assert doc["fusion"]["alignment"] == "confirming_bullish"
+    assert abs(doc["fusion"]["crowding"] - 0.49669) < 1e-3
+    assert doc["social"]["mentions_by_source"] == {"bluesky": 6, "reddit": 4}
+    assert "disclaimer" in doc
+
+
+def test_analyze_reddit_only(capsys):
+    out, code = run_cli(
+        capsys, "analyze", "AAPL", "--offline", "--reddit", "--format", "json"
+    )
+    doc = json.loads(out)
+    assert doc["social"]["total_mentions"] == 4
+
+
+def test_analyze_no_market_quiet(capsys):
+    out, code = run_cli(
+        capsys, "analyze", "AAPL", "--offline", "--no-market", "--format", "json"
+    )
+    doc = json.loads(out)
+    assert doc["market"] is None
+    assert doc["fusion"]["alignment"] == "quiet"
+    assert "(disabled)" in run_cli(capsys, "analyze", "AAPL", "--offline", "--no-market")[0]
+
+
+def test_analyze_bad_ticker_errors(capsys):
+    out, code = run_cli(capsys, "analyze", "$$$", "--offline")
+    assert code == 1
+    assert "invalid ticker" in out
+
+
+def test_scan_offline(capsys):
+    out, code = run_cli(capsys, "scan", "AAPL", "TSLA", "$$$", "--offline")
+    assert code == 0
+    assert "AAPL: confirming_bullish" in out
+    assert "TSLA: confirming_bullish" in out
+    assert "$$$: error" in out
+
+
+def test_compare_offline_json(capsys):
+    out, code = run_cli(
+        capsys,
+        "compare", "AAPL", "MSFT", "--offline", "--format", "json",
+        "--rank-by", "net_sentiment",
+    )
+    doc = json.loads(out)
+    assert doc["rank_by"] == "net_sentiment"
+    assert len(doc["ranked"]) == 2
+    assert doc["ranked"][0]["rank_metric"] == pytest.approx(0.5)
+
+
+def test_risk_offline_golden(capsys):
+    out, code = run_cli(
+        capsys, "risk", "NVDA", "--budget", "200", "--offline", "--format", "json"
+    )
+    assert code == 0
+    doc = json.loads(out)
+    assert doc["atr"] == pytest.approx(4.0)
+    assert doc["stop"] == pytest.approx(98.0)
+    assert doc["shares"] == 25
+    assert doc["max_loss_usd"] == pytest.approx(200.0)
+    assert doc["targets"] == [114.0, 122.0, 130.0]
+    assert "calculator" in doc["framing"]
+
+
+def test_risk_table_renders(capsys):
+    out, code = run_cli(capsys, "risk", "NVDA", "--budget", "200", "--offline")
+    assert "stop: 98.00" in out
+    assert "a calculator, not advice" in out
+
+
+def test_index_and_search_roundtrip(tmp_path, capsys):
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text(
+        "the quick brown fox\n"
+        "lazy dogs sleep all day\n"
+        "market analysis of tech stocks\n"
+        "foxes and dogs living together\n"
+    )
+    out, code = run_cli(
+        capsys, "index", str(corpus), "--out", str(tmp_path / "idx"), "--dim", "64"
+    )
+    assert code == 0 and "indexed 4 docs" in out
+
+    out, code = run_cli(
+        capsys,
+        "search", "quick fox", "--index", str(tmp_path / "idx"),
+        "-k", "2", "--format", "json",
+    )
+    assert code == 0
+    doc = json.loads(out)
+    assert doc[0]["hits"][0]["doc_id"] == 0
+    assert "quick brown fox" in doc[0]["hits"][0]["text"]
+
+    out, code = run_cli(
+        capsys,
+        "search", "lazy dogs", "--index", str(tmp_path / "idx"), "--mode", "bm25",
+    )
+    assert code == 0 and "doc 1" in out
+
+
+def test_pulse_not_configured_message(capsys, monkeypatch):
+    for var in ("OPENINTEL_X_BEARER",):
+        monkeypatch.delenv(var, raising=False)
+    out, code = run_cli(capsys, "pulse", "TSLA")
+    assert code == 1
+    assert "not configured" in out

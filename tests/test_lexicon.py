@@ -87,3 +87,25 @@ def test_encode_padded_shapes_and_mask():
     assert ids[0, 2] == 0  # unknown token -> PAD_ID but still valid
     assert mask[0, 2]
     np.testing.assert_array_equal(ids[1, :1], [v.token_to_id["c"]])
+
+
+def test_numpy_and_device_scorers_identical():
+    import numpy as np
+    from openintel_tpu.models.lexicon import (
+        _LEX_FLAGS,
+        _LEX_VOCAB,
+        score_token_ids,
+        score_token_ids_np,
+    )
+    from openintel_tpu.ops.tokenizer import encode_padded, tokenize_batch
+
+    texts = [
+        "moon calls rally", "dump puts crash", "neutral words only",
+        "bull bear", "squeeze yolo 0dte", "",
+    ]
+    texts = [t or "x" for t in texts]
+    ids, mask = encode_padded(tokenize_batch(texts), _LEX_VOCAB)
+    p_np, s_np = score_token_ids_np(ids, mask, _LEX_FLAGS)
+    p_dev, s_dev = score_token_ids(ids, mask, _LEX_FLAGS)
+    np.testing.assert_allclose(p_np, np.asarray(p_dev), atol=1e-7)
+    np.testing.assert_array_equal(s_np, np.asarray(s_dev))

@@ -1,0 +1,218 @@
+"""MCP tool logic + server protocol tests (reference: src/mcp/tools.rs tests)."""
+
+import asyncio
+import json
+
+import pytest
+
+from openintel_tpu.domain.entities import PostText, PulseFetch, PulsePost, Ticker
+from openintel_tpu.mcp import tools
+from openintel_tpu.mcp.server import OpenIntelServer, TOOL_SPECS
+from openintel_tpu.sources.fixtures import MockMarketSource, fixture_social
+from openintel_tpu.sources.yahoo import FixtureBars
+
+
+def run(coro):
+    return asyncio.run(coro)
+
+
+def test_list_sources_reports_wired_adapters():
+    out = tools.run_list_sources(fixture_social(), MockMarketSource())
+    assert out == {"social": ["reddit", "bluesky"], "market": ["mock-market"]}
+
+
+def test_run_analyze_returns_confirming_bullish_report():
+    out = run(
+        tools.run_analyze({"ticker": "AAPL"}, fixture_social(), MockMarketSource())
+    )
+    assert "confirming_bullish" in out["summary"]
+    assert out["report"]["social"]["total_mentions"] == 10
+    assert "Not financial advice" in out["disclaimer"]
+
+
+def test_run_analyze_rejects_bad_ticker():
+    with pytest.raises(Exception):
+        run(tools.run_analyze({"ticker": "$$$"}, fixture_social(), MockMarketSource()))
+
+
+def test_run_scan_handles_mixed_batch():
+    out = run(
+        tools.run_scan(
+            {"tickers": ["AAPL", "$$$"]}, fixture_social(), MockMarketSource()
+        )
+    )
+    assert len(out["entries"]) == 2
+    assert "report" in out["entries"][0] and "error" not in out["entries"][0]
+    assert "error" in out["entries"][1] and "report" not in out["entries"][1]
+
+
+def test_run_scan_empty_list_is_empty():
+    out = run(tools.run_scan({"tickers": []}, fixture_social(), MockMarketSource()))
+    assert out["entries"] == []
+
+
+def test_run_compare_partitions_and_ranks():
+    out = run(
+        tools.run_compare(
+            {"tickers": ["AAPL", "$$$"], "rank_by": "crowding"},
+            fixture_social(),
+            MockMarketSource(),
+        )
+    )
+    assert len(out["ranked"]) == 1
+    assert len(out["errors"]) == 1
+    assert out["errors"][0]["ticker"] == "$$$"
+    assert out["ranked"][0]["rank_metric"] > 0
+
+
+def test_sort_ranked_orders_by_metric_desc():
+    ranked = [
+        {"ticker": "LO", "rank_metric": 0.1, "report": {"fusion": {"alignment": "quiet"}}},
+        {"ticker": "HI", "rank_metric": 0.9, "report": {"fusion": {"alignment": "quiet"}}},
+    ]
+    tools.sort_ranked(ranked, "crowding")
+    assert [e["ticker"] for e in ranked] == ["HI", "LO"]
+
+
+def test_sort_ranked_divergence_first():
+    ranked = [
+        {"ticker": "BIGC", "rank_metric": 0.9, "report": {"fusion": {"alignment": "quiet"}}},
+        {"ticker": "DIV", "rank_metric": 0.2, "report": {"fusion": {"alignment": "diverging"}}},
+    ]
+    tools.sort_ranked(ranked, "divergence")
+    assert [e["ticker"] for e in ranked] == ["DIV", "BIGC"]
+
+
+class OnePostFeed:
+    async def pulse(self, ticker, accounts, keywords, hours_back, limit):
+        assert keywords == ["Tesla", "Robotaxi"] or keywords == []
+        import datetime as dt
+
+        return PulseFetch(
+            posts=[
+                PulsePost(
+                    id="1",
+                    author="jensenhuang",
+                    text=PostText.parse("shipping"),
+                    created_at=dt.datetime.now(dt.timezone.utc),
+                    engagement=5,
+                )
+            ],
+            posts_returned=1,
+        )
+
+
+def test_run_pulse_summarizes_and_costs():
+    out = run(
+        tools.run_pulse(
+            {"ticker": "NVDA", "accounts": ["@jensenhuang"]}, OnePostFeed()
+        )
+    )
+    assert "⚡ 1 high-impact post(s)" in out["summary"]
+    assert out["report"]["accounts"] == ["jensenhuang"]  # @-stripped
+    assert "Not financial advice" in out["disclaimer"]
+
+
+def test_run_pulse_threads_keywords():
+    out = run(
+        tools.run_pulse(
+            {
+                "ticker": "TSLA",
+                "accounts": ["elonmusk"],
+                "keywords": ["Tesla", "Robotaxi"],
+            },
+            OnePostFeed(),
+        )
+    )
+    assert out["report"]["keywords"] == ["Tesla", "Robotaxi"]
+
+
+def test_run_risk_frame_summarizes_and_disclaims():
+    out = run(
+        tools.run_risk_frame(
+            {
+                "ticker": "NVDA",
+                "budget_usd": 200.0,
+                "direction": "long",
+                "stop_multiple": 2.0,
+            },
+            FixtureBars(),
+        )
+    )
+    assert "25 shares" in out["summary"]
+    assert "calculator" in out["framing"]
+    assert "Not financial advice" in out["disclaimer"]
+
+
+# ---------- server protocol ----------
+
+
+def make_server():
+    return OpenIntelServer(
+        social=fixture_social(),
+        market=MockMarketSource(),
+        bars=FixtureBars(),
+        pulse_feed=None,
+    )
+
+
+def test_server_initialize_and_tools_list():
+    server = make_server()
+    resp = run(server.handle({"jsonrpc": "2.0", "id": 1, "method": "initialize"}))
+    assert resp["result"]["serverInfo"]["name"] == "openintel-tpu"
+    resp = run(server.handle({"jsonrpc": "2.0", "id": 2, "method": "tools/list"}))
+    names = [t["name"] for t in resp["result"]["tools"]]
+    assert names == [
+        "list_sources",
+        "analyze_ticker",
+        "scan_watchlist",
+        "compare_tickers",
+        "x_pulse",
+        "risk_frame",
+    ]
+    assert len(TOOL_SPECS) == 6
+
+
+def test_server_tools_call_analyze():
+    server = make_server()
+    resp = run(
+        server.handle(
+            {
+                "jsonrpc": "2.0",
+                "id": 3,
+                "method": "tools/call",
+                "params": {"name": "analyze_ticker", "arguments": {"ticker": "AAPL"}},
+            }
+        )
+    )
+    assert resp["result"]["isError"] is False
+    payload = json.loads(resp["result"]["content"][0]["text"])
+    assert payload["report"]["fusion"]["alignment"] == "confirming_bullish"
+
+
+def test_server_tool_error_is_tool_result_not_rpc_error():
+    server = make_server()
+    resp = run(
+        server.handle(
+            {
+                "jsonrpc": "2.0",
+                "id": 4,
+                "method": "tools/call",
+                "params": {"name": "x_pulse", "arguments": {"ticker": "NVDA"}},
+            }
+        )
+    )
+    assert resp["result"]["isError"] is True
+    assert "not configured" in resp["result"]["content"][0]["text"]
+
+
+def test_server_unknown_method_is_rpc_error():
+    server = make_server()
+    resp = run(server.handle({"jsonrpc": "2.0", "id": 5, "method": "nope"}))
+    assert resp["error"]["code"] == -32601
+
+
+def test_server_notifications_get_no_response():
+    server = make_server()
+    resp = run(server.handle({"jsonrpc": "2.0", "method": "notifications/initialized"}))
+    assert resp is None

@@ -1,0 +1,128 @@
+"""Interactive setup flow tests without a TTY, via injected SetupIo
+(reference: src/cli/setup.rs:698+ — happy path, 3-failure exit, EOF,
+save-failure fallback, paid-source confirm, --forget)."""
+
+from openintel_tpu.cli.setup import run_setup, SetupIo
+from openintel_tpu.config import secrets as sec
+from openintel_tpu.config.store import InMemoryStore
+
+
+class ScriptedIo(SetupIo):
+    def __init__(self, lines, tty=True):
+        self.lines = list(lines)
+        self.output = []
+
+        def read():
+            return self.lines.pop(0) if self.lines else ""
+
+        super().__init__(
+            read_line=read,
+            read_secret=read,
+            write=self.output.append,
+            is_tty=lambda: tty,
+        )
+
+    @property
+    def text(self):
+        return "".join(self.output)
+
+
+async def ok_probe(*args):
+    return None
+
+
+def failing_probe_times(n):
+    state = {"count": 0}
+
+    async def probe(*args):
+        state["count"] += 1
+        if state["count"] <= n:
+            raise RuntimeError(f"bad credentials (attempt {state['count']})")
+
+    return probe
+
+
+def test_interactive_happy_path_saves_both_keys():
+    store = InMemoryStore()
+    io = ScriptedIo(["my-id\n", "my-secret\n"])
+    out, code = run_setup("reddit", store=store, io=io, probe=ok_probe)
+    assert code == 0
+    assert "verified and saved" in out
+    assert store.get(sec.KEY_REDDIT_CLIENT_ID) == "my-id"
+    assert store.get(sec.KEY_REDDIT_CLIENT_SECRET) == "my-secret"
+
+
+def test_three_failures_exits_and_saves_nothing():
+    store = InMemoryStore()
+    io = ScriptedIo(["id\n", "sec\n"] * 3)
+    out, code = run_setup("reddit", store=store, io=io, probe=failing_probe_times(99))
+    assert code == 1
+    assert "failed after 3 attempts" in out
+    assert store.get(sec.KEY_REDDIT_CLIENT_ID) is None
+
+
+def test_retry_succeeds_on_second_attempt():
+    store = InMemoryStore()
+    io = ScriptedIo(["id\n", "sec\n", "id2\n", "sec2\n"])
+    out, code = run_setup("reddit", store=store, io=io, probe=failing_probe_times(1))
+    assert code == 0
+    assert store.get(sec.KEY_REDDIT_CLIENT_ID) == "id2"
+
+
+def test_eof_aborts_cleanly():
+    store = InMemoryStore()
+    io = ScriptedIo(["id\n"])  # EOF on the secret prompt
+    out, code = run_setup("reddit", store=store, io=io, probe=ok_probe)
+    assert code == 1
+    assert "aborted" in out
+    assert store.get(sec.KEY_REDDIT_CLIENT_ID) is None
+
+
+def test_empty_input_reasks_bounded():
+    store = InMemoryStore()
+    io = ScriptedIo(["\n", "  \n", "real-id\n", "secret\n"])
+    out, code = run_setup("reddit", store=store, io=io, probe=ok_probe)
+    assert code == 0
+    assert io.text.count("input was empty") == 2
+
+
+def test_x_requires_cost_confirmation():
+    store = InMemoryStore()
+    io = ScriptedIo(["bearer-token\n", "n\n"])
+    out, code = run_setup("x", store=store, io=io, probe=ok_probe)
+    assert code == 1
+    assert "cancelled before any paid call" in out
+    assert store.get(sec.KEY_X_BEARER) is None
+
+    io = ScriptedIo(["bearer-token\n", "y\n"])
+    out, code = run_setup("x", store=store, io=io, probe=ok_probe)
+    assert code == 0
+    assert store.get(sec.KEY_X_BEARER) == "bearer-token"
+
+
+def test_save_failure_reports_env_fallback():
+    store = InMemoryStore.failing()
+    io = ScriptedIo(["id\n", "sec\n"])
+    out, code = run_setup("reddit", store=store, io=io, probe=ok_probe)
+    assert code == 1
+    assert "export the env vars" in out
+
+
+def test_forget_is_idempotent():
+    store = InMemoryStore()
+    store.set(sec.KEY_REDDIT_CLIENT_ID, "id")
+    out, code = run_setup("reddit", forget=True, store=store, io=ScriptedIo([]))
+    assert code == 0
+    assert store.get(sec.KEY_REDDIT_CLIENT_ID) is None
+    out, code = run_setup("reddit", forget=True, store=store, io=ScriptedIo([]))
+    assert code == 0  # second delete still succeeds
+
+
+def test_non_tty_prints_guide_and_env_state(monkeypatch):
+    monkeypatch.setenv(sec.ENV_REDDIT_CLIENT_ID, "x")
+    monkeypatch.delenv(sec.ENV_REDDIT_CLIENT_SECRET, raising=False)
+    io = ScriptedIo([], tty=False)
+    out, code = run_setup("reddit", store=InMemoryStore(), io=io, probe=ok_probe)
+    assert code == 0
+    assert "OPENINTEL_REDDIT_CLIENT_ID: set" in out
+    assert "OPENINTEL_REDDIT_CLIENT_SECRET: unset" in out
