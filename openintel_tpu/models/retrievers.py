@@ -46,7 +46,11 @@ class BM25Retriever:
         term_ids = [encode_query(self.index, q) for q in queries]
         plan = build_query_plan(self.index, term_ids)
         vals, ids = bm25_topk_device(
-            plan.doc_ids, plan.weights, plan.n_docs, min(k, self.index.n_docs)
+            plan.doc_ids,
+            plan.weights,
+            plan.n_docs,
+            min(k, self.index.n_docs),
+            presorted=plan.presorted,
         )
         return SearchResult(ids=np.asarray(ids), scores=np.asarray(vals))
 
@@ -61,13 +65,21 @@ class DenseRetriever:
         embedder: Optional[Callable[[Sequence[str]], np.ndarray]] = None,
         *,
         use_pallas: Optional[bool] = None,
+        kernel: Optional[str] = None,  # "xla" | "pallas" | "fast" | None=auto
     ):
         self.index = index
         self.embedder = embedder or HashingEmbedder(dim=index.dim)
-        if use_pallas is None:
-            use_pallas = jax.default_backend() not in ("cpu",)
-        self.use_pallas = use_pallas
-        self._emb_device = jax.device_put(jnp.asarray(index.embeddings))
+        if kernel is None:
+            if use_pallas is None:
+                use_pallas = jax.default_backend() not in ("cpu",)
+            kernel = "pallas" if use_pallas else "xla"
+        assert kernel in ("xla", "pallas", "fast"), kernel
+        self.kernel = kernel
+        self.use_pallas = kernel != "xla"
+        emb = jnp.asarray(index.embeddings)
+        # The fast kernel streams the transposed (D, N) layout (MXU-native
+        # stationary operand); transpose once at load.
+        self._emb_device = jax.device_put(emb.T if kernel == "fast" else emb)
 
     @classmethod
     def build(
@@ -84,7 +96,15 @@ class DenseRetriever:
 
     def _topk(self, q: jax.Array, k: int):
         k = min(k, self.index.n_docs)
-        if self.use_pallas:
+        if self.kernel == "fast":
+            from openintel_tpu.ops.pallas.dense_topk import dense_topk_fast
+
+            # shrink blocks until the candidate pool (32 per block) covers k
+            block_c, n = 4096, max(self.index.n_docs, 1)
+            while block_c > 128 and -(-n // block_c) * 32 < k:
+                block_c //= 2
+            return dense_topk_fast(self._emb_device, q, k=k, block_c=block_c)
+        if self.kernel == "pallas":
             from openintel_tpu.ops.pallas.dense_topk import dense_topk_pallas
 
             return dense_topk_pallas(self._emb_device, q, k=k)

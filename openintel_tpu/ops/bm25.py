@@ -48,6 +48,7 @@ class QueryPlan:
     doc_ids: np.ndarray  # (B, P) int32; padding rows point at n_docs (sentinel)
     weights: np.ndarray  # (B, P) float32; padding weight 0
     n_docs: int
+    presorted: bool = False  # rows ascending by doc id (host-sorted)
 
 
 def _bucket(width: int, minimum: int = 512) -> int:
@@ -69,13 +70,21 @@ def build_query_plan(
     queries_term_ids: Sequence[Sequence[int]],
     *,
     max_postings_per_term: int | None = None,
+    sort: bool = True,
 ) -> QueryPlan:
     """Assemble the padded (doc_id, weight) plan for a batch of queries.
 
     ``max_postings_per_term`` enables impact-ordered pruning: each term
     contributes only its top-M postings by impact (bounds the plan width for
     stop-wordy terms at corpus scale; recall@k stays near-exact because the
-    dropped postings are the term's lowest-impact tail)."""
+    dropped postings are the term's lowest-impact tail).
+
+    ``sort`` (default) orders each row by doc id on the HOST — rows are
+    concatenations of per-term already-sorted runs, so this is a cheap merge
+    for np.sort's adaptive run detection — letting the device skip its
+    bitonic ``lax.sort`` entirely (the dominant cost at width >= 4096, and a
+    compile-time cliff). The sentinel padding (doc id = n_docs) sorts last by
+    construction."""
     rows_ids: list[np.ndarray] = []
     rows_w: list[np.ndarray] = []
     for terms in queries_term_ids:
@@ -106,21 +115,35 @@ def build_query_plan(
     for i, (ids, w) in enumerate(zip(rows_ids, rows_w)):
         doc_ids[i, : len(ids)] = ids
         weights[i, : len(w)] = w
-    return QueryPlan(doc_ids=doc_ids, weights=weights, n_docs=index.n_docs)
+    if sort:
+        order = np.argsort(doc_ids, axis=1, kind="stable")
+        doc_ids = np.take_along_axis(doc_ids, order, axis=1)
+        weights = np.take_along_axis(weights, order, axis=1)
+    return QueryPlan(
+        doc_ids=doc_ids, weights=weights, n_docs=index.n_docs, presorted=sort
+    )
 
 
-@partial(jax.jit, static_argnames=("n_docs", "k"))
+@partial(jax.jit, static_argnames=("n_docs", "k", "presorted"))
 def bm25_topk_device(
     doc_ids: jax.Array,  # (B, P) int32 with sentinel n_docs padding
     weights: jax.Array,  # (B, P) f32
     n_docs: int,
     k: int,
+    presorted: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Scatter-free BM25 top-k: sort by doc id, segmented-sum, reduce.
 
+    ``presorted`` skips the device sort when rows are already ascending by
+    doc id (``build_query_plan(..., sort=True)``) — the production path; the
+    width-P bitonic sort dominates both run and compile time otherwise.
+
     Returns (vals (B, k) f32, ids (B, k) i32); rows with fewer than k matching
     docs pad with (0.0, -1)."""
-    d, w = jax.lax.sort((doc_ids, weights), num_keys=1, dimension=1)
+    if presorted:
+        d, w = doc_ids, weights
+    else:
+        d, w = jax.lax.sort((doc_ids, weights), num_keys=1, dimension=1)
 
     def combine(a, b):
         av, ad = a
@@ -165,5 +188,7 @@ def bm25_topk(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Host-facing batched BM25 top-k (plan on host, reduce on device)."""
     plan = build_query_plan(index, queries_term_ids)
-    vals, ids = bm25_topk_device(plan.doc_ids, plan.weights, plan.n_docs, k)
+    vals, ids = bm25_topk_device(
+        plan.doc_ids, plan.weights, plan.n_docs, k, presorted=plan.presorted
+    )
     return np.asarray(vals), np.asarray(ids)

@@ -41,28 +41,44 @@ def _merge_gathered(vals_g: jax.Array, ids_g: jax.Array, k: int):
     return vals, ids
 
 
+def _local_dense_topk(emb_local, q_local, k, kernel, block_size):
+    """Per-shard dense arm. ``kernel``: "xla" (portable), "pallas" (exact
+    fused top-k), "pallas_fast" (production candidate-emission kernel; takes
+    the (D, N_local) transposed layout)."""
+    if kernel == "pallas":
+        from openintel_tpu.ops.pallas.dense_topk import dense_topk_pallas
+
+        return dense_topk_pallas(emb_local, q_local, k=k)
+    if kernel == "pallas_fast":
+        from openintel_tpu.ops.pallas.dense_topk import dense_topk_fast
+
+        return dense_topk_fast(emb_local, q_local, k=k)
+    return dense_topk_xla(emb_local, q_local, k, block_size)
+
+
+def _emb_spec(kernel: str):
+    """Sharding spec for the dense index: (N, D) row-sharded normally; the
+    fast kernel streams the transposed (D, N) layout, column-sharded."""
+    return P(None, CORPUS_AXIS) if kernel == "pallas_fast" else P(CORPUS_AXIS, None)
+
+
 def sharded_dense_topk(
     mesh: Mesh,
-    doc_emb: jax.Array,  # (N, D), N divisible by the corpus axis size
+    doc_emb: jax.Array,  # (N, D) — or (D, N) when kernel="pallas_fast"
     queries: jax.Array,  # (B, D), B divisible by the data axis size
     k: int,
     *,
     block_size: int = 4096,
-    use_pallas: bool = False,
+    kernel: str = "xla",
 ) -> tuple[jax.Array, jax.Array]:
     """Dense cosine top-k over a corpus sharded across the mesh."""
-    n_docs = doc_emb.shape[0]
+    n_docs = doc_emb.shape[1] if kernel == "pallas_fast" else doc_emb.shape[0]
     n_shards = mesh.shape[CORPUS_AXIS]
     assert n_docs % n_shards == 0, "pad the corpus to shard evenly"
     shard_size = n_docs // n_shards
 
     def local(emb_local, q_local):
-        if use_pallas:
-            from openintel_tpu.ops.pallas.dense_topk import dense_topk_pallas
-
-            vals, ids = dense_topk_pallas(emb_local, q_local, k=k)
-        else:
-            vals, ids = dense_topk_xla(emb_local, q_local, k, block_size)
+        vals, ids = _local_dense_topk(emb_local, q_local, k, kernel, block_size)
         shard = jax.lax.axis_index(CORPUS_AXIS)
         gids = jnp.where(ids >= 0, ids + shard * shard_size, -1)
         vals_g = jax.lax.all_gather(vals, CORPUS_AXIS)  # (S, B_local, k)
@@ -72,7 +88,7 @@ def sharded_dense_topk(
     f = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(CORPUS_AXIS, None), P(DATA_AXIS, None)),
+        in_specs=(_emb_spec(kernel), P(DATA_AXIS, None)),
         out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
         check_vma=False,
     )
@@ -85,12 +101,16 @@ def sharded_bm25_topk(
     plan_weights: jax.Array,  # (S, B, Pw)
     shard_size: int,
     k: int,
+    *,
+    presorted: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """BM25 top-k over sharded postings (host builds per-shard query plans)."""
     from openintel_tpu.ops.bm25 import bm25_topk_device
 
     def local(ids_local, w_local):
-        vals, lids = bm25_topk_device(ids_local[0], w_local[0], shard_size, k)
+        vals, lids = bm25_topk_device(
+            ids_local[0], w_local[0], shard_size, k, presorted=presorted
+        )
         shard = jax.lax.axis_index(CORPUS_AXIS)
         gids = jnp.where(lids >= 0, lids + shard * shard_size, -1)
         # padded slots carry score 0.0; push them below every real score
@@ -113,7 +133,7 @@ def sharded_bm25_topk(
 
 def sharded_hybrid_topk(
     mesh: Mesh,
-    doc_emb: jax.Array,  # (N, D) corpus-sharded dense index
+    doc_emb: jax.Array,  # (N, D) corpus-sharded — (D, N) for kernel="pallas_fast"
     queries: jax.Array,  # (B, D) query embeddings
     plan_doc_ids: jax.Array,  # (S, B, Pw) per-shard BM25 plans
     plan_weights: jax.Array,  # (S, B, Pw)
@@ -122,14 +142,15 @@ def sharded_hybrid_topk(
     candidates_per_arm: Optional[int] = None,
     rrf_k: float = RRF_K,
     block_size: int = 4096,
-    use_pallas: bool = False,
+    kernel: str = "xla",
+    presorted: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Full hybrid query step, one device program: per-shard BM25 + dense
     local top-c, ICI all-gather, global merges, RRF fusion, final top-k."""
     from openintel_tpu.ops.bm25 import bm25_topk_device
 
     c = candidates_per_arm or k
-    n_docs = doc_emb.shape[0]
+    n_docs = doc_emb.shape[1] if kernel == "pallas_fast" else doc_emb.shape[0]
     n_shards = mesh.shape[CORPUS_AXIS]
     assert n_docs % n_shards == 0
     shard_size = n_docs // n_shards
@@ -137,15 +158,12 @@ def sharded_hybrid_topk(
     def local(emb_local, q_local, ids_local, w_local):
         shard = jax.lax.axis_index(CORPUS_AXIS)
         # dense arm
-        if use_pallas:
-            from openintel_tpu.ops.pallas.dense_topk import dense_topk_pallas
-
-            d_vals, d_ids = dense_topk_pallas(emb_local, q_local, k=c)
-        else:
-            d_vals, d_ids = dense_topk_xla(emb_local, q_local, c, block_size)
+        d_vals, d_ids = _local_dense_topk(emb_local, q_local, c, kernel, block_size)
         d_gids = jnp.where(d_ids >= 0, d_ids + shard * shard_size, -1)
-        # lexical arm (scatter-free sort + segmented-scan reduction)
-        b_vals, b_lids = bm25_topk_device(ids_local[0], w_local[0], shard_size, c)
+        # lexical arm (scatter-free segmented-scan reduction over host-sorted plans)
+        b_vals, b_lids = bm25_topk_device(
+            ids_local[0], w_local[0], shard_size, c, presorted=presorted
+        )
         b_gids = jnp.where(b_lids >= 0, b_lids + shard * shard_size, -1)
         b_vals = jnp.where(b_lids >= 0, b_vals, -jnp.inf)
         # ICI all-gather of k-sized candidate lists, then global merges
@@ -161,7 +179,7 @@ def sharded_hybrid_topk(
         local,
         mesh=mesh,
         in_specs=(
-            P(CORPUS_AXIS, None),
+            _emb_spec(kernel),
             P(DATA_AXIS, None),
             P(CORPUS_AXIS, DATA_AXIS, None),
             P(CORPUS_AXIS, DATA_AXIS, None),

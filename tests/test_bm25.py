@@ -143,6 +143,37 @@ def test_pruned_plan_keeps_recall_on_topk():
     np.testing.assert_allclose(np.asarray(vl), np.asarray(ve), rtol=1e-6)
 
 
+def test_presorted_plan_matches_device_sort_path():
+    """Host-sorted plans (production) == device-sort path, bit for bit."""
+    from openintel_tpu.index.synthetic import (
+        synthetic_queries_from_docs,
+        synthetic_token_corpus,
+    )
+    from openintel_tpu.ops.bm25 import bm25_topk_device
+
+    docs = synthetic_token_corpus(1000, vocab_size=800, seed=31)
+    idx = build_postings_index(docs)
+    queries = synthetic_queries_from_docs(docs, 8, seed=32)
+    term_ids = [encode_query(idx, q) for q in queries]
+
+    p_sorted = build_query_plan(idx, term_ids)  # sort=True default
+    p_raw = build_query_plan(idx, term_ids, sort=False)
+    assert p_sorted.presorted and not p_raw.presorted
+    # host-sorted rows really are ascending (sentinel pads at the end)
+    assert (np.diff(p_sorted.doc_ids, axis=1) >= 0).all()
+
+    vs, is_ = bm25_topk_device(
+        p_sorted.doc_ids, p_sorted.weights, idx.n_docs, 10, presorted=True
+    )
+    vr, ir = bm25_topk_device(p_raw.doc_ids, p_raw.weights, idx.n_docs, 10)
+    np.testing.assert_array_equal(np.asarray(is_), np.asarray(ir))
+    np.testing.assert_allclose(np.asarray(vs), np.asarray(vr), rtol=1e-6)
+    # and both match the NumPy oracle
+    for b, tids in enumerate(term_ids):
+        rv, ri = ref.bm25_topk(idx, tids, 10)
+        np.testing.assert_array_equal(np.asarray(is_)[b], ri)
+
+
 def test_impact_order_sorted_desc_with_id_ties():
     idx = build_postings_index(DOCS)
     fox = idx.vocab.token_to_id["fox"]

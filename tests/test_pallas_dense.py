@@ -51,3 +51,54 @@ def test_pallas_corpus_smaller_than_block():
     ref_vals, ref_ids = ref.cosine_topk(emb, q, 5)
     np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(ids), ref_ids)
+
+
+# ---- fast candidate-emission kernel (production path) ----
+
+
+def _recall(ids, ref_ids):
+    ids, ref_ids = np.asarray(ids), np.asarray(ref_ids)
+    return np.mean(
+        [
+            len(set(map(int, ids[i])) & set(map(int, ref_ids[i]))) / ids.shape[1]
+            for i in range(ids.shape[0])
+        ]
+    )
+
+
+def test_fast_kernel_high_recall_and_tight_scores():
+    from openintel_tpu.ops.pallas.dense_topk import dense_topk_fast
+
+    emb = synthetic_embeddings(5000, dim=64, seed=6)
+    q, _ = synthetic_query_embeddings(emb, 9, seed=7)
+    vals, ids = dense_topk_fast(emb.T, q, k=10, block_c=256, interpret=True)
+    ref_vals, ref_ids = ref.cosine_topk(emb, q, 10)
+    # approximate by design: a top-k doc is lost only to a same-128-group
+    # collision with another top-k doc
+    assert _recall(ids, ref_ids) >= 0.95
+    # where ids agree, scores agree to the 2^-17 packing quantisation
+    match = np.asarray(ids) == ref_ids
+    err = np.abs(np.asarray(vals) - ref_vals)[match]
+    assert err.max() <= 2e-4
+
+
+def test_fast_kernel_non_divisible_corpus_ids_in_range():
+    from openintel_tpu.ops.pallas.dense_topk import dense_topk_fast
+
+    emb = synthetic_embeddings(300, dim=32, seed=8)
+    q, _ = synthetic_query_embeddings(emb, 5, seed=9)
+    vals, ids = dense_topk_fast(emb.T, q, k=8, block_c=256, interpret=True)
+    ids = np.asarray(ids)
+    assert ids.max() < 300
+    ref_vals, ref_ids = ref.cosine_topk(emb, q, 8)
+    assert _recall(ids, ref_ids) >= 0.9
+
+
+def test_fast_kernel_query_batch_padding_sliced():
+    from openintel_tpu.ops.pallas.dense_topk import dense_topk_fast
+
+    emb = synthetic_embeddings(1000, dim=32, seed=10)
+    q, _ = synthetic_query_embeddings(emb, 3, seed=11)  # 3 < sublane tile
+    vals, ids = dense_topk_fast(emb.T, q, k=6, block_c=128, interpret=True)
+    assert np.asarray(vals).shape == (3, 6)
+    assert np.asarray(ids).shape == (3, 6)
