@@ -29,6 +29,12 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache: the remote TPU compile helper takes minutes
+    # per program; cache hits make repeat bench runs near-instant.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu",)
     log(f"backend: {backend}; devices: {jax.devices()}")
@@ -37,7 +43,7 @@ def main() -> None:
     n_docs = 1_250_000 if on_tpu else 20_000
     dim = 384
     batch = 256 if on_tpu else 32
-    n_batches = 8 if on_tpu else 2
+    n_batches = 16 if on_tpu else 2
     k, c_arm = 10, 32
     prune_m = 2048
     terms_per_query = 4
@@ -58,8 +64,14 @@ def main() -> None:
     emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
     emb_dev = jax.device_put(jnp.asarray(emb, jnp.bfloat16 if on_tpu else jnp.float32))
     # Production dense layout: (D, N) so the Pallas fast kernel's matmul is
-    # MXU-native (no per-block transpose); transpose once on device.
-    emb_t_dev = jax.jit(jnp.transpose)(emb_dev)
+    # MXU-native (no per-block transpose), pre-padded to the corpus block
+    # size so the hot path never copies the corpus. Once, at index load.
+    from openintel_tpu.ops.pallas.dense_topk import pad_corpus_t
+
+    block_c = 4096
+    emb_t_dev = jax.jit(
+        lambda e: pad_corpus_t(jnp.transpose(e), block_c)
+    )(emb_dev)
     jax.block_until_ready(emb_t_dev)
     log(f"dense index: {emb.nbytes/1e9:.2f} GB f32 host ({time.time()-t0:.1f}s)")
 
@@ -107,7 +119,9 @@ def main() -> None:
         if on_tpu:
             from openintel_tpu.ops.pallas.dense_topk import dense_topk_fast
 
-            return dense_topk_fast(embs_t, qb, k=c_arm, block_c=4096)
+            return dense_topk_fast(
+                embs_t, qb, k=c_arm, block_c=block_c, n_docs=n_docs
+            )
         return dense_topk_xla(jnp.transpose(embs_t), qb, c_arm, 4096)
 
     @functools.partial(jax.jit, static_argnames=("mode",))
@@ -124,7 +138,7 @@ def main() -> None:
                 vals, ids = d_vals, d_ids
             else:
                 vals, ids = b_vals, b_ids
-            return carry + jnp.sum(ids), (vals[:, :k], ids[:, :k])
+            return carry + jnp.sum(ids), (vals, ids)
 
         acc, outs = jax.lax.scan(body, jnp.int32(0), (qbs, pdis, pws))
         return acc, outs
@@ -141,30 +155,70 @@ def main() -> None:
         per_batch = max(best - 0.03, 1e-9) / n_batches  # subtract tunnel RTT
         return per_batch, outs
 
-    per_dense, _ = timeit("dense")
+    per_dense, outs_d = timeit("dense")
     log(f"dense arm : {per_dense*1e3:8.3f} ms/batch  {batch/per_dense:>12,.0f} QPS")
-    per_bm25, _ = timeit("bm25")
+    per_bm25, outs_b = timeit("bm25")
     log(f"bm25 arm  : {per_bm25*1e3:8.3f} ms/batch  {batch/per_bm25:>12,.0f} QPS")
+    outs_arms = {"dense": outs_d[1], "bm25": outs_b[1]}
     per_hybrid, outs = timeit("hybrid")
     qps = batch / per_hybrid
     log(f"hybrid    : {per_hybrid*1e3:8.3f} ms/batch  {qps:>12,.0f} QPS")
 
-    # Recall@10 parity vs the exact NumPy reference scorer on a query sample.
+    # Recall@10 parity vs the exact NumPy reference scorer on a query sample,
+    # against two references: the f32 index (idealised) and the same
+    # bf16-stored index scored exactly (equal-memory parity per BASELINE.md:
+    # the production index IS bf16; this isolates kernel/pruning loss from
+    # storage-precision loss).
     from openintel_tpu.ops import reference as ref
 
     sample = min(32, total_q)
     hyb_ids = np.asarray(outs[1]).reshape(total_q, k)[:sample]
-    recalls = []
+    if on_tpu:  # host-side bf16 round-to-nearest-even (no device round trip)
+        u = emb.view(np.uint32)
+        emb_bf16 = (
+            ((u + (((u >> 16) & 1) + 0x7FFF)) & 0xFFFF0000).view(np.float32).copy()
+        )
+    else:
+        emb_bf16 = emb
+    rec_f32, rec_stored, rec_arm_b, rec_arm_d = [], [], [], []
     for i in range(sample):
-        rv, ri = ref.hybrid_topk(
+        got = {int(d) for d in hyb_ids[i] if d >= 0}
+        _, ri = ref.hybrid_topk(
             index, emb, term_ids[i], q[i], k, candidates_per_arm=c_arm
         )
         exact = {int(d) for d in ri if d >= 0}
-        got = {int(d) for d in hyb_ids[i] if d >= 0}
         if exact:
-            recalls.append(len(exact & got) / len(exact))
-    recall = float(np.mean(recalls)) if recalls else 1.0
-    log(f"recall@10 vs exact reference (n={sample}): {recall:.3f}")
+            rec_f32.append(len(exact & got) / len(exact))
+        _, ri_s = ref.hybrid_topk(
+            index, emb_bf16, term_ids[i], q[i], k, candidates_per_arm=c_arm
+        )
+        exact_s = {int(d) for d in ri_s if d >= 0}
+        if exact_s:
+            rec_stored.append(len(exact_s & got) / len(exact_s))
+    # per-arm diagnostics (device top-c vs exact arm top-c on stored index)
+    b_ids_dev = np.asarray(outs_arms["bm25"]).reshape(total_q, -1)[:sample]
+    d_ids_dev = np.asarray(outs_arms["dense"]).reshape(total_q, -1)[:sample]
+    for i in range(sample):
+        _, rb = ref.bm25_topk(index, term_ids[i], c_arm)
+        eb = {int(d) for d in rb if d >= 0}
+        if eb:
+            rec_arm_b.append(
+                len(eb & {int(d) for d in b_ids_dev[i] if d >= 0}) / len(eb)
+            )
+        _, rd = ref.cosine_topk(emb_bf16, q[i], c_arm)
+        ed = {int(d) for d in rd if d >= 0}
+        if ed:
+            rec_arm_d.append(
+                len(ed & {int(d) for d in d_ids_dev[i] if d >= 0}) / len(ed)
+            )
+    recall = float(np.mean(rec_f32)) if rec_f32 else 1.0
+    recall_stored = float(np.mean(rec_stored)) if rec_stored else 1.0
+    log(
+        f"recall@10 (n={sample}): {recall:.3f} vs f32 index, "
+        f"{recall_stored:.3f} vs stored (bf16) index; "
+        f"arm recall@{c_arm}: bm25 {np.mean(rec_arm_b):.3f}, "
+        f"dense {np.mean(rec_arm_d):.3f}"
+    )
 
     result = {
         "metric": f"hybrid_qps_per_chip_{n_docs/1e6:.2f}M_docs_d{dim}_b{batch}",

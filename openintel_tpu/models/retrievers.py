@@ -78,8 +78,16 @@ class DenseRetriever:
         self.use_pallas = kernel != "xla"
         emb = jnp.asarray(index.embeddings)
         # The fast kernel streams the transposed (D, N) layout (MXU-native
-        # stationary operand); transpose once at load.
-        self._emb_device = jax.device_put(emb.T if kernel == "fast" else emb)
+        # stationary operand), block-padded so the hot path never copies the
+        # corpus; transpose + pad once at load.
+        if kernel == "fast":
+            from openintel_tpu.ops.pallas.dense_topk import pad_corpus_t
+
+            self._emb_device = jax.device_put(
+                pad_corpus_t(emb.T, self._fast_block_c())
+            )
+        else:
+            self._emb_device = jax.device_put(emb)
 
     @classmethod
     def build(
@@ -94,16 +102,26 @@ class DenseRetriever:
         emb = embedder(list(texts))
         return cls(DenseIndex.from_embeddings(emb, dtype=dtype), embedder)
 
+    def _fast_block_c(self, k: int = 128) -> int:
+        # shrink blocks until the candidate pool (128 per block) covers any
+        # reasonable k for this corpus size
+        block_c, n = 4096, max(self.index.n_docs, 1)
+        while block_c > 128 and -(-n // block_c) * 128 < k:
+            block_c //= 2
+        return block_c
+
     def _topk(self, q: jax.Array, k: int):
         k = min(k, self.index.n_docs)
         if self.kernel == "fast":
             from openintel_tpu.ops.pallas.dense_topk import dense_topk_fast
 
-            # shrink blocks until the candidate pool (32 per block) covers k
-            block_c, n = 4096, max(self.index.n_docs, 1)
-            while block_c > 128 and -(-n // block_c) * 32 < k:
-                block_c //= 2
-            return dense_topk_fast(self._emb_device, q, k=k, block_c=block_c)
+            return dense_topk_fast(
+                self._emb_device,
+                q,
+                k=k,
+                block_c=self._fast_block_c(),
+                n_docs=self.index.n_docs,
+            )
         if self.kernel == "pallas":
             from openintel_tpu.ops.pallas.dense_topk import dense_topk_pallas
 

@@ -226,42 +226,46 @@ def dense_topk_pallas(
 # candidate; at production batch sizes (B >= 128) some row always does, so the
 # merge runs every block and dominates (~8x over the matmul roofline). The
 # fast path removes data-dependent control flow entirely — per corpus block it
-# emits a fixed, tiny set of candidates via pure VPU reductions:
+# emits a fixed, tiny set of candidates, and the per-element VPU work is pared
+# to the bone (it, not the MXU matmul, is the kernel's critical path):
 #
-#   1. scores (B, BC) f32 are bitcast to int32 and mapped through the
-#      monotonic total order for IEEE floats (i < 0 ? i ^ 0x7FFFFFFF : i), so
-#      integer max == float max;
-#   2. the low 7 mantissa bits are traded for position: key = (key & ~127)
-#      | (r << 2) | a, where the block is viewed as (B, R, 128) (r = sublane
-#      group, R = BC/128 <= 32) then (B, 4, 32) over lanes (a). Cosine scores
-#      quantise at 2^-17 relative — far below bf16 input noise;
-#   3. two max-reduces leave (B, 32) packed int32 per block: the 32 group
-#      maxima, each carrying enough bits to reconstruct its doc id.
+#   1. scores (B, BC) f32 are shifted +2 (cosine in [-1,1] -> [1,3]): for
+#      strictly positive IEEE floats the raw bit pattern is already monotonic
+#      as int32, so no sign-fixup select/xor is needed — one add, one bitcast;
+#   2. the low 5 mantissa bits are traded for position: key = (bits & ~31)
+#      | r, where the block is viewed as (B, R, 128) (r = sublane group
+#      index, R = BC/128 <= 32). Scores quantise at ~2^-18 absolute — far
+#      below the bf16 input noise;
+#   3. one max-reduce over r leaves (B, 128) packed int32 per block: the 128
+#      column maxima, each carrying enough bits to reconstruct its doc id.
 #
-# A single XLA top_k over the (B, n_blocks*32) packed candidates then yields
-# the global top-k (monotonic encoding preserves score order). A true top-k
-# element is lost only if another top-k element is the max of the same
-# 128-doc group — P < k^2 * 64/N, negligible at retrieval scale (and measured
-# recall@k ~ 1.0 in tests). Scores decode to ~2^-17; ids are exact.
+# Per element that's add, and, or, max — 4 VPU ops — overlapping the MXU
+# matmul and the HBM stream. Outside the kernel, one approx_max_k over the
+# (B, n_blocks*128) packed output yields the global top-k: bitcast back to
+# f32, the packed ints are positive floats whose order is the score order —
+# exactly what the TPU's PartialReduce top-k custom call wants. The column
+# index recovers (block, lane); the mantissa bits recover r; together the
+# exact doc id.
+#
+# A true top-k element is lost only if another top-k element is the max of
+# the same 128-doc sublane group (P < k^2 * 64/N, negligible at retrieval
+# scale; measured recall@k ~ 1.0 in tests) or dropped by approx_max_k's
+# recall_target (0.99). Scores decode to ~2^-16; ids are exact. Corpus
+# zero-padding scores exactly 0 (packed 2.0), so it can displace only
+# negative-cosine candidates; padded ids are filtered after the final top-k.
+#
+# PERF CONTRACT: pass the corpus pre-padded to a multiple of block_c
+# (pad_corpus_t below) — in-jit padding would copy the whole corpus in HBM
+# every call (~2.3 ms at 1.25M docs, measured), the single biggest tax on
+# this path.
 # ---------------------------------------------------------------------------
 
-_POS_BITS = 7
-_POS_MASK = (1 << _POS_BITS) - 1  # 127
+_POS_BITS = 5  # r = sublane group index in [0, block_c/128) <= 32
+_POS_MASK = (1 << _POS_BITS) - 1  # 31
+_SHIFT = 2.0  # score -> strictly positive float; bits monotonic as int32
 
 
-def _monotonic_i32(x: jax.Array) -> jax.Array:
-    """Bitcast f32 -> int32 such that integer order == float order."""
-    i = jax.lax.bitcast_convert_type(x, jnp.int32)
-    return jnp.where(i < 0, i ^ jnp.int32(0x7FFFFFFF), i)
-
-
-def _decode_f32(key: jax.Array) -> jax.Array:
-    i = jnp.where(key < 0, key ^ jnp.int32(0x7FFFFFFF), key)
-    return jax.lax.bitcast_convert_type(i, jnp.float32)
-
-
-def _fast_kernel(q_ref, e_ref, out_ref, *, block_c: int, n_docs: int):
-    j = pl.program_id(0)
+def _fast_kernel(q_ref, e_ref, out_ref, *, block_c: int):
     scores = jax.lax.dot_general(
         q_ref[:],
         e_ref[:],
@@ -269,39 +273,51 @@ def _fast_kernel(q_ref, e_ref, out_ref, *, block_c: int, n_docs: int):
         preferred_element_type=jnp.float32,
     )  # (B, BC)
     b = scores.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (b, block_c), 1)
-    scores = jnp.where(j * block_c + col < n_docs, scores, NEG_INF)
-
-    key = _monotonic_i32(scores) & ~jnp.int32(_POS_MASK)
+    key = jax.lax.bitcast_convert_type(scores + _SHIFT, jnp.int32) & ~jnp.int32(
+        _POS_MASK
+    )
     r_groups = block_c // 128
-    k3 = key.reshape(b, r_groups, 128)
     r_idx = jax.lax.broadcasted_iota(jnp.int32, (b, r_groups, 128), 1)
     # Sublane-group max only — pure VPU elementwise tree, no lane crossing.
-    # (The 128 -> 32 lane reduction happens outside the kernel in XLA, where
-    # it is a trivial 128-per-candidate reduce over the packed output.)
-    out_ref[:] = jnp.max(k3 | (r_idx << 2), axis=1)  # (B, 128)
+    out_ref[:] = jnp.max(key.reshape(b, r_groups, 128) | r_idx, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_c", "interpret"))
+def pad_corpus_t(doc_emb_t: jax.Array, block_c: int = 4096) -> jax.Array:
+    """Zero-pad a (D, N) transposed corpus to a block_c multiple ONCE at index
+    load, so the hot query path never copies the corpus (see perf contract)."""
+    dim, n = doc_emb_t.shape
+    n_pad = _round_up(max(n, block_c), block_c)
+    if n_pad == n:
+        return doc_emb_t
+    return jnp.concatenate(
+        [doc_emb_t, jnp.zeros((dim, n_pad - n), doc_emb_t.dtype)], axis=1
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_c", "interpret", "n_docs")
+)
 def dense_topk_fast(
     doc_emb_t: jax.Array,  # (D, N) unit-norm COLUMNS, f32 or bf16 (transposed!)
     queries: jax.Array,  # (B, D) unit-norm rows
     k: int = 10,
     block_c: int = 4096,
     interpret: bool = False,
+    n_docs: int | None = None,  # true corpus size when doc_emb_t is pre-padded
 ) -> tuple[jax.Array, jax.Array]:
     """Near-roofline approximate cosine top-k over a transposed embedding
-    matrix. Returns (vals (B, k) f32 [~2^-17 quantised], ids (B, k) i32, -1
-    padded). See module comment for the candidate-emission scheme."""
-    dim, n_docs = doc_emb_t.shape
+    matrix. Returns (vals (B, k) f32 [~2^-16 quantised], ids (B, k) i32, -1
+    padded). See module comment for the candidate-emission scheme.
+
+    Pass ``pad_corpus_t``-padded embeddings plus the true ``n_docs`` in
+    production; unpadded input works but pays a full corpus copy per call."""
+    dim, n_stored = doc_emb_t.shape
+    n_docs = n_stored if n_docs is None else n_docs
     b = queries.shape[0]
     assert block_c % 128 == 0 and block_c <= 4096, "block_c in 128..4096, /128"
 
-    n_pad = _round_up(max(n_docs, block_c), block_c)
-    if n_pad != n_docs:
-        doc_emb_t = jnp.concatenate(
-            [doc_emb_t, jnp.zeros((dim, n_pad - n_docs), doc_emb_t.dtype)], axis=1
-        )
+    if n_stored % block_c != 0 or n_stored < block_c:
+        doc_emb_t = pad_corpus_t(doc_emb_t, block_c)
     sub = 16 if queries.dtype == jnp.bfloat16 else 8
     b_pad = _round_up(b, sub)
     if b_pad != b:
@@ -309,10 +325,10 @@ def dense_topk_fast(
             [queries, jnp.zeros((b_pad - b, dim), queries.dtype)], axis=0
         )
 
-    n_blocks = n_pad // block_c
-    assert n_blocks * 32 >= k, "corpus too small for k candidates; shrink block_c"
+    n_blocks = doc_emb_t.shape[1] // block_c
+    assert n_blocks * 128 >= k, "corpus too small for k candidates; shrink block_c"
     packed = pl.pallas_call(
-        functools.partial(_fast_kernel, block_c=block_c, n_docs=n_docs),
+        functools.partial(_fast_kernel, block_c=block_c),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((b_pad, dim), lambda j: (0, 0), memory_space=pltpu.VMEM),
@@ -325,20 +341,20 @@ def dense_topk_fast(
         interpret=interpret,
     )(queries, doc_emb_t)
 
-    # Lane-group reduction in XLA: fold 128 lanes -> 32 groups of 4, tagging
-    # each candidate with its group-local lane index (bits 0-1) first.
-    a_idx = jnp.arange(4, dtype=jnp.int32)[None, None, :, None]
-    grouped = jnp.max(packed.reshape(b_pad, n_blocks, 4, 32) | a_idx, axis=2)
-    pvals, pcols = jax.lax.top_k(
-        grouped.reshape(b_pad, n_blocks * 32), k
-    )  # int32 order == score order
-    pos = pvals & _POS_MASK
+    # As positive floats the packed ints sort identically — feed them straight
+    # to the TPU-optimised PartialReduce top-k (approx_max_k); the sublane
+    # group index r rides along in the mantissa, (block, lane) in the column.
+    gf = jax.lax.bitcast_convert_type(packed, jnp.float32)
+    fv, pcols = jax.lax.approx_max_k(gf, k, recall_target=0.99)
+    pvals = jax.lax.bitcast_convert_type(fv, jnp.int32)
     ids = (
-        (pcols // 32) * block_c  # corpus block
-        + ((pos >> 2) & 31) * 128  # sublane group r
-        + (pos & 3) * 32  # lane group a
-        + pcols % 32  # lane within group
+        (pcols // 128) * block_c  # corpus block
+        + (pvals & _POS_MASK) * 128  # sublane group r
+        + pcols % 128  # lane
     ).astype(jnp.int32)
-    vals = _decode_f32(pvals & ~jnp.int32(_POS_MASK))
-    valid = (vals > -1.5) & (ids < n_docs)  # cosine >= -1; padding decodes lower
+    vals = (
+        jax.lax.bitcast_convert_type(pvals & ~jnp.int32(_POS_MASK), jnp.float32)
+        - _SHIFT
+    )
+    valid = ids < n_docs  # corpus zero-padding decodes to out-of-range ids
     return jnp.where(valid, vals, 0.0)[:b], jnp.where(valid, ids, -1)[:b]
