@@ -131,7 +131,9 @@ def main() -> None:
             if mode in ("hybrid", "dense"):
                 d_vals, d_ids = dense_arm(embs_t, qb)
             if mode in ("hybrid", "bm25"):
-                b_vals, b_ids = bm25_topk_device(di, w, n_docs, c_arm, presorted=True)
+                b_vals, b_ids = bm25_topk_device(
+                    di, w, n_docs, c_arm, presorted=True, max_run=terms_per_query
+                )
             if mode == "hybrid":
                 vals, ids = rrf_fuse_device(b_ids, d_ids, k)
             elif mode == "dense":

@@ -114,10 +114,16 @@ def synthetic_postings_index(
             else:
                 ids = rng.integers(0, n_docs, size=hi - lo)
             doc_ids[lo:hi] = np.sort(ids).astype(np.int32)
-    tf = np.maximum(1, rng.poisson(0.3, size=nnz)).astype(np.float32)
+    # Realistic within-doc term frequencies: geometric (power-law-ish tail),
+    # mean ~1.7 — NOT flat. Flat tf makes every posting's impact identical,
+    # the degenerate worst case for impact-ordered pruning; real corpora are
+    # skewed, which is what makes impact-sorted indexes work.
+    tf = rng.geometric(0.6, size=nnz).astype(np.float32)
 
+    # Lognormal doc lengths (heavy right tail), mean ~= mean_len.
+    sigma = 0.8
     doc_len = np.maximum(
-        rng.poisson(mean_len, size=n_docs), 3
+        rng.lognormal(np.log(mean_len) - sigma**2 / 2, sigma, size=n_docs), 3.0
     ).astype(np.float32)
     avgdl = float(doc_len.astype(np.float64).mean())
     cfg = BM25Config()

@@ -51,6 +51,7 @@ class BM25Retriever:
             plan.n_docs,
             min(k, self.index.n_docs),
             presorted=plan.presorted,
+            max_run=plan.max_terms,
         )
         return SearchResult(ids=np.asarray(ids), scores=np.asarray(vals))
 

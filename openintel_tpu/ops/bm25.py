@@ -49,6 +49,7 @@ class QueryPlan:
     weights: np.ndarray  # (B, P) float32; padding weight 0
     n_docs: int
     presorted: bool = False  # rows ascending by doc id (host-sorted)
+    max_terms: int = 0  # max distinct terms per query = max equal-doc run (0 = unknown)
 
 
 def _bucket(width: int, minimum: int = 512) -> int:
@@ -112,31 +113,47 @@ def build_query_plan(
     b = len(rows_ids)
     doc_ids = np.full((b, width), index.n_docs, dtype=np.int32)  # sentinel row
     weights = np.zeros((b, width), dtype=np.float32)
+    max_terms = 1
     for i, (ids, w) in enumerate(zip(rows_ids, rows_w)):
         doc_ids[i, : len(ids)] = ids
         weights[i, : len(w)] = w
+    for terms in queries_term_ids:
+        max_terms = max(max_terms, len({t for t in terms if t > 0}))
     if sort:
         order = np.argsort(doc_ids, axis=1, kind="stable")
         doc_ids = np.take_along_axis(doc_ids, order, axis=1)
         weights = np.take_along_axis(weights, order, axis=1)
     return QueryPlan(
-        doc_ids=doc_ids, weights=weights, n_docs=index.n_docs, presorted=sort
+        doc_ids=doc_ids,
+        weights=weights,
+        n_docs=index.n_docs,
+        presorted=sort,
+        max_terms=max_terms,
     )
 
 
-@partial(jax.jit, static_argnames=("n_docs", "k", "presorted"))
+@partial(jax.jit, static_argnames=("n_docs", "k", "presorted", "max_run"))
 def bm25_topk_device(
     doc_ids: jax.Array,  # (B, P) int32 with sentinel n_docs padding
     weights: jax.Array,  # (B, P) f32
     n_docs: int,
     k: int,
     presorted: bool = False,
+    max_run: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Scatter-free BM25 top-k: sort by doc id, segmented-sum, reduce.
 
     ``presorted`` skips the device sort when rows are already ascending by
     doc id (``build_query_plan(..., sort=True)``) — the production path; the
     width-P bitonic sort dominates both run and compile time otherwise.
+
+    ``max_run`` bounds the longest equal-doc run: a doc appears at most once
+    per query term, so runs are <= the number of distinct terms
+    (``QueryPlan.max_terms``). The Hillis-Steele segmented scan below then
+    needs only ceil(log2(max_run)) shift steps (2-3 in practice) instead of
+    log2(P) — and unlike ``lax.associative_scan`` (recursive slicing; 4-minute
+    compiles and a pathological standalone schedule at P=8192, measured) it
+    lowers to a handful of cheap pad/slice/where ops. 0 means unbounded.
 
     Returns (vals (B, k) f32, ids (B, k) i32); rows with fewer than k matching
     docs pad with (0.0, -1)."""
@@ -145,12 +162,18 @@ def bm25_topk_device(
     else:
         d, w = jax.lax.sort((doc_ids, weights), num_keys=1, dimension=1)
 
-    def combine(a, b):
-        av, ad = a
-        bv, bd = b
-        return jnp.where(ad == bd, av + bv, bv), bd
-
-    seg, _ = jax.lax.associative_scan(combine, (w, d), axis=1)
+    p = d.shape[1]
+    run = max_run if 0 < max_run <= p else p
+    # Segmented inclusive scan (Hillis-Steele): rows are sorted, so
+    # d[i-s] == d[i] implies one run covers [i-s, i]; after the j-th step each
+    # element holds the sum of up to 2^(j+1) run elements ending at it.
+    seg = w
+    shift = 1
+    while shift < run:
+        d_prev = jnp.pad(d, ((0, 0), (shift, 0)), constant_values=-1)[:, :p]
+        s_prev = jnp.pad(seg, ((0, 0), (shift, 0)))[:, :p]
+        seg = seg + jnp.where(d_prev == d, s_prev, 0.0)
+        shift *= 2
     nxt = jnp.concatenate([d[:, 1:], jnp.full_like(d[:, :1], -2)], axis=1)
     is_last = d != nxt  # last element of each equal-doc run holds the total
     masked = jnp.where(is_last & (d < n_docs) & (seg > 0.0), seg, NEG_INF)
@@ -189,6 +212,11 @@ def bm25_topk(
     """Host-facing batched BM25 top-k (plan on host, reduce on device)."""
     plan = build_query_plan(index, queries_term_ids)
     vals, ids = bm25_topk_device(
-        plan.doc_ids, plan.weights, plan.n_docs, k, presorted=plan.presorted
+        plan.doc_ids,
+        plan.weights,
+        plan.n_docs,
+        k,
+        presorted=plan.presorted,
+        max_run=plan.max_terms,
     )
     return np.asarray(vals), np.asarray(ids)

@@ -103,13 +103,15 @@ def sharded_bm25_topk(
     k: int,
     *,
     presorted: bool = False,
+    max_run: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """BM25 top-k over sharded postings (host builds per-shard query plans)."""
     from openintel_tpu.ops.bm25 import bm25_topk_device
 
     def local(ids_local, w_local):
         vals, lids = bm25_topk_device(
-            ids_local[0], w_local[0], shard_size, k, presorted=presorted
+            ids_local[0], w_local[0], shard_size, k,
+            presorted=presorted, max_run=max_run,
         )
         shard = jax.lax.axis_index(CORPUS_AXIS)
         gids = jnp.where(lids >= 0, lids + shard * shard_size, -1)
@@ -144,6 +146,7 @@ def sharded_hybrid_topk(
     block_size: int = 4096,
     kernel: str = "xla",
     presorted: bool = False,
+    max_run: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Full hybrid query step, one device program: per-shard BM25 + dense
     local top-c, ICI all-gather, global merges, RRF fusion, final top-k."""
@@ -162,7 +165,8 @@ def sharded_hybrid_topk(
         d_gids = jnp.where(d_ids >= 0, d_ids + shard * shard_size, -1)
         # lexical arm (scatter-free segmented-scan reduction over host-sorted plans)
         b_vals, b_lids = bm25_topk_device(
-            ids_local[0], w_local[0], shard_size, c, presorted=presorted
+            ids_local[0], w_local[0], shard_size, c,
+            presorted=presorted, max_run=max_run,
         )
         b_gids = jnp.where(b_lids >= 0, b_lids + shard * shard_size, -1)
         b_vals = jnp.where(b_lids >= 0, b_vals, -jnp.inf)
