@@ -45,7 +45,7 @@ def main() -> None:
     batch = 256 if on_tpu else 32
     n_batches = 16 if on_tpu else 2
     k, c_arm = 10, 32
-    prune_m = 2048
+    prune_m = 1024  # + multi-term overlap docs; see build_query_plan
     terms_per_query = 4
     vocab_size = 30_000 if on_tpu else 3_000
 

@@ -71,14 +71,26 @@ def build_query_plan(
     queries_term_ids: Sequence[Sequence[int]],
     *,
     max_postings_per_term: int | None = None,
+    include_multi_term: bool = True,
+    multi_budget: int = 256,
     sort: bool = True,
 ) -> QueryPlan:
     """Assemble the padded (doc_id, weight) plan for a batch of queries.
 
     ``max_postings_per_term`` enables impact-ordered pruning: each term
     contributes only its top-M postings by impact (bounds the plan width for
-    stop-wordy terms at corpus scale; recall@k stays near-exact because the
-    dropped postings are the term's lowest-impact tail).
+    stop-wordy terms at corpus scale).
+
+    ``include_multi_term`` (with pruning on) additionally forces the top
+    ``multi_budget`` docs matching >= 2 distinct query terms — ranked by
+    their TRUE BM25 score, computed on the host from the postings overlap —
+    into the plan. This makes pruned retrieval EXACT for top-k with
+    k <= min(M, multi_budget): a true top-k single-term doc is within the
+    top-k impacts of its term (any higher-impact posting outscores it
+    outright), and a true top-k multi-term doc is within the top-k
+    multi-term docs by true score. Pruning therefore bounds device work
+    without a recall cliff; the only cost is a host-side linear pass over
+    the query terms' postings (the C++ plan builder's job at scale).
 
     ``sort`` (default) orders each row by doc id on the HOST — rows are
     concatenations of per-term already-sorted runs, so this is a cheap merge
@@ -93,11 +105,44 @@ def build_query_plan(
         for t in terms:
             if t > 0:
                 qtf[t] = qtf.get(t, 0) + 1
+        prune = (
+            max_postings_per_term is not None
+            and any(index.df[t] > max_postings_per_term for t in qtf)
+        )
+        multi_docs = None
+        if prune and include_multi_term and len(qtf) > 1:
+            term_data = {t: index.postings(int(t)) for t in qtf}
+            alldocs = np.concatenate([term_data[t][0] for t in qtf])
+            sd = np.sort(alldocs)
+            multi_docs = np.unique(sd[1:][sd[1:] == sd[:-1]])
+            if multi_docs.size > multi_budget:
+                # exact host scoring of the multi-term docs, keep the top
+                # multi_budget by true score (exactness argument above)
+                mscores = np.zeros(multi_docs.size, np.float64)
+                for t, count in qtf.items():
+                    fids, fimp = term_data[t]
+                    pos = np.minimum(
+                        np.searchsorted(fids, multi_docs), fids.size - 1
+                    )
+                    hit = fids[pos] == multi_docs
+                    mscores[hit] += fimp[pos[hit]] * (
+                        float(index.idf[t]) * count
+                    )
+                keep = np.argpartition(-mscores, multi_budget - 1)[:multi_budget]
+                multi_docs = np.sort(multi_docs[keep])
         parts_ids = []
         parts_w = []
         for t, count in qtf.items():
-            if max_postings_per_term is not None:
+            if prune:
                 ids, impacts = index.pruned_postings(int(t), max_postings_per_term)
+                if multi_docs is not None and multi_docs.size:
+                    fids, fimp = index.postings(int(t))
+                    forced = np.flatnonzero(
+                        np.isin(fids, multi_docs, assume_unique=True)
+                    )
+                    keep = np.union1d(ids, fids[forced])
+                    sel = np.searchsorted(fids, keep)
+                    ids, impacts = keep.astype(np.int32), fimp[sel]
             else:
                 ids, impacts = index.postings(int(t))
             parts_ids.append(ids)

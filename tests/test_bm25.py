@@ -143,6 +143,55 @@ def test_pruned_plan_keeps_recall_on_topk():
     np.testing.assert_allclose(np.asarray(vl), np.asarray(ve), rtol=1e-6)
 
 
+def test_multi_term_overlap_rescues_pruned_recall():
+    """Pruning drops multi-term docs from every list; include_multi_term
+    forces them back (WAND-style candidate generation)."""
+    from openintel_tpu.index.synthetic import synthetic_postings_index
+    from openintel_tpu.ops.bm25 import bm25_topk_device
+
+    idx = synthetic_postings_index(20_000, vocab_size=300, mean_len=12, seed=41)
+    rng = np.random.default_rng(42)
+    term_ids = [list(rng.integers(1, 40, size=3)) for _ in range(12)]  # frequent terms
+
+    def recall(plan):
+        _, ids = bm25_topk_device(
+            plan.doc_ids, plan.weights, idx.n_docs, 10,
+            presorted=plan.presorted, max_run=plan.max_terms,
+        )
+        recs = []
+        for b, tids in enumerate(term_ids):
+            _, ri = ref.bm25_topk(idx, tids, 10)
+            exact = {int(x) for x in ri if x >= 0}
+            got = {int(x) for x in np.asarray(ids)[b] if x >= 0}
+            if exact:
+                recs.append(len(exact & got) / len(exact))
+        return float(np.mean(recs))
+
+    bare = build_query_plan(
+        idx, term_ids, max_postings_per_term=64, include_multi_term=False
+    )
+    aug = build_query_plan(idx, term_ids, max_postings_per_term=64)
+    r_bare, r_aug = recall(bare), recall(aug)
+    assert r_aug > r_bare
+    # exactness argument: k=10 <= min(M=64, multi_budget): a true top-k
+    # single-term doc sits in its term's top-k impacts; a true top-k
+    # multi-term doc sits in the top-k multi docs by true score
+    assert r_aug >= 0.99, (r_bare, r_aug)
+    # returned top-k docs carry their EXACT scores: single-term docs have
+    # their one posting; forced multi docs have all their postings (docs
+    # partially pruned may sit in the plan with partial scores, but they
+    # can never reach the top-k past the exact candidates)
+    vals, ids = bm25_topk_device(
+        aug.doc_ids, aug.weights, idx.n_docs, 10,
+        presorted=aug.presorted, max_run=aug.max_terms,
+    )
+    for b, tids in enumerate(term_ids[:4]):
+        exact_scores = ref.bm25_scores(idx, tids)
+        for v, doc in zip(np.asarray(vals)[b], np.asarray(ids)[b]):
+            if doc >= 0:
+                np.testing.assert_allclose(v, exact_scores[doc], rtol=1e-4)
+
+
 def test_presorted_plan_matches_device_sort_path():
     """Host-sorted plans (production) == device-sort path, bit for bit."""
     from openintel_tpu.index.synthetic import (
