@@ -99,21 +99,34 @@ def synthetic_postings_index(
     ).astype(np.int64)
     nnz = int(df.sum())
 
-    # CSR row pointers: slot 0 is the padding term (empty postings).
     offs = np.concatenate([[0], np.cumsum(df)]).astype(np.int64)
-    term_offsets = np.zeros(vocab_size + 2, dtype=np.int64)
-    term_offsets[2:] = offs[1:]
-
     doc_ids = np.empty(nnz, dtype=np.int32)
     exact = n_docs <= 50_000  # exact sampling for tests; fast path at bench scale
+    widths = np.zeros(vocab_size, dtype=np.int64)
     for t in range(vocab_size):
         lo, hi = offs[t], offs[t + 1]
         if hi > lo:
             if exact:
-                ids = rng.choice(n_docs, size=hi - lo, replace=False)
+                ids = np.sort(rng.choice(n_docs, size=hi - lo, replace=False))
             else:
-                ids = rng.integers(0, n_docs, size=hi - lo)
-            doc_ids[lo:hi] = np.sort(ids).astype(np.int32)
+                # sample-with-replacement then dedupe: a real CSR index never
+                # holds duplicate (term, doc) postings (tf aggregates them)
+                ids = np.unique(rng.integers(0, n_docs, size=hi - lo))
+            widths[t] = len(ids)
+            doc_ids[lo : lo + len(ids)] = ids.astype(np.int32)
+    # compact to deduped widths
+    new_offs = np.concatenate([[0], np.cumsum(widths)]).astype(np.int64)
+    compact = np.empty(int(new_offs[-1]), dtype=np.int32)
+    for t in range(vocab_size):
+        compact[new_offs[t] : new_offs[t + 1]] = doc_ids[
+            offs[t] : offs[t] + widths[t]
+        ]
+    doc_ids, offs = compact, new_offs
+    df = widths.astype(np.int64)
+    nnz = int(df.sum())
+    # CSR row pointers: slot 0 is the padding term (empty postings).
+    term_offsets = np.zeros(vocab_size + 2, dtype=np.int64)
+    term_offsets[2:] = offs[1:]
     # Realistic within-doc term frequencies: geometric (power-law-ish tail),
     # mean ~1.7 — NOT flat. Flat tf makes every posting's impact identical,
     # the degenerate worst case for impact-ordered pruning; real corpora are

@@ -15,7 +15,7 @@ from pathlib import Path
 from typing import Optional, Sequence
 
 _DIR = Path(__file__).parent
-_SRCS = [_DIR / "tokenizer.cpp", _DIR / "postings.cpp"]
+_SRCS = [_DIR / "tokenizer.cpp", _DIR / "postings.cpp", _DIR / "planner.cpp"]
 _SO = _DIR / "libopenintel_native.so"
 
 _lib: Optional[ctypes.CDLL] = None
@@ -68,6 +68,15 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.postings_free.restype = None
     lib.postings_free.argtypes = [ctypes.c_void_p]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.plan_build.restype = ctypes.c_int64
+    lib.plan_build.argtypes = [
+        i64p, i32p, f32p, i64p, f32p, ctypes.c_int64,
+        i32p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
+        i32p, f32p, ctypes.c_int64, i64p, ctypes.c_int64,
+    ]
     _lib = lib
     return lib
 
@@ -169,6 +178,70 @@ def native_tokenize_batch(texts: Sequence[str]) -> Optional[list[list[str]]]:
             chunk = raw[out_offs[j] : out_offs[j + 1]].decode("ascii")
             out[i] = chunk.split(" ") if chunk else []
     return out
+
+
+def native_build_query_plan(
+    index,
+    queries_term_ids: Sequence[Sequence[int]],
+    max_postings_per_term: int,
+    multi_budget: int,
+    n_threads: int = 0,  # 0 = hardware concurrency
+):
+    """C++ pruned-plan assembly (see planner.cpp); returns
+    (doc_ids (B, W) int32 sentinel-padded, weights (B, W) f32, max_terms)
+    or None when the library is unavailable. Candidate sets are identical
+    to the NumPy path (asserted in tests), ~20x faster per query."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return None
+    order = index.ensure_impact_order()
+    b = len(queries_term_ids)
+    t_max = max((len(t) for t in queries_term_ids), default=1) or 1
+    q = np.zeros((b, t_max), dtype=np.int32)
+    max_terms = 1
+    for i, terms in enumerate(queries_term_ids):
+        clean = [t for t in terms if t > 0]
+        q[i, : len(clean)] = clean
+        max_terms = max(max_terms, len(set(clean)))
+
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    term_offsets = np.ascontiguousarray(index.term_offsets, dtype=np.int64)
+    doc_ids = np.ascontiguousarray(index.doc_ids, dtype=np.int32)
+    impact = np.ascontiguousarray(index.impact, dtype=np.float32)
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    idf = np.ascontiguousarray(index.idf, dtype=np.float32)
+    n_terms_vocab = term_offsets.shape[0] - 1
+
+    cap = int(t_max * (max_postings_per_term + multi_budget))
+    while True:
+        out_ids = np.full((b, cap), index.n_docs, dtype=np.int32)
+        out_w = np.zeros((b, cap), dtype=np.float32)
+        widths = np.zeros(b, dtype=np.int64)
+        rc = lib.plan_build(
+            term_offsets.ctypes.data_as(i64p),
+            doc_ids.ctypes.data_as(i32p),
+            impact.ctypes.data_as(f32p),
+            order.ctypes.data_as(i64p),
+            idf.ctypes.data_as(f32p),
+            n_terms_vocab,
+            q.ctypes.data_as(i32p),
+            b,
+            t_max,
+            max_postings_per_term,
+            multi_budget,
+            out_ids.ctypes.data_as(i32p),
+            out_w.ctypes.data_as(f32p),
+            cap,
+            widths.ctypes.data_as(i64p),
+            n_threads,
+        )
+        if rc >= 0:
+            return out_ids, out_w, max_terms
+        cap = int(-rc)  # grow to the reported required width and retry
 
 
 def install() -> bool:

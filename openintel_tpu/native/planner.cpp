@@ -1,0 +1,241 @@
+// Query-plan builder: the host-side hot path of pruned BM25 retrieval.
+//
+// Per query (term ids + query term frequencies):
+//   1. walk the terms' sorted postings lists in one k-way merge, computing
+//      the TRUE score of every doc matching >= 2 terms; keep the top
+//      `multi_budget` by (score desc, doc asc) in a bounded min-heap
+//      (exactness: a true top-k multi-term doc is within the top-k
+//      multi-term docs by score — see ops/bm25.py);
+//   2. per term, emit the union of its top-`max_m` postings by impact
+//      (via the prebuilt impact_order permutation, ties doc-ascending)
+//      and its postings for the selected multi docs;
+//   3. sort the row by doc id (the device's segmented scan wants sorted
+//      runs) and write (doc_ids, weights).
+//
+// Mirrors openintel_tpu/ops/bm25.py::build_query_plan exactly, including
+// tie-breaking, so the two paths produce identical candidate sets.
+// Single-threaded per call; callers parallelise over query batches.
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct MultiDoc {
+  double score;
+  int32_t doc;
+};
+
+// min-heap comparator: "worst" = lowest score, then HIGHEST doc id, so that
+// replacement keeps the top-B by (score desc, doc asc), matching
+// np.lexsort((docs, -scores))[:B].
+struct WorstFirst {
+  bool operator()(const MultiDoc& a, const MultiDoc& b) const {
+    if (a.score != b.score) return a.score > b.score;  // lower score = worse
+    return a.doc < b.doc;                              // higher doc = worse
+  }
+};
+
+}  // namespace
+
+namespace {
+
+// Builds plans for queries [b_lo, b_hi); returns max width or -(needed).
+int64_t plan_build_range(const int64_t* term_offsets, const int32_t* doc_ids,
+                         const float* impact, const int64_t* impact_order,
+                         const float* idf, int64_t n_terms_vocab,
+                         const int32_t* q_terms, int64_t b_lo, int64_t b_hi,
+                         int64_t T, int64_t max_m, int64_t multi_budget,
+                         int32_t* out_ids, float* out_w, int64_t cap,
+                         int64_t* out_widths) {
+  std::vector<int32_t> terms;
+  std::vector<int32_t> qtf;
+  std::vector<int64_t> cursor;
+  std::vector<std::pair<int32_t, float>> row;
+  std::vector<int32_t> multi_sorted;
+  std::vector<int32_t> topm_ids;
+  int64_t max_width = 0;
+
+  for (int64_t b = b_lo; b < b_hi; ++b) {
+    const int32_t* qt = q_terms + b * T;
+    terms.clear();
+    qtf.clear();
+    for (int64_t i = 0; i < T; ++i) {
+      int32_t t = qt[i];
+      if (t <= 0 || t >= n_terms_vocab) continue;
+      bool found = false;
+      for (size_t j = 0; j < terms.size(); ++j) {
+        if (terms[j] == t) {
+          qtf[j]++;
+          found = true;
+          break;
+        }
+      }
+      if (!found) {
+        terms.push_back(t);
+        qtf.push_back(1);
+      }
+    }
+    const size_t nt = terms.size();
+    row.clear();
+    multi_sorted.clear();
+
+    bool prune = false;
+    for (size_t j = 0; j < nt; ++j) {
+      int64_t df = term_offsets[terms[j] + 1] - term_offsets[terms[j]];
+      if (max_m > 0 && df > max_m) prune = true;
+    }
+
+    if (prune && nt > 1 && multi_budget > 0) {
+      // k-way merge over full postings: exact scores of multi-term docs.
+      cursor.assign(nt, 0);
+      std::priority_queue<MultiDoc, std::vector<MultiDoc>, WorstFirst> heap;
+      for (;;) {
+        int32_t m = INT32_MAX;
+        for (size_t j = 0; j < nt; ++j) {
+          int64_t lo = term_offsets[terms[j]] + cursor[j];
+          if (lo < term_offsets[terms[j] + 1]) m = std::min(m, doc_ids[lo]);
+        }
+        if (m == INT32_MAX) break;
+        int matched = 0;
+        double score = 0.0;
+        for (size_t j = 0; j < nt; ++j) {
+          int64_t lo = term_offsets[terms[j]] + cursor[j];
+          if (lo < term_offsets[terms[j] + 1] && doc_ids[lo] == m) {
+            score += static_cast<double>(impact[lo]) *
+                     static_cast<double>(idf[terms[j]]) * qtf[j];
+            cursor[j]++;
+            matched++;
+          }
+        }
+        if (matched >= 2) {
+          MultiDoc cand{score, m};
+          if (static_cast<int64_t>(heap.size()) < multi_budget) {
+            heap.push(cand);
+          } else {
+            const MultiDoc& worst = heap.top();
+            if (cand.score > worst.score ||
+                (cand.score == worst.score && cand.doc < worst.doc)) {
+              heap.pop();
+              heap.push(cand);
+            }
+          }
+        }
+      }
+      multi_sorted.reserve(heap.size());
+      while (!heap.empty()) {
+        multi_sorted.push_back(heap.top().doc);
+        heap.pop();
+      }
+      std::sort(multi_sorted.begin(), multi_sorted.end());
+    }
+
+    for (size_t j = 0; j < nt; ++j) {
+      const int32_t t = terms[j];
+      const int64_t lo = term_offsets[t], hi = term_offsets[t + 1];
+      const float w = idf[t] * static_cast<float>(qtf[j]);
+      const int64_t df = hi - lo;
+      if (!prune || max_m <= 0 || df <= max_m) {
+        for (int64_t p = lo; p < hi; ++p)
+          row.emplace_back(doc_ids[p], impact[p] * w);
+        continue;
+      }
+      // top-M by impact (order array is (-impact, doc)-sorted per segment)
+      topm_ids.clear();
+      topm_ids.reserve(max_m);
+      for (int64_t p = 0; p < max_m; ++p)
+        topm_ids.push_back(doc_ids[impact_order[lo + p]]);
+      std::sort(topm_ids.begin(), topm_ids.end());
+      // union with this term's postings for the forced multi docs; both
+      // lists ascending -> merged walk against the full segment to fetch
+      // impacts in one pass.
+      size_t a = 0, c = 0;
+      for (int64_t p = lo; p < hi && (a < topm_ids.size() || c < multi_sorted.size()); ++p) {
+        const int32_t d = doc_ids[p];
+        bool take = false;
+        while (a < topm_ids.size() && topm_ids[a] < d) ++a;  // (absent ids impossible)
+        if (a < topm_ids.size() && topm_ids[a] == d) {
+          take = true;
+          ++a;
+        }
+        while (c < multi_sorted.size() && multi_sorted[c] < d) ++c;
+        if (c < multi_sorted.size() && multi_sorted[c] == d) {
+          take = true;
+          ++c;
+        }
+        if (take) row.emplace_back(d, impact[p] * w);
+      }
+    }
+
+    std::sort(row.begin(), row.end(),
+              [](const std::pair<int32_t, float>& x,
+                 const std::pair<int32_t, float>& y) { return x.first < y.first; });
+
+    const int64_t width = static_cast<int64_t>(row.size());
+    if (width > cap) return -width;
+    max_width = std::max(max_width, width);
+    out_widths[b] = width;
+    int32_t* oi = out_ids + b * cap;
+    float* ow = out_w + b * cap;
+    for (int64_t i = 0; i < width; ++i) {
+      oi[i] = row[i].first;
+      ow[i] = row[i].second;
+    }
+  }
+  return max_width;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns the max row width written, or -(needed_width) if any row exceeds
+// `cap` (caller re-allocates and retries). All outputs caller-allocated:
+// out_ids/out_w are (B, cap) row-major, out_widths is (B,). Parallel over
+// queries with `n_threads` (0 = hardware concurrency); rows are disjoint so
+// workers share nothing but read-only index arrays.
+int64_t plan_build(const int64_t* term_offsets, const int32_t* doc_ids,
+                   const float* impact, const int64_t* impact_order,
+                   const float* idf, int64_t n_terms_vocab,
+                   const int32_t* q_terms, int64_t B, int64_t T,
+                   int64_t max_m, int64_t multi_budget,
+                   int32_t* out_ids, float* out_w, int64_t cap,
+                   int64_t* out_widths, int64_t n_threads) {
+  if (n_threads <= 0) {
+    n_threads = static_cast<int64_t>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+  n_threads = std::min(n_threads, std::max<int64_t>(B, 1));
+  if (n_threads == 1) {
+    return plan_build_range(term_offsets, doc_ids, impact, impact_order, idf,
+                            n_terms_vocab, q_terms, 0, B, T, max_m,
+                            multi_budget, out_ids, out_w, cap, out_widths);
+  }
+  std::vector<int64_t> results(n_threads, 0);
+  std::vector<std::thread> workers;
+  const int64_t chunk = (B + n_threads - 1) / n_threads;
+  for (int64_t w = 0; w < n_threads; ++w) {
+    const int64_t lo = w * chunk, hi = std::min(B, lo + chunk);
+    if (lo >= hi) break;
+    workers.emplace_back([=, &results]() {
+      results[w] = plan_build_range(term_offsets, doc_ids, impact,
+                                    impact_order, idf, n_terms_vocab, q_terms,
+                                    lo, hi, T, max_m, multi_budget, out_ids,
+                                    out_w, cap, out_widths);
+    });
+  }
+  for (auto& t : workers) t.join();
+  int64_t max_width = 0;
+  for (int64_t r : results) {
+    if (r < 0) return r;  // some row overflowed cap
+    max_width = std::max(max_width, r);
+  }
+  return max_width;
+}
+
+}  // extern "C"

@@ -74,6 +74,7 @@ def build_query_plan(
     include_multi_term: bool = True,
     multi_budget: int = 256,
     sort: bool = True,
+    use_native: bool = True,
 ) -> QueryPlan:
     """Assemble the padded (doc_id, weight) plan for a batch of queries.
 
@@ -97,13 +98,49 @@ def build_query_plan(
     for np.sort's adaptive run detection — letting the device skip its
     bitonic ``lax.sort`` entirely (the dominant cost at width >= 4096, and a
     compile-time cliff). The sentinel padding (doc id = n_docs) sorts last by
-    construction."""
+    construction.
+
+    ``use_native`` routes pruned plans through the C++ builder
+    (native/planner.cpp — identical candidate sets, ~20x faster per query)
+    when the shared library is built; the NumPy path below is the reference
+    implementation and the fallback."""
+    if use_native and sort and max_postings_per_term is not None:
+        from openintel_tpu import native
+
+        res = native.native_build_query_plan(
+            index,
+            queries_term_ids,
+            max_postings_per_term,
+            multi_budget if include_multi_term else 0,
+        )
+        if res is not None:
+            out_ids, out_w, max_terms = res
+            width = _bucket(
+                max(int((out_ids[i] != index.n_docs).sum()) for i in range(out_ids.shape[0]))
+                if out_ids.shape[0]
+                else 1
+            )
+            if width <= out_ids.shape[1]:
+                out_ids, out_w = out_ids[:, :width], out_w[:, :width]
+            else:
+                pad = width - out_ids.shape[1]
+                out_ids = np.pad(out_ids, ((0, 0), (0, pad)), constant_values=index.n_docs)
+                out_w = np.pad(out_w, ((0, 0), (0, pad)))
+            return QueryPlan(
+                doc_ids=np.ascontiguousarray(out_ids),
+                weights=np.ascontiguousarray(out_w),
+                n_docs=index.n_docs,
+                presorted=True,
+                max_terms=max_terms,
+            )
+
     rows_ids: list[np.ndarray] = []
     rows_w: list[np.ndarray] = []
+    n_term_slots = index.term_offsets.shape[0] - 1
     for terms in queries_term_ids:
         qtf: dict[int, int] = {}
         for t in terms:
-            if t > 0:
+            if 0 < t < n_term_slots:  # drop padding + out-of-vocab ids
                 qtf[t] = qtf.get(t, 0) + 1
         prune = (
             max_postings_per_term is not None

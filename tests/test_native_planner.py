@@ -1,0 +1,110 @@
+"""C++ plan builder vs the NumPy reference path: identical candidate sets,
+identical device results (the native analogue of parser-fixture parity —
+reference test strategy: canned inputs through both implementations)."""
+
+import numpy as np
+import pytest
+
+from openintel_tpu import native
+from openintel_tpu.index.synthetic import synthetic_postings_index
+from openintel_tpu.ops import reference as ref
+from openintel_tpu.ops.bm25 import bm25_topk_device, build_query_plan
+
+
+@pytest.fixture(scope="module")
+def lib():
+    native.build()
+    if native._load() is None:  # pragma: no cover - toolchain always present
+        pytest.skip("native library unavailable")
+    return True
+
+
+@pytest.fixture(scope="module")
+def idx():
+    return synthetic_postings_index(20_000, vocab_size=400, mean_len=12, seed=51)
+
+
+def _queries(rng, n, lo=1, hi=100, t=4):
+    return [list(rng.integers(lo, hi, size=t)) for _ in range(n)]
+
+
+def test_native_plan_matches_numpy_plan_results(lib, idx):
+    rng = np.random.default_rng(52)
+    term_ids = _queries(rng, 16)
+
+    p_nat = build_query_plan(idx, term_ids, max_postings_per_term=64)
+    p_py = build_query_plan(
+        idx, term_ids, max_postings_per_term=64, use_native=False
+    )
+    assert p_nat.presorted and p_py.presorted
+    assert p_nat.max_terms == p_py.max_terms
+
+    vn, in_ = bm25_topk_device(
+        p_nat.doc_ids, p_nat.weights, idx.n_docs, 10,
+        presorted=True, max_run=p_nat.max_terms,
+    )
+    vp, ip = bm25_topk_device(
+        p_py.doc_ids, p_py.weights, idx.n_docs, 10,
+        presorted=True, max_run=p_py.max_terms,
+    )
+    np.testing.assert_array_equal(np.asarray(in_), np.asarray(ip))
+    np.testing.assert_allclose(np.asarray(vn), np.asarray(vp), rtol=1e-6)
+
+
+def test_native_plan_candidate_sets_identical(lib, idx):
+    rng = np.random.default_rng(53)
+    term_ids = _queries(rng, 8, t=3)
+    p_nat = build_query_plan(idx, term_ids, max_postings_per_term=32)
+    p_py = build_query_plan(
+        idx, term_ids, max_postings_per_term=32, use_native=False
+    )
+    for b in range(len(term_ids)):
+        nat = {
+            (int(d), round(float(w), 5))
+            for d, w in zip(p_nat.doc_ids[b], p_nat.weights[b])
+            if d < idx.n_docs
+        }
+        py = {
+            (int(d), round(float(w), 5))
+            for d, w in zip(p_py.doc_ids[b], p_py.weights[b])
+            if d < idx.n_docs
+        }
+        assert nat == py
+
+
+def test_native_plan_exact_recall(lib, idx):
+    rng = np.random.default_rng(54)
+    term_ids = _queries(rng, 12, hi=40)  # frequent (heavily pruned) terms
+    plan = build_query_plan(idx, term_ids, max_postings_per_term=64)
+    _, ids = bm25_topk_device(
+        plan.doc_ids, plan.weights, idx.n_docs, 10,
+        presorted=True, max_run=plan.max_terms,
+    )
+    recs = []
+    for b, tids in enumerate(term_ids):
+        _, ri = ref.bm25_topk(idx, tids, 10)
+        exact = {int(x) for x in ri if x >= 0}
+        got = {int(x) for x in np.asarray(ids)[b] if x >= 0}
+        if exact:
+            recs.append(len(exact & got) / len(exact))
+    assert np.mean(recs) >= 0.99
+
+
+def test_native_plan_edge_cases(lib, idx):
+    # empty query, unknown terms, repeated terms (qtf weighting)
+    term_ids = [[], [0, 0], [7, 7, 7], [idx.term_offsets.shape[0] + 99]]
+    p_nat = build_query_plan(idx, term_ids, max_postings_per_term=64)
+    p_py = build_query_plan(
+        idx, term_ids, max_postings_per_term=64, use_native=False
+    )
+    vn, in_ = bm25_topk_device(
+        p_nat.doc_ids, p_nat.weights, idx.n_docs, 5,
+        presorted=True, max_run=p_nat.max_terms,
+    )
+    vp, ip = bm25_topk_device(
+        p_py.doc_ids, p_py.weights, idx.n_docs, 5,
+        presorted=True, max_run=p_py.max_terms,
+    )
+    np.testing.assert_array_equal(np.asarray(in_), np.asarray(ip))
+    np.testing.assert_allclose(np.asarray(vn), np.asarray(vp), rtol=1e-6)
+    assert (np.asarray(in_)[0] == -1).all()  # empty query ranks nothing
