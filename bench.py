@@ -183,32 +183,30 @@ def main() -> None:
     else:
         emb_bf16 = emb
     rec_f32, rec_stored, rec_arm_b, rec_arm_d = [], [], [], []
-    for i in range(sample):
-        got = {int(d) for d in hyb_ids[i] if d >= 0}
-        _, ri = ref.hybrid_topk(
-            index, emb, term_ids[i], q[i], k, candidates_per_arm=c_arm
-        )
-        exact = {int(d) for d in ri if d >= 0}
-        if exact:
-            rec_f32.append(len(exact & got) / len(exact))
-        _, ri_s = ref.hybrid_topk(
-            index, emb_bf16, term_ids[i], q[i], k, candidates_per_arm=c_arm
-        )
-        exact_s = {int(d) for d in ri_s if d >= 0}
-        if exact_s:
-            rec_stored.append(len(exact_s & got) / len(exact_s))
-    # per-arm diagnostics (device top-c vs exact arm top-c on stored index)
+    # batch the dense reference (one big matmul per index instead of a
+    # 1 GB matvec per query) and reuse per-query BM25 rankings across checks
+    _, dn_f32 = ref.cosine_topk(emb, q[:sample], c_arm)
+    _, dn_bf16 = ref.cosine_topk(emb_bf16, q[:sample], c_arm)
+    bm_exact = [ref.bm25_topk(index, term_ids[i], c_arm)[1] for i in range(sample)]
     b_ids_dev = np.asarray(outs_arms["bm25"]).reshape(total_q, -1)[:sample]
     d_ids_dev = np.asarray(outs_arms["dense"]).reshape(total_q, -1)[:sample]
     for i in range(sample):
-        _, rb = ref.bm25_topk(index, term_ids[i], c_arm)
-        eb = {int(d) for d in rb if d >= 0}
+        got = {int(d) for d in hyb_ids[i] if d >= 0}
+        _, ri = ref.rrf_fuse([bm_exact[i], dn_f32[i]], k)
+        exact = {int(d) for d in ri if d >= 0}
+        if exact:
+            rec_f32.append(len(exact & got) / len(exact))
+        _, ri_s = ref.rrf_fuse([bm_exact[i], dn_bf16[i]], k)
+        exact_s = {int(d) for d in ri_s if d >= 0}
+        if exact_s:
+            rec_stored.append(len(exact_s & got) / len(exact_s))
+        # per-arm diagnostics (device top-c vs exact arm top-c)
+        eb = {int(d) for d in bm_exact[i] if d >= 0}
         if eb:
             rec_arm_b.append(
                 len(eb & {int(d) for d in b_ids_dev[i] if d >= 0}) / len(eb)
             )
-        _, rd = ref.cosine_topk(emb_bf16, q[i], c_arm)
-        ed = {int(d) for d in rd if d >= 0}
+        ed = {int(d) for d in dn_bf16[i] if d >= 0}
         if ed:
             rec_arm_d.append(
                 len(ed & {int(d) for d in d_ids_dev[i] if d >= 0}) / len(ed)
