@@ -106,12 +106,31 @@ def build_parser() -> argparse.ArgumentParser:
         "--mode", choices=["hybrid", "bm25", "dense"], default="hybrid"
     )
     p.add_argument("--format", choices=["table", "json"], default="table")
+    p.add_argument(
+        "--encoder", default=None,
+        help="embed queries with a trained encoder checkpoint dir",
+    )
 
     p = sub.add_parser("index", help="build a hybrid index from a corpus file")
     p.add_argument("corpus", help="text file, one document per line")
     p.add_argument("--out", required=True, help="output path prefix")
     p.add_argument("--dim", type=int, default=384, help="embedding dim")
     p.add_argument("--bf16", action="store_true", help="store embeddings as bfloat16")
+    p.add_argument(
+        "--encoder", default=None,
+        help="embed with a trained encoder checkpoint dir (from `train`)",
+    )
+
+    p = sub.add_parser("train", help="contrastively train the neural encoder")
+    p.add_argument("corpus", help="text file, one document per line")
+    p.add_argument("--out", required=True, help="checkpoint directory (resumable)")
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--dim", type=int, default=256)
+    p.add_argument("--depth", type=int, default=4)
+    p.add_argument("--heads", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
 
     p = sub.add_parser("setup", help="guided credential setup with live verify")
     p.add_argument("source", choices=["reddit", "bluesky", "x"])
@@ -277,7 +296,15 @@ def run_index(args) -> tuple[str, int]:
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16.dtype if args.bf16 else np.float32
-    model = HybridRetriever.build(texts, dim=args.dim, dtype=dtype)
+    embedder = None
+    if args.encoder:
+        from openintel_tpu.models.train import load_embedder
+
+        embedder = load_embedder(args.encoder)
+        args.dim = embedder.dim
+    model = HybridRetriever.build(
+        texts, dim=args.dim, dtype=dtype, embedder=embedder
+    )
     save_postings(model.bm25.index, f"{args.out}.postings.npz")
     save_dense(model.dense.index, f"{args.out}.dense.npz")
     Path(f"{args.out}.docs.txt").write_text("\n".join(texts))
@@ -304,13 +331,19 @@ def run_search(args) -> tuple[str, int]:
     docs_path = Path(f"{args.index}.docs.txt")
     docs = docs_path.read_text().splitlines() if docs_path.exists() else None
 
+    embedder = None
+    if getattr(args, "encoder", None):
+        from openintel_tpu.models.train import load_embedder
+
+        embedder = load_embedder(args.encoder)
+
     queries = args.query
     if args.mode == "bm25":
         res = BM25Retriever(postings).search(queries, k=args.k)
     elif args.mode == "dense":
-        res = DenseRetriever(dense).search(queries, k=args.k)
+        res = DenseRetriever(dense, embedder).search(queries, k=args.k)
     else:
-        res = HybridRetriever(postings, dense).search(
+        res = HybridRetriever(postings, dense, embedder).search(
             queries, k=args.k, candidates_per_arm=2 * args.k
         )
 
@@ -343,6 +376,40 @@ def run_search(args) -> tuple[str, int]:
     return "\n".join(lines), 0
 
 
+def run_train(args) -> tuple[str, int]:
+    from pathlib import Path
+
+    from openintel_tpu.models.encoder import EncoderConfig
+    from openintel_tpu.models.train import train_encoder
+
+    texts = [
+        line.strip()
+        for line in Path(args.corpus).read_text().splitlines()
+        if line.strip()
+    ]
+    if not texts:
+        return "error: corpus is empty", 1
+    logs: list[str] = []
+    cfg = EncoderConfig(dim=args.dim, depth=args.depth, heads=args.heads)
+    res = train_encoder(
+        texts,
+        cfg,
+        steps=args.steps,
+        batch_size=args.batch_size,
+        lr=args.lr,
+        seed=args.seed,
+        ckpt_dir=args.out,
+        log=logs.append,
+    )
+    logs.append(
+        f"trained to step {res.step} on {len(texts)} docs; "
+        f"final loss {res.losses[-1]:.4f}" if res.losses else
+        f"checkpoint already at step {res.step}; nothing to do"
+    )
+    logs.append(f"checkpoint: {args.out}/encoder.npz (resumable)")
+    return "\n".join(logs) + "\n", 0
+
+
 def main(argv: Optional[list[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "analyze":
@@ -359,6 +426,8 @@ def main(argv: Optional[list[str]] = None) -> int:
         out, code = run_index(args)
     elif args.command == "search":
         out, code = run_search(args)
+    elif args.command == "train":
+        out, code = run_train(args)
     elif args.command == "setup":
         from openintel_tpu.cli.setup import run_setup
 

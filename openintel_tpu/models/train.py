@@ -1,0 +1,126 @@
+"""Encoder training loop: contrastive retrieval fine-tuning with optax,
+checkpoint/resume, deterministic data generation.
+
+Self-supervised pairs from any text corpus: the "query" for a document is a
+random subset of its tokens (the lexical-overlap signal BM25 exploits, so
+the dense arm learns to agree with it on easy cases while generalising).
+One jitted step = loss + grads + optax update; checkpoints via
+models/checkpoint.py every ``ckpt_every`` steps, resumable mid-run.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openintel_tpu.models.checkpoint import load_meta, load_params, save_params
+from openintel_tpu.models.encoder import (
+    EncoderConfig,
+    NeuralEmbedder,
+    info_nce_loss,
+    init_params,
+)
+
+
+@dataclass
+class TrainResult:
+    params: dict
+    losses: list[float]
+    step: int
+
+
+def make_pairs(
+    texts: Sequence[str],
+    embedder: NeuralEmbedder,
+    batch_size: int,
+    rng: np.random.Generator,
+):
+    """Sample a (query, doc) batch: queries are random token subsets."""
+    idx = rng.integers(0, len(texts), size=batch_size)
+    docs = [texts[i] for i in idx]
+    queries = []
+    for d in docs:
+        toks = d.split()
+        take = max(1, min(len(toks), int(rng.integers(1, 5))))
+        queries.append(" ".join(rng.choice(toks, size=take, replace=False)))
+    q_ids, q_mask = embedder.tokenize(queries)
+    d_ids, d_mask = embedder.tokenize(docs)
+    # pad both to the doc width so shapes stay static across batches
+    width = max(q_ids.shape[1], d_ids.shape[1])
+
+    def pad(a, fill):
+        out = np.full((a.shape[0], width), fill, a.dtype)
+        out[:, : a.shape[1]] = a
+        return out
+
+    return (
+        jnp.asarray(pad(q_ids, 0)),
+        jnp.asarray(pad(q_mask, False)),
+        jnp.asarray(pad(d_ids, 0)),
+        jnp.asarray(pad(d_mask, False)),
+    )
+
+
+def train_encoder(
+    texts: Sequence[str],
+    cfg: Optional[EncoderConfig] = None,
+    *,
+    steps: int = 50,
+    batch_size: int = 16,
+    lr: float = 1e-3,
+    seed: int = 0,
+    ckpt_dir: Optional[str | Path] = None,
+    ckpt_every: int = 25,
+    log: Optional[Callable[[str], None]] = None,
+) -> TrainResult:
+    """Train (or resume) the encoder; returns final params + loss history."""
+    import optax
+
+    cfg = cfg or EncoderConfig()
+    embedder = NeuralEmbedder(cfg, params={})  # tokenizer only; params below
+    params = init_params(jax.random.PRNGKey(seed), cfg)
+    start_step = 0
+    ckpt_path = Path(ckpt_dir) / "encoder" if ckpt_dir is not None else None
+    if ckpt_path is not None and ckpt_path.with_suffix(".npz").exists():
+        params = load_params(params, ckpt_path)
+        start_step = int(load_meta(ckpt_path).get("step", 0))
+        if log:
+            log(f"resumed from step {start_step}")
+
+    tx = optax.adamw(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(info_nce_loss)(params, cfg, *batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.default_rng(seed + start_step)
+    losses: list[float] = []
+    step = start_step
+    for step in range(start_step, steps):
+        batch = make_pairs(texts, embedder, batch_size, rng)
+        params, opt_state, loss = step_fn(params, opt_state, batch)
+        losses.append(float(loss))
+        if log and (step % 10 == 0 or step == steps - 1):
+            log(f"step {step}: loss {float(loss):.4f}")
+        if ckpt_path is not None and (step + 1) % ckpt_every == 0:
+            save_params(params, ckpt_path, config=cfg, step=step + 1)
+    if ckpt_path is not None:
+        save_params(params, ckpt_path, config=cfg, step=steps)
+    return TrainResult(params=params, losses=losses, step=steps)
+
+
+def load_embedder(ckpt_dir: str | Path) -> NeuralEmbedder:
+    """Reload a trained encoder as a retriever-pluggable embedder."""
+    ckpt_path = Path(ckpt_dir) / "encoder"
+    meta = load_meta(ckpt_path)
+    cfg = EncoderConfig(**meta["config"]) if "config" in meta else EncoderConfig()
+    params = load_params(init_params(jax.random.PRNGKey(0), cfg), ckpt_path)
+    return NeuralEmbedder(cfg, params)

@@ -130,6 +130,44 @@ def test_index_and_search_roundtrip(tmp_path, capsys):
     assert code == 0 and "doc 1" in out
 
 
+def test_train_index_search_with_encoder(tmp_path, capsys):
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text(
+        "the quick brown fox\n"
+        "lazy dogs sleep all day\n"
+        "market analysis of tech stocks\n"
+        "foxes and dogs living together\n"
+    )
+    out, code = run_cli(
+        capsys,
+        "train", str(corpus), "--out", str(tmp_path / "ck"),
+        "--steps", "3", "--dim", "32", "--depth", "1", "--heads", "2",
+        "--batch-size", "4",
+    )
+    assert code == 0 and "trained to step 3" in out
+    # resume: asking for the same step count is a no-op
+    out, code = run_cli(
+        capsys,
+        "train", str(corpus), "--out", str(tmp_path / "ck"),
+        "--steps", "3", "--dim", "32", "--depth", "1", "--heads", "2",
+    )
+    assert code == 0 and "nothing to do" in out
+
+    out, code = run_cli(
+        capsys,
+        "index", str(corpus), "--out", str(tmp_path / "idx"),
+        "--encoder", str(tmp_path / "ck"),
+    )
+    assert code == 0 and "32d" in out
+    out, code = run_cli(
+        capsys,
+        "search", "quick fox", "--index", str(tmp_path / "idx"),
+        "--encoder", str(tmp_path / "ck"), "-k", "2", "--format", "json",
+    )
+    assert code == 0
+    assert json.loads(out)[0]["hits"][0]["doc_id"] in (0, 3)
+
+
 def test_pulse_not_configured_message(capsys, monkeypatch):
     for var in ("OPENINTEL_X_BEARER",):
         monkeypatch.delenv(var, raising=False)
