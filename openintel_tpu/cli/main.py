@@ -120,6 +120,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--encoder", default=None,
         help="embed with a trained encoder checkpoint dir (from `train`)",
     )
+    p.add_argument(
+        "--resume-dir", default=None,
+        help="checkpoint-restart build: chunk checkpoints live here; "
+        "re-running resumes after interruption",
+    )
+    p.add_argument("--chunk-docs", type=int, default=10_000)
 
     p = sub.add_parser("train", help="contrastively train the neural encoder")
     p.add_argument("corpus", help="text file, one document per line")
@@ -302,6 +308,31 @@ def run_index(args) -> tuple[str, int]:
 
         embedder = load_embedder(args.encoder)
         args.dim = embedder.dim
+    if args.resume_dir:
+        from openintel_tpu.index.pipeline import build_index_checkpointed
+        from openintel_tpu.models.embedding import HashingEmbedder
+
+        postings, dense_idx = build_index_checkpointed(
+            texts,
+            args.resume_dir,
+            chunk_docs=args.chunk_docs,
+            embedder=embedder or HashingEmbedder(dim=args.dim),
+            log=lambda m: print(m, file=sys.stderr),
+        )
+        if args.bf16:
+            import jax.numpy as jnp
+
+            dense_idx.embeddings = np.asarray(
+                dense_idx.embeddings, jnp.bfloat16.dtype
+            )
+        save_postings(postings, f"{args.out}.postings.npz")
+        save_dense(dense_idx, f"{args.out}.dense.npz")
+        Path(f"{args.out}.docs.txt").write_text("\n".join(texts))
+        return (
+            f"indexed {len(texts)} docs (checkpointed in {args.resume_dir}) -> "
+            f"{args.out}.postings.npz + {args.out}.dense.npz\n",
+            0,
+        )
     model = HybridRetriever.build(
         texts, dim=args.dim, dtype=dtype, embedder=embedder
     )

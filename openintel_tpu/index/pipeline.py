@@ -1,0 +1,189 @@
+"""Checkpoint-restart index build pipeline (map -> checkpoint -> reduce).
+
+The reference is stateless by design; the rebuild's indexes are expensive to
+recompute, so long builds must survive interruption (SURVEY.md §5 "standard
+checkpoint-restart for long index builds"). Shape:
+
+- MAP: the corpus streams in document chunks; each chunk is tokenised
+  (C++ fast path when available), counted into a chunk-local CSR with a
+  chunk-local vocabulary, optionally embedded, and written to
+  ``ckpt_dir/chunk_{i:05d}.npz``. A restart skips every chunk already on
+  disk — the unit of lost work is one chunk.
+- REDUCE: chunk vocabularies union into the global one; per-term postings
+  concatenate in chunk order (doc ids are globally ascending by
+  construction); df sums; idf and impacts are computed at the end against
+  corpus-wide stats (global avgdl), so the merged index scores IDENTICALLY
+  to a one-shot build (asserted in tests).
+
+Multi-host builds shard chunks across hosts and reduce df/len stats with the
+psum collectives in openintel_tpu.parallel.sharded.global_bm25_stats.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Callable, Iterable, Optional, Sequence
+
+import numpy as np
+
+from openintel_tpu.index.build import bm25_idf, bm25_impact
+from openintel_tpu.index.schema import BM25Config, DenseIndex, PostingsIndex
+from openintel_tpu.ops.tokenizer import Vocab, tokenize_batch
+
+
+def _chunk_path(ckpt_dir: Path, i: int) -> Path:
+    return ckpt_dir / f"chunk_{i:05d}.npz"
+
+
+def _build_chunk(texts: Sequence[str]) -> dict:
+    """Chunk-local counts: local vocab + term-major (doc, tf) pairs."""
+    token_lists = tokenize_batch(texts)
+    vocab = Vocab.build(token_lists)
+    doc_len = np.array([len(t) for t in token_lists], np.float32)
+    counts: list[dict[int, int]] = [dict() for _ in range(vocab.size)]
+    get = vocab.token_to_id.get
+    for d, toks in enumerate(token_lists):
+        for tok in toks:
+            tid = get(tok, 0)
+            if tid:
+                b = counts[tid]
+                b[d] = b.get(d, 0) + 1
+    term_offsets = np.zeros(vocab.size + 1, np.int64)
+    ids_chunks, tf_chunks = [], []
+    for tid in range(vocab.size):
+        b = counts[tid]
+        term_offsets[tid + 1] = term_offsets[tid] + len(b)
+        if b:
+            ids = np.fromiter(sorted(b), np.int32, count=len(b))
+            ids_chunks.append(ids)
+            tf_chunks.append(np.array([b[int(i)] for i in ids], np.float32))
+    tokens = sorted(vocab.token_to_id, key=vocab.token_to_id.get)
+    return {
+        "term_offsets": term_offsets,
+        "doc_ids": np.concatenate(ids_chunks) if ids_chunks else np.zeros(0, np.int32),
+        "tf": np.concatenate(tf_chunks) if tf_chunks else np.zeros(0, np.float32),
+        "doc_len": doc_len,
+        "tokens": np.array(tokens, dtype=object),
+    }
+
+
+def build_index_checkpointed(
+    texts: Sequence[str],
+    ckpt_dir: str | Path,
+    *,
+    chunk_docs: int = 10_000,
+    config: BM25Config = BM25Config(),
+    embedder: Optional[Callable[[Sequence[str]], np.ndarray]] = None,
+    log: Optional[Callable[[str], None]] = None,
+) -> tuple[PostingsIndex, Optional[DenseIndex]]:
+    """Chunked, resumable build; returns (postings, dense-or-None).
+
+    Interrupt at any point and call again with the same ``ckpt_dir`` — only
+    missing chunks are rebuilt."""
+    ckpt_dir = Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    n_chunks = max(1, -(-len(texts) // chunk_docs))
+    meta_p = ckpt_dir / "meta.json"
+    if meta_p.exists():
+        meta = json.loads(meta_p.read_text())
+        assert meta["n_docs"] == len(texts) and meta["chunk_docs"] == chunk_docs, (
+            "checkpoint dir belongs to a different corpus/chunking"
+        )
+    else:
+        meta_p.write_text(
+            json.dumps({"n_docs": len(texts), "chunk_docs": chunk_docs})
+        )
+
+    for i in range(n_chunks):
+        path = _chunk_path(ckpt_dir, i)
+        if path.exists():
+            continue
+        lo, hi = i * chunk_docs, min(len(texts), (i + 1) * chunk_docs)
+        chunk = _build_chunk(texts[lo:hi])
+        if embedder is not None:
+            chunk["embeddings"] = np.asarray(embedder(texts[lo:hi]), np.float32)
+        tmp = path.with_suffix(".tmp.npz")
+        np.savez(tmp, **{k: v for k, v in chunk.items() if k != "tokens"},
+                 tokens=chunk["tokens"].astype(str))
+        tmp.rename(path)  # atomic: a chunk file is always complete
+        if log:
+            log(f"chunk {i + 1}/{n_chunks} ({hi - lo} docs) checkpointed")
+
+    return merge_chunks(ckpt_dir, n_chunks, config=config)
+
+
+def merge_chunks(
+    ckpt_dir: str | Path,
+    n_chunks: int,
+    *,
+    config: BM25Config = BM25Config(),
+) -> tuple[PostingsIndex, Optional[DenseIndex]]:
+    """REDUCE: chunk checkpoints -> one global index (== one-shot scoring)."""
+    ckpt_dir = Path(ckpt_dir)
+    chunks = [np.load(_chunk_path(ckpt_dir, i), allow_pickle=False)
+              for i in range(n_chunks)]
+
+    # global vocab: union in first-seen order (chunk order, then local id).
+    # tokens[j] carries chunk-local id j+1 (id 0 is the shared pad slot).
+    token_to_id: dict[str, int] = {}
+    for c in chunks:
+        for tok in c["tokens"]:
+            t = str(tok)
+            if t not in token_to_id:
+                token_to_id[t] = len(token_to_id) + 1
+    vocab = Vocab(token_to_id=token_to_id)
+    v_size = vocab.size
+
+    doc_len = np.concatenate([c["doc_len"] for c in chunks])
+    n_docs = int(doc_len.shape[0])
+    avgdl = float(doc_len.astype(np.float64).mean()) if n_docs else 0.0
+
+    # per-term concat in chunk order; chunk doc ids offset to global
+    per_term_ids: list[list[np.ndarray]] = [[] for _ in range(v_size)]
+    per_term_tf: list[list[np.ndarray]] = [[] for _ in range(v_size)]
+    doc_base = 0
+    for c in chunks:
+        offs = c["term_offsets"]
+        toks = c["tokens"]
+        for j in range(len(toks)):
+            lid = j + 1  # chunk-local term id
+            gid = token_to_id[str(toks[j])]
+            lo, hi = int(offs[lid]), int(offs[lid + 1])
+            if hi > lo:
+                per_term_ids[gid].append(c["doc_ids"][lo:hi] + doc_base)
+                per_term_tf[gid].append(c["tf"][lo:hi])
+        doc_base += int(c["doc_len"].shape[0])
+
+    term_offsets = np.zeros(v_size + 1, np.int64)
+    df = np.zeros(v_size, np.int32)
+    ids_all, tf_all = [], []
+    for tid in range(v_size):
+        n = sum(len(a) for a in per_term_ids[tid])
+        df[tid] = n
+        term_offsets[tid + 1] = term_offsets[tid] + n
+        ids_all.extend(per_term_ids[tid])
+        tf_all.extend(per_term_tf[tid])
+    doc_ids = np.concatenate(ids_all) if ids_all else np.zeros(0, np.int32)
+    tf = np.concatenate(tf_all) if tf_all else np.zeros(0, np.float32)
+
+    postings = PostingsIndex(
+        term_offsets=term_offsets,
+        doc_ids=doc_ids.astype(np.int32),
+        tf=tf,
+        impact=bm25_impact(tf, doc_len[doc_ids.astype(np.int64)], avgdl, config)
+        if len(tf)
+        else np.zeros(0, np.float32),
+        df=df,
+        idf=bm25_idf(df, n_docs),
+        doc_len=doc_len,
+        avgdl=avgdl,
+        n_docs=n_docs,
+        vocab=vocab,
+        config=config,
+    )
+    dense = None
+    if n_chunks and "embeddings" in chunks[0]:
+        emb = np.concatenate([c["embeddings"] for c in chunks])
+        dense = DenseIndex.from_embeddings(emb)
+    return postings, dense

@@ -1,0 +1,89 @@
+"""Checkpoint-restart index build: merged scoring == one-shot, resume skips
+completed chunks, interruption loses at most one chunk."""
+
+import numpy as np
+
+from openintel_tpu.index.build import build_postings_index
+from openintel_tpu.index.pipeline import build_index_checkpointed
+from openintel_tpu.index.synthetic import synthetic_token_corpus
+from openintel_tpu.ops import reference as ref
+from openintel_tpu.ops.bm25 import encode_query
+
+
+def test_merged_index_scores_identical_to_one_shot(tmp_path):
+    docs = synthetic_token_corpus(300, vocab_size=150, seed=61)
+    merged, dense = build_index_checkpointed(docs, tmp_path, chunk_docs=64)
+    oneshot = build_postings_index(docs)
+    assert dense is None
+    assert merged.n_docs == oneshot.n_docs == 300
+    np.testing.assert_allclose(merged.avgdl, oneshot.avgdl)
+    # vocab id ASSIGNMENT may differ (first-seen order per chunk); scoring
+    # must not: compare by token
+    queries = ["t3 t17 t90", "t5", "t140 t2 t2"]
+    for q in queries:
+        sm = ref.bm25_scores(merged, encode_query(merged, q))
+        so = ref.bm25_scores(oneshot, encode_query(oneshot, q))
+        np.testing.assert_allclose(sm, so, rtol=1e-6, atol=1e-7)
+
+
+def test_resume_skips_completed_chunks(tmp_path):
+    docs = synthetic_token_corpus(200, vocab_size=100, seed=62)
+    calls = []
+
+    def counting_embedder(texts):
+        calls.append(len(texts))
+        rng = np.random.default_rng(len(texts))
+        return rng.standard_normal((len(texts), 16)).astype(np.float32)
+
+    logs = []
+    p1, d1 = build_index_checkpointed(
+        docs, tmp_path, chunk_docs=50, embedder=counting_embedder, log=logs.append
+    )
+    assert len(calls) == 4 and d1 is not None and d1.n_docs == 200
+    # second run: all chunks exist, embedder never called again
+    calls.clear()
+    p2, d2 = build_index_checkpointed(
+        docs, tmp_path, chunk_docs=50, embedder=counting_embedder
+    )
+    assert calls == []
+    np.testing.assert_array_equal(p1.doc_ids, p2.doc_ids)
+    np.testing.assert_allclose(d1.embeddings, d2.embeddings)
+
+
+def test_partial_build_resumes_remaining(tmp_path):
+    docs = synthetic_token_corpus(120, vocab_size=80, seed=63)
+    # simulate an interrupted run: only the first chunk exists
+    from openintel_tpu.index.pipeline import _build_chunk, _chunk_path
+
+    chunk = _build_chunk(docs[:40])
+    np.savez(
+        _chunk_path(tmp_path, 0),
+        **{k: v for k, v in chunk.items() if k != "tokens"},
+        tokens=chunk["tokens"].astype(str),
+    )
+    import json
+
+    (tmp_path / "meta.json").write_text(
+        json.dumps({"n_docs": 120, "chunk_docs": 40})
+    )
+    logs = []
+    merged, _ = build_index_checkpointed(
+        docs, tmp_path, chunk_docs=40, log=logs.append
+    )
+    assert len(logs) == 2  # chunks 2 and 3 built; chunk 1 reused
+    oneshot = build_postings_index(docs)
+    q = encode_query(merged, "t1 t9 t33")
+    np.testing.assert_allclose(
+        ref.bm25_scores(merged, q),
+        ref.bm25_scores(oneshot, encode_query(oneshot, "t1 t9 t33")),
+        rtol=1e-6,
+    )
+
+
+def test_mismatched_checkpoint_dir_rejected(tmp_path):
+    docs = synthetic_token_corpus(50, vocab_size=40, seed=64)
+    build_index_checkpointed(docs, tmp_path, chunk_docs=25)
+    import pytest
+
+    with pytest.raises(AssertionError):
+        build_index_checkpointed(docs + ["extra doc"], tmp_path, chunk_docs=25)
