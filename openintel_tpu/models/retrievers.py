@@ -104,10 +104,10 @@ class DenseRetriever:
         return cls(DenseIndex.from_embeddings(emb, dtype=dtype), embedder)
 
     def _fast_block_c(self, k: int = 128) -> int:
-        # shrink blocks until the candidate pool (128 per block) covers any
-        # reasonable k for this corpus size
+        # shrink blocks until the candidate pool (128 per 4-block group)
+        # covers any reasonable k for this corpus size
         block_c, n = 4096, max(self.index.n_docs, 1)
-        while block_c > 128 and -(-n // block_c) * 128 < k:
+        while block_c > 128 and -(-n // (4 * block_c)) * 128 < k:
             block_c //= 2
         return block_c
 

@@ -232,40 +232,44 @@ def dense_topk_pallas(
 #   1. scores (B, BC) f32 are shifted +2 (cosine in [-1,1] -> [1,3]): for
 #      strictly positive IEEE floats the raw bit pattern is already monotonic
 #      as int32, so no sign-fixup select/xor is needed — one add, one bitcast;
-#   2. the low 5 mantissa bits are traded for position: key = (bits & ~31)
-#      | r, where the block is viewed as (B, R, 128) (r = sublane group
-#      index, R = BC/128 <= 32). Scores quantise at ~2^-18 absolute — far
-#      below the bf16 input noise;
-#   3. one max-reduce over r leaves (B, 128) packed int32 per block: the 128
-#      column maxima, each carrying enough bits to reconstruct its doc id.
+#   2. the low 7 mantissa bits are traded for position: key = (bits & ~127)
+#      | (r << 2), where the block is viewed as (B, R, 128) (r = sublane
+#      group index, R = BC/128 <= 32). Scores quantise at ~2^-16 absolute —
+#      far below the bf16 input noise;
+#   3. one max-reduce over r leaves (B, 128) packed int32 per block; FOUR
+#      consecutive blocks then max-combine in VMEM scratch, tagging bits 0-1
+#      with the block parity — a (B, 128)-sized op, free next to the (B, BC)
+#      work — and one 128-lane row is written per four corpus blocks.
 #
 # Per element that's add, and, or, max — 4 VPU ops — overlapping the MXU
-# matmul and the HBM stream. Outside the kernel, one approx_max_k over the
-# (B, n_blocks*128) packed output yields the global top-k: bitcast back to
-# f32, the packed ints are positive floats whose order is the score order —
-# exactly what the TPU's PartialReduce top-k custom call wants. The column
-# index recovers (block, lane); the mantissa bits recover r; together the
-# exact doc id.
+# matmul and the HBM stream; measured at the VPU roofline. Outside the
+# kernel, one approx_max_k over the (B, n_blocks/4*128) packed output yields
+# the global top-k: bitcast back to f32, the packed ints are positive floats
+# whose order is the score order — exactly what the TPU's PartialReduce
+# top-k custom call wants. The column index recovers (superblock, lane); the
+# stolen bits recover (r, parity); together the exact doc id.
 #
 # A true top-k element is lost only if another top-k element is the max of
-# the same 128-doc sublane group (P < k^2 * 64/N, negligible at retrieval
+# the same 512-doc packing group (P < k^2 * 256/N, negligible at retrieval
 # scale; measured recall@k ~ 1.0 in tests) or dropped by approx_max_k's
 # recall_target (0.99). Scores decode to ~2^-16; ids are exact. Corpus
 # zero-padding scores exactly 0 (packed 2.0), so it can displace only
 # negative-cosine candidates; padded ids are filtered after the final top-k.
 #
-# PERF CONTRACT: pass the corpus pre-padded to a multiple of block_c
+# PERF CONTRACT: pass the corpus pre-padded to a multiple of 4*block_c
 # (pad_corpus_t below) — in-jit padding would copy the whole corpus in HBM
 # every call (~2.3 ms at 1.25M docs, measured), the single biggest tax on
 # this path.
 # ---------------------------------------------------------------------------
 
-_POS_BITS = 5  # r = sublane group index in [0, block_c/128) <= 32
-_POS_MASK = (1 << _POS_BITS) - 1  # 31
+_POS_BITS = 7  # (r sublane group) << 2 | block parity (2 bits)
+_POS_MASK = (1 << _POS_BITS) - 1  # 127
+_FOLD = 4  # corpus blocks max-combined per output row
 _SHIFT = 2.0  # score -> strictly positive float; bits monotonic as int32
 
 
-def _fast_kernel(q_ref, e_ref, out_ref, *, block_c: int):
+def _fast_kernel(q_ref, e_ref, out_ref, acc_ref, *, block_c: int):
+    j = pl.program_id(0)
     scores = jax.lax.dot_general(
         q_ref[:],
         e_ref[:],
@@ -279,14 +283,30 @@ def _fast_kernel(q_ref, e_ref, out_ref, *, block_c: int):
     r_groups = block_c // 128
     r_idx = jax.lax.broadcasted_iota(jnp.int32, (b, r_groups, 128), 1)
     # Sublane-group max only — pure VPU elementwise tree, no lane crossing.
-    out_ref[:] = jnp.max(key.reshape(b, r_groups, 128) | r_idx, axis=1)
+    m1 = jnp.max(key.reshape(b, r_groups, 128) | (r_idx << 2), axis=1) | (
+        j % _FOLD
+    )
+
+    @pl.when(j % _FOLD == 0)
+    def _reset():
+        acc_ref[:] = m1
+
+    @pl.when(j % _FOLD != 0)
+    def _combine():
+        acc_ref[:] = jnp.maximum(acc_ref[:], m1)
+
+    @pl.when(j % _FOLD == _FOLD - 1)
+    def _write():
+        out_ref[:] = acc_ref[:]
 
 
 def pad_corpus_t(doc_emb_t: jax.Array, block_c: int = 4096) -> jax.Array:
-    """Zero-pad a (D, N) transposed corpus to a block_c multiple ONCE at index
-    load, so the hot query path never copies the corpus (see perf contract)."""
+    """Zero-pad a (D, N) transposed corpus to a 4*block_c multiple ONCE at
+    index load, so the hot query path never copies the corpus (see perf
+    contract)."""
     dim, n = doc_emb_t.shape
-    n_pad = _round_up(max(n, block_c), block_c)
+    unit = _FOLD * block_c
+    n_pad = _round_up(max(n, unit), unit)
     if n_pad == n:
         return doc_emb_t
     return jnp.concatenate(
@@ -316,7 +336,8 @@ def dense_topk_fast(
     b = queries.shape[0]
     assert block_c % 128 == 0 and block_c <= 4096, "block_c in 128..4096, /128"
 
-    if n_stored % block_c != 0 or n_stored < block_c:
+    unit = _FOLD * block_c
+    if n_stored % unit != 0 or n_stored < unit:
         doc_emb_t = pad_corpus_t(doc_emb_t, block_c)
     sub = 16 if queries.dtype == jnp.bfloat16 else 8
     b_pad = _round_up(b, sub)
@@ -326,7 +347,8 @@ def dense_topk_fast(
         )
 
     n_blocks = doc_emb_t.shape[1] // block_c
-    assert n_blocks * 128 >= k, "corpus too small for k candidates; shrink block_c"
+    n_super = n_blocks // _FOLD
+    assert n_super * 128 >= k, "corpus too small for k candidates; shrink block_c"
     packed = pl.pallas_call(
         functools.partial(_fast_kernel, block_c=block_c),
         grid=(n_blocks,),
@@ -335,21 +357,22 @@ def dense_topk_fast(
             pl.BlockSpec((dim, block_c), lambda j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (b_pad, 128), lambda j: (0, j), memory_space=pltpu.VMEM
+            (b_pad, 128), lambda j: (0, j // _FOLD), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b_pad, n_blocks * 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b_pad, n_super * 128), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((b_pad, 128), jnp.int32)],
         interpret=interpret,
     )(queries, doc_emb_t)
 
     # As positive floats the packed ints sort identically — feed them straight
-    # to the TPU-optimised PartialReduce top-k (approx_max_k); the sublane
-    # group index r rides along in the mantissa, (block, lane) in the column.
+    # to the TPU-optimised PartialReduce top-k (approx_max_k); (r, parity)
+    # ride along in the mantissa, (superblock, lane) in the column.
     gf = jax.lax.bitcast_convert_type(packed, jnp.float32)
     fv, pcols = jax.lax.approx_max_k(gf, k, recall_target=0.99)
     pvals = jax.lax.bitcast_convert_type(fv, jnp.int32)
     ids = (
-        (pcols // 128) * block_c  # corpus block
-        + (pvals & _POS_MASK) * 128  # sublane group r
+        ((pcols // 128) * _FOLD + (pvals & 3)) * block_c  # corpus block
+        + ((pvals >> 2) & 31) * 128  # sublane group r
         + pcols % 128  # lane
     ).astype(jnp.int32)
     vals = (
