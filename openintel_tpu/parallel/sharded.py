@@ -41,18 +41,23 @@ def _merge_gathered(vals_g: jax.Array, ids_g: jax.Array, k: int):
     return vals, ids
 
 
-def _local_dense_topk(emb_local, q_local, k, kernel, block_size):
+def _local_dense_topk(emb_local, q_local, k, kernel, block_size, interpret=False):
     """Per-shard dense arm. ``kernel``: "xla" (portable), "pallas" (exact
     fused top-k), "pallas_fast" (production candidate-emission kernel; takes
-    the (D, N_local) transposed layout)."""
+    the (D, N_local) transposed layout). ``interpret`` runs the Pallas
+    kernels in interpreter mode (hermetic CPU-mesh tests)."""
     if kernel == "pallas":
         from openintel_tpu.ops.pallas.dense_topk import dense_topk_pallas
 
-        return dense_topk_pallas(emb_local, q_local, k=k)
+        return dense_topk_pallas(emb_local, q_local, k=k, interpret=interpret)
     if kernel == "pallas_fast":
         from openintel_tpu.ops.pallas.dense_topk import dense_topk_fast
 
-        return dense_topk_fast(emb_local, q_local, k=k)
+        block_c = min(4096, max(128, emb_local.shape[1] // 4))
+        block_c = (block_c // 128) * 128
+        return dense_topk_fast(
+            emb_local, q_local, k=k, block_c=block_c, interpret=interpret
+        )
     return dense_topk_xla(emb_local, q_local, k, block_size)
 
 
@@ -70,6 +75,7 @@ def sharded_dense_topk(
     *,
     block_size: int = 4096,
     kernel: str = "xla",
+    interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Dense cosine top-k over a corpus sharded across the mesh."""
     n_docs = doc_emb.shape[1] if kernel == "pallas_fast" else doc_emb.shape[0]
@@ -78,7 +84,9 @@ def sharded_dense_topk(
     shard_size = n_docs // n_shards
 
     def local(emb_local, q_local):
-        vals, ids = _local_dense_topk(emb_local, q_local, k, kernel, block_size)
+        vals, ids = _local_dense_topk(
+            emb_local, q_local, k, kernel, block_size, interpret
+        )
         shard = jax.lax.axis_index(CORPUS_AXIS)
         gids = jnp.where(ids >= 0, ids + shard * shard_size, -1)
         vals_g = jax.lax.all_gather(vals, CORPUS_AXIS)  # (S, B_local, k)
@@ -147,6 +155,7 @@ def sharded_hybrid_topk(
     kernel: str = "xla",
     presorted: bool = False,
     max_run: int = 0,
+    interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Full hybrid query step, one device program: per-shard BM25 + dense
     local top-c, ICI all-gather, global merges, RRF fusion, final top-k."""
@@ -161,7 +170,9 @@ def sharded_hybrid_topk(
     def local(emb_local, q_local, ids_local, w_local):
         shard = jax.lax.axis_index(CORPUS_AXIS)
         # dense arm
-        d_vals, d_ids = _local_dense_topk(emb_local, q_local, c, kernel, block_size)
+        d_vals, d_ids = _local_dense_topk(
+            emb_local, q_local, c, kernel, block_size, interpret
+        )
         d_gids = jnp.where(d_ids >= 0, d_ids + shard * shard_size, -1)
         # lexical arm (scatter-free segmented-scan reduction over host-sorted plans)
         b_vals, b_lids = bm25_topk_device(

@@ -141,6 +141,45 @@ def test_sharded_hybrid_matches_reference():
         np.testing.assert_array_equal(np.asarray(ids)[b], ri)
 
 
+def test_sharded_hybrid_production_kernel_interpret():
+    """The PRODUCTION multi-chip program — pallas_fast dense kernel +
+    presorted bounded-run BM25 — on the virtual mesh (interpreter mode)."""
+    docs, global_idx, shard_indexes, shard_size = _sharded_corpus()
+    emb = synthetic_embeddings(N, dim=D, seed=14)
+    queries = synthetic_queries_from_docs(docs, B, seed=15)
+    term_ids = [encode_query(global_idx, q) for q in queries]
+    q_emb, _ = synthetic_query_embeddings(emb, B, seed=16)
+
+    plans = [build_query_plan(idx, term_ids) for idx in shard_indexes]
+    width = max(p.doc_ids.shape[1] for p in plans)
+    pdi = np.full((8, B, width), shard_size, np.int32)
+    pw = np.zeros((8, B, width), np.float32)
+    for s, p in enumerate(plans):
+        w = p.doc_ids.shape[1]
+        pdi[s, :, :w] = p.doc_ids
+        pw[s, :, :w] = p.weights
+    max_run = max(p.max_terms for p in plans)
+
+    mesh = make_mesh(data=1, corpus=8)
+    vals, ids = sharded_hybrid_topk(
+        mesh, emb.T.copy(), q_emb, pdi, pw, K,
+        candidates_per_arm=2 * K,
+        kernel="pallas_fast", presorted=True, max_run=max_run,
+        interpret=True,
+    )
+    # pallas_fast is approximate (packing groups); compare by recall
+    recs = []
+    for b, tids in enumerate(term_ids):
+        _, ri = ref.hybrid_topk(
+            global_idx, emb, tids, q_emb[b], K, candidates_per_arm=2 * K
+        )
+        exact = {int(x) for x in ri if x >= 0}
+        got = {int(x) for x in np.asarray(ids)[b] if x >= 0}
+        if exact:
+            recs.append(len(exact & got) / len(exact))
+    assert np.mean(recs) >= 0.9, np.mean(recs)
+
+
 def test_global_stats_psum():
     docs, global_idx, shard_indexes, shard_size = _sharded_corpus()
     mesh = make_mesh(data=1, corpus=8)
