@@ -37,33 +37,20 @@ def _chunk_path(ckpt_dir: Path, i: int) -> Path:
 
 
 def _build_chunk(texts: Sequence[str]) -> dict:
-    """Chunk-local counts: local vocab + term-major (doc, tf) pairs."""
-    token_lists = tokenize_batch(texts)
-    vocab = Vocab.build(token_lists)
-    doc_len = np.array([len(t) for t in token_lists], np.float32)
-    counts: list[dict[int, int]] = [dict() for _ in range(vocab.size)]
-    get = vocab.token_to_id.get
-    for d, toks in enumerate(token_lists):
-        for tok in toks:
-            tid = get(tok, 0)
-            if tid:
-                b = counts[tid]
-                b[d] = b.get(d, 0) + 1
-    term_offsets = np.zeros(vocab.size + 1, np.int64)
-    ids_chunks, tf_chunks = [], []
-    for tid in range(vocab.size):
-        b = counts[tid]
-        term_offsets[tid + 1] = term_offsets[tid] + len(b)
-        if b:
-            ids = np.fromiter(sorted(b), np.int32, count=len(b))
-            ids_chunks.append(ids)
-            tf_chunks.append(np.array([b[int(i)] for i in ids], np.float32))
-    tokens = sorted(vocab.token_to_id, key=vocab.token_to_id.get)
+    """Chunk-local counts: local vocab + term-major (doc, tf) pairs.
+
+    Delegates to build_postings_index (one implementation of the counting
+    loop, C++ streaming builder when available); impacts/idf computed there
+    are discarded — the reduce step recomputes them against global stats."""
+    from openintel_tpu.index.build import build_postings_index
+
+    idx = build_postings_index(texts)
+    tokens = sorted(idx.vocab.token_to_id, key=idx.vocab.token_to_id.get)
     return {
-        "term_offsets": term_offsets,
-        "doc_ids": np.concatenate(ids_chunks) if ids_chunks else np.zeros(0, np.int32),
-        "tf": np.concatenate(tf_chunks) if tf_chunks else np.zeros(0, np.float32),
-        "doc_len": doc_len,
+        "term_offsets": idx.term_offsets,
+        "doc_ids": idx.doc_ids,
+        "tf": idx.tf,
+        "doc_len": idx.doc_len,
         "tokens": np.array(tokens, dtype=object),
     }
 

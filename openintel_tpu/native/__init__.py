@@ -188,9 +188,9 @@ def native_build_query_plan(
     n_threads: int = 0,  # 0 = hardware concurrency
 ):
     """C++ pruned-plan assembly (see planner.cpp); returns
-    (doc_ids (B, W) int32 sentinel-padded, weights (B, W) f32, max_terms)
-    or None when the library is unavailable. Candidate sets are identical
-    to the NumPy path (asserted in tests), ~20x faster per query."""
+    (doc_ids (B, W) int32 sentinel-padded, weights (B, W) f32, max_terms,
+    max_width) or None when the library is unavailable. Candidate sets are
+    identical to the NumPy path (asserted in tests)."""
     import numpy as np
 
     lib = _load()
@@ -240,7 +240,7 @@ def native_build_query_plan(
             n_threads,
         )
         if rc >= 0:
-            return out_ids, out_w, max_terms
+            return out_ids, out_w, max_terms, int(rc)  # rc = exact max width
         cap = int(-rc)  # grow to the reported required width and retry
 
 

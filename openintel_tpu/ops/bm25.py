@@ -114,12 +114,8 @@ def build_query_plan(
             multi_budget if include_multi_term else 0,
         )
         if res is not None:
-            out_ids, out_w, max_terms = res
-            width = _bucket(
-                max(int((out_ids[i] != index.n_docs).sum()) for i in range(out_ids.shape[0]))
-                if out_ids.shape[0]
-                else 1
-            )
+            out_ids, out_w, max_terms, max_width = res
+            width = _bucket(max(max_width, 1))
             if width <= out_ids.shape[1]:
                 out_ids, out_w = out_ids[:, :width], out_w[:, :width]
             else:
@@ -158,6 +154,8 @@ def build_query_plan(
                 mscores = np.zeros(multi_docs.size, np.float64)
                 for t, count in qtf.items():
                     fids, fimp = term_data[t]
+                    if fids.size == 0:  # df=0 under a shared cross-shard vocab
+                        continue
                     pos = np.minimum(
                         np.searchsorted(fids, multi_docs), fids.size - 1
                     )
@@ -165,7 +163,8 @@ def build_query_plan(
                     mscores[hit] += fimp[pos[hit]] * (
                         float(index.idf[t]) * count
                     )
-                keep = np.argpartition(-mscores, multi_budget - 1)[:multi_budget]
+                # ties: score desc then doc asc — matches planner.cpp exactly
+                keep = np.lexsort((multi_docs, -mscores))[:multi_budget]
                 multi_docs = np.sort(multi_docs[keep])
         parts_ids = []
         parts_w = []

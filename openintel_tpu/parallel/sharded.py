@@ -53,12 +53,25 @@ def _local_dense_topk(emb_local, q_local, k, kernel, block_size, interpret=False
     if kernel == "pallas_fast":
         from openintel_tpu.ops.pallas.dense_topk import dense_topk_fast
 
-        block_c = min(4096, max(128, emb_local.shape[1] // 4))
-        block_c = (block_c // 128) * 128
         return dense_topk_fast(
-            emb_local, q_local, k=k, block_c=block_c, interpret=interpret
+            emb_local,
+            q_local,
+            k=k,
+            block_c=_fast_block_c(emb_local.shape[1]),
+            interpret=interpret,
         )
     return dense_topk_xla(emb_local, q_local, k, block_size)
+
+
+def _fast_block_c(n_local: int) -> int:
+    """Largest block_c (multiple of 128, <= 4096) with 4*block_c dividing the
+    local shard — so dense_topk_fast never re-pads the corpus inside the hot
+    query program (its documented perf contract). Shard sizes should be
+    512-aligned; otherwise fall back to 4096 and accept the in-jit pad."""
+    for bc in range(4096, 0, -128):
+        if n_local % (4 * bc) == 0:
+            return bc
+    return 4096
 
 
 def _emb_spec(kernel: str):
@@ -89,9 +102,13 @@ def sharded_dense_topk(
         )
         shard = jax.lax.axis_index(CORPUS_AXIS)
         gids = jnp.where(ids >= 0, ids + shard * shard_size, -1)
+        # padded slots carry score 0.0; push below every real score so they
+        # can never outrank another shard's negative-scored real docs
+        vals = jnp.where(ids >= 0, vals, -jnp.inf)
         vals_g = jax.lax.all_gather(vals, CORPUS_AXIS)  # (S, B_local, k)
         ids_g = jax.lax.all_gather(gids, CORPUS_AXIS)
-        return _merge_gathered(vals_g, ids_g, k)
+        mvals, mids = _merge_gathered(vals_g, ids_g, k)
+        return jnp.where(mids < 0, 0.0, mvals), mids
 
     f = jax.shard_map(
         local,
@@ -174,6 +191,7 @@ def sharded_hybrid_topk(
             emb_local, q_local, c, kernel, block_size, interpret
         )
         d_gids = jnp.where(d_ids >= 0, d_ids + shard * shard_size, -1)
+        d_vals = jnp.where(d_ids >= 0, d_vals, -jnp.inf)  # mask padded slots
         # lexical arm (scatter-free segmented-scan reduction over host-sorted plans)
         b_vals, b_lids = bm25_topk_device(
             ids_local[0], w_local[0], shard_size, c,
