@@ -23,13 +23,13 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Callable, Iterable, Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import numpy as np
 
 from openintel_tpu.index.build import bm25_idf, bm25_impact
 from openintel_tpu.index.schema import BM25Config, DenseIndex, PostingsIndex
-from openintel_tpu.ops.tokenizer import Vocab, tokenize_batch
+from openintel_tpu.ops.tokenizer import Vocab
 
 
 def _chunk_path(ckpt_dir: Path, i: int) -> Path:

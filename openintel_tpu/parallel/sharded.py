@@ -16,12 +16,11 @@ index-build time so every shard scores against corpus-wide idf.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from openintel_tpu.ops.dense import dense_topk_xla
 from openintel_tpu.ops.fusion import RRF_K, rrf_fuse_device
