@@ -144,6 +144,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("mcp", help="serve the MCP tool surface over stdio")
     p.add_argument("--offline", action="store_true")
+    p.add_argument(
+        "--index", default=None,
+        help="index path prefix (from `index`): adds the search_corpus tool",
+    )
+    p.add_argument("--encoder", default=None, help="trained encoder checkpoint dir")
 
     return parser
 
@@ -466,7 +471,7 @@ def main(argv: Optional[list[str]] = None) -> int:
     elif args.command == "mcp":
         from openintel_tpu.mcp.server import serve
 
-        serve(offline=args.offline)
+        serve(offline=args.offline, index=args.index, encoder=args.encoder)
         return 0
     else:  # pragma: no cover
         out, code = f"unknown command {args.command}", 2

@@ -187,6 +187,32 @@ TOOL_SPECS: list[dict[str, Any]] = [
     },
 ]
 
+SEARCH_TOOL_SPEC: dict[str, Any] = {
+    "name": "search_corpus",
+    "description": (
+        "Hybrid retrieval (BM25 + dense cosine, reciprocal-rank fused on TPU) "
+        "over the corpus this server was started with. Returns ranked doc ids, "
+        "scores, and text snippets. Read-only."
+    ),
+    "inputSchema": {
+        "type": "object",
+        "properties": {
+            "queries": {
+                "type": "array",
+                "items": {"type": "string"},
+                "description": "One or more search queries (batched on device).",
+            },
+            "k": {"type": "integer", "description": "Results per query (default 10)."},
+            "mode": {
+                "type": "string",
+                "enum": ["hybrid", "bm25", "dense"],
+                "description": "Scoring arm (default hybrid).",
+            },
+        },
+        "required": ["queries"],
+    },
+}
+
 SERVER_INSTRUCTIONS = (
     "OpenIntel — fuses social sentiment with market action into a speculation "
     "report (crowding, divergence, sentiment). READ-ONLY: it never places trades."
@@ -202,13 +228,30 @@ class OpenIntelServer:
         market: Optional[MarketDataSource],
         bars: Optional[BarSource] = None,
         pulse_feed: Optional[InfluencerFeed] = None,
+        retriever=None,  # HybridRetriever over an indexed corpus (optional)
+        docs: Optional[Sequence[str]] = None,
     ):
         self.social = list(social)
         self.market = market
         self.bars = bars
         self.pulse_feed = pulse_feed
+        self.retriever = retriever
+        self.docs = list(docs) if docs is not None else None
+
+    @property
+    def tool_specs(self) -> list[dict[str, Any]]:
+        specs = list(TOOL_SPECS)
+        if self.retriever is not None:
+            specs.append(SEARCH_TOOL_SPEC)
+        return specs
 
     async def call_tool(self, name: str, args: dict[str, Any]) -> dict[str, Any]:
+        if name == "search_corpus":
+            if self.retriever is None:
+                raise RuntimeError(
+                    "no corpus indexed — start the server with --index PREFIX"
+                )
+            return tools.run_search_corpus(args, self.retriever, self.docs)
         if name == "list_sources":
             return tools.run_list_sources(self.social, self.market)
         if name == "analyze_ticker":
@@ -249,7 +292,7 @@ class OpenIntelServer:
             elif method == "ping":
                 result = {}
             elif method == "tools/list":
-                result = {"tools": TOOL_SPECS}
+                result = {"tools": self.tool_specs}
             elif method == "tools/call":
                 params = message.get("params") or {}
                 out = await self.call_tool(
@@ -315,8 +358,33 @@ async def serve_stdio(server: OpenIntelServer) -> None:
             print(json.dumps(response), flush=True)
 
 
-def build_server(offline: bool = False) -> OpenIntelServer:
+def _load_retriever(index_prefix: str, encoder_dir: Optional[str] = None):
+    from pathlib import Path
+
+    from openintel_tpu.index.checkpoint import load_dense, load_postings
+    from openintel_tpu.models.retrievers import HybridRetriever
+
+    postings = load_postings(f"{index_prefix}.postings.npz")
+    dense = load_dense(f"{index_prefix}.dense.npz")
+    embedder = None
+    if encoder_dir:
+        from openintel_tpu.models.train import load_embedder
+
+        embedder = load_embedder(encoder_dir)
+    docs_path = Path(f"{index_prefix}.docs.txt")
+    docs = docs_path.read_text().splitlines() if docs_path.exists() else None
+    return HybridRetriever(postings, dense, embedder), docs
+
+
+def build_server(
+    offline: bool = False,
+    index: Optional[str] = None,
+    encoder: Optional[str] = None,
+) -> OpenIntelServer:
     """Composition root (reference: src/mcp/server.rs:171-192)."""
+    retriever, docs = (
+        _load_retriever(index, encoder) if index else (None, None)
+    )
     if offline:
         from openintel_tpu.sources.fixtures import MockMarketSource, fixture_social
         from openintel_tpu.sources.yahoo import FixtureBars
@@ -326,6 +394,8 @@ def build_server(offline: bool = False) -> OpenIntelServer:
             market=MockMarketSource(),
             bars=FixtureBars(),
             pulse_feed=None,
+            retriever=retriever,
+            docs=docs,
         )
 
     from openintel_tpu.config.secrets import Credentials
@@ -344,9 +414,14 @@ def build_server(offline: bool = False) -> OpenIntelServer:
         except Exception as e:  # pragma: no cover
             print(f"warning: x pulse disabled: {e}", file=sys.stderr)
     return OpenIntelServer(
-        social=social, market=market, bars=market, pulse_feed=pulse_feed
+        social=social, market=market, bars=market, pulse_feed=pulse_feed,
+        retriever=retriever, docs=docs,
     )
 
 
-def serve(offline: bool = False) -> None:
-    asyncio.run(serve_stdio(build_server(offline=offline)))
+def serve(
+    offline: bool = False,
+    index: Optional[str] = None,
+    encoder: Optional[str] = None,
+) -> None:
+    asyncio.run(serve_stdio(build_server(offline=offline, index=index, encoder=encoder)))

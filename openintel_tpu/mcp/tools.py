@@ -207,6 +207,38 @@ async def run_pulse(args: dict[str, Any], feed: InfluencerFeed) -> dict[str, Any
     return {"summary": summary, "report": report.to_dict(), "disclaimer": DISCLAIMER}
 
 
+def run_search_corpus(args: dict[str, Any], retriever, docs=None) -> dict[str, Any]:
+    """Hybrid/bm25/dense retrieval over the server's indexed corpus."""
+    queries = list(args.get("queries") or [])
+    if not queries:
+        raise ValueError("queries must be a non-empty list of strings")
+    k = int(args.get("k") or 10)
+    mode = (args.get("mode") or "hybrid").lower()
+    if mode == "bm25":
+        res = retriever.bm25.search(queries, k=k)
+    elif mode == "dense":
+        res = retriever.dense.search(queries, k=k)
+    elif mode == "hybrid":
+        res = retriever.search(queries, k=k, candidates_per_arm=2 * k)
+    else:
+        raise ValueError("mode must be hybrid, bm25, or dense")
+    results = []
+    for i, q in enumerate(queries):
+        hits = []
+        for d, s in zip(res.ids[i], res.scores[i]):
+            if d < 0:
+                continue
+            hit = {"doc_id": int(d), "score": float(s)}
+            if docs is not None and int(d) < len(docs):
+                hit["text"] = docs[int(d)][:500]
+            hits.append(hit)
+        results.append({"query": q, "hits": hits})
+    return {
+        "summary": f"{len(queries)} queries × top-{k} ({mode})",
+        "results": results,
+    }
+
+
 RISK_FRAMING = (
     "risk_frame is a calculator, not advice — it never recommends taking a trade."
 )

@@ -216,3 +216,33 @@ def test_server_notifications_get_no_response():
     server = make_server()
     resp = run(server.handle({"jsonrpc": "2.0", "method": "notifications/initialized"}))
     assert resp is None
+
+
+def test_search_corpus_tool():
+    from openintel_tpu.mcp.tools import run_search_corpus
+    from openintel_tpu.models.retrievers import HybridRetriever
+
+    docs = ["the quick brown fox", "lazy dogs sleep", "fox dog fox", "markets"]
+    r = HybridRetriever.build(docs, dim=32)
+    out = run_search_corpus({"queries": ["quick fox"], "k": 2}, r, docs)
+    hits = out["results"][0]["hits"]
+    assert hits[0]["doc_id"] in (0, 2) and "text" in hits[0]
+    out_b = run_search_corpus(
+        {"queries": ["lazy dogs"], "mode": "bm25"}, r, docs
+    )
+    assert out_b["results"][0]["hits"][0]["doc_id"] == 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        run_search_corpus({"queries": []}, r, docs)
+    with pytest.raises(ValueError):
+        run_search_corpus({"queries": ["x"], "mode": "nope"}, r, docs)
+
+
+def test_server_tool_specs_gated_on_retriever():
+    from openintel_tpu.mcp.server import OpenIntelServer
+
+    s = OpenIntelServer(social=[], market=None)
+    assert all(t["name"] != "search_corpus" for t in s.tool_specs)
+    s2 = OpenIntelServer(social=[], market=None, retriever=object())
+    assert any(t["name"] == "search_corpus" for t in s2.tool_specs)
