@@ -110,6 +110,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--encoder", default=None,
         help="embed queries with a trained encoder checkpoint dir",
     )
+    p.add_argument(
+        "--rerank", default=None,
+        help="re-score the top candidates with a cross-encoder checkpoint dir",
+    )
 
     p = sub.add_parser("index", help="build a hybrid index from a corpus file")
     p.add_argument("corpus", help="text file, one document per line")
@@ -137,6 +141,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--depth", type=int, default=4)
     p.add_argument("--heads", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--reranker", action="store_true",
+        help="also train a cross-encoder reranker into the checkpoint dir",
+    )
 
     p = sub.add_parser("setup", help="guided credential setup with live verify")
     p.add_argument("source", choices=["reddit", "bluesky", "x"])
@@ -383,6 +391,21 @@ def run_search(args) -> tuple[str, int]:
             queries, k=args.k, candidates_per_arm=2 * args.k
         )
 
+    if getattr(args, "rerank", None):
+        if docs is None:
+            return "error: --rerank needs the index's .docs.txt sidecar", 1
+        from openintel_tpu.models.reranker import load_reranker
+
+        rr = load_reranker(args.rerank)
+        cand_texts = [
+            [docs[int(d)] if d >= 0 else "" for d in res.ids[i]]
+            for i in range(len(queries))
+        ]
+        scores, ids = rr.rerank(queries, cand_texts, res.ids)
+        from openintel_tpu.models.retrievers import SearchResult
+
+        res = SearchResult(ids=ids, scores=scores)
+
     if args.format == "json":
         payload = [
             {
@@ -443,6 +466,18 @@ def run_train(args) -> tuple[str, int]:
         f"checkpoint already at step {res.step}; nothing to do"
     )
     logs.append(f"checkpoint: {args.out}/encoder.npz (resumable)")
+    if args.reranker:
+        from openintel_tpu.models.reranker import save_reranker, train_reranker
+
+        rr, rl = train_reranker(
+            texts, cfg, steps=max(10, args.steps // 2), lr=args.lr,
+            seed=args.seed,
+        )
+        save_reranker(rr, args.out)
+        logs.append(
+            f"reranker trained ({len(rl)} steps, final loss {rl[-1]:.4f}) -> "
+            f"{args.out}/reranker.npz"
+        )
     return "\n".join(logs) + "\n", 0
 
 

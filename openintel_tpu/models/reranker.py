@@ -1,0 +1,196 @@
+"""Cross-encoder reranker: the second stage of production retrieval.
+
+First-stage retrieval (BM25/dense/hybrid) optimises recall over millions of
+docs; the reranker re-scores the top candidates with full query-document
+interaction — one transformer pass over the CONCATENATED (query, doc) token
+sequence per pair, so every query token attends to every doc token. This is
+the standard two-stage stack (reference for the pattern: cross-encoders in
+the retrieval literature; the reference CLI's analogue is the swappable
+PostAnalyzer port, src/domain/ports/post_analyzer.rs:60-63).
+
+Reuses the encoder trunk (models/encoder.py) with a scalar scoring head;
+trained with listwise softmax cross-entropy over a candidate set containing
+one positive. Batched on device: (B*k) pairs in one jitted forward.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openintel_tpu.models.encoder import (
+    EncoderConfig,
+    NeuralEmbedder,
+    encode,
+    init_params,
+)
+
+SEP_ID = 1  # reserved separator token between query and doc segments
+
+
+def init_rerank_head(key: jax.Array, cfg: EncoderConfig) -> dict:
+    return {
+        "w": jax.random.normal(key, (cfg.dim, 1)) * cfg.dim**-0.5,
+        "b": jnp.zeros(1),
+    }
+
+
+def rerank_scores(params, head, cfg, pair_ids, pair_mask):
+    """(P, S) concatenated query[SEP]doc token ids -> (P,) relevance scores."""
+    e = encode(params, cfg, pair_ids, pair_mask)  # (P, dim), unit-norm pooled
+    return (e @ head["w"])[:, 0] + head["b"][0]
+
+
+def listwise_loss(params, head, cfg, pair_ids, pair_mask, k: int):
+    """Softmax CE over each query's k candidates; positive at slot 0."""
+    s = rerank_scores(params, head, cfg, pair_ids, pair_mask).reshape(-1, k)
+    return -jnp.mean(jax.nn.log_softmax(s, axis=1)[:, 0])
+
+
+class CrossEncoderReranker:
+    """Host-facing reranker over raw texts; drop onto any SearchResult."""
+
+    def __init__(
+        self,
+        cfg: Optional[EncoderConfig] = None,
+        params: Optional[dict] = None,
+        head: Optional[dict] = None,
+        seed: int = 0,
+    ):
+        self.cfg = cfg or EncoderConfig()
+        key = jax.random.PRNGKey(seed)
+        self.params = (
+            params if params is not None else init_params(key, self.cfg)
+        )
+        self.head = (
+            head if head is not None else init_rerank_head(key, self.cfg)
+        )
+        self._embedder = NeuralEmbedder(self.cfg, params={})  # tokenizer only
+        self._score = jax.jit(
+            lambda p, h, ids, m: rerank_scores(p, h, self.cfg, ids, m)
+        )
+
+    def encode_pairs(
+        self, queries: Sequence[str], docs: Sequence[Sequence[str]]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(query, candidates) -> (B*k, S) padded pair token matrix."""
+        max_len = self.cfg.max_len
+        q_budget = max_len // 4
+        rows = []
+        for q, cands in zip(queries, docs):
+            q_ids, q_mask = self._embedder.tokenize([q])
+            q_row = list(q_ids[0][q_mask[0]][:q_budget])
+            for d in cands:
+                d_ids, d_mask = self._embedder.tokenize([d])
+                d_row = list(d_ids[0][d_mask[0]][: max_len - len(q_row) - 1])
+                rows.append(q_row + [SEP_ID] + d_row)
+        width = 8
+        while width < max(len(r) for r in rows):
+            width *= 2
+        width = min(width, max_len)
+        ids = np.zeros((len(rows), width), np.int32)
+        mask = np.zeros((len(rows), width), bool)
+        for i, r in enumerate(rows):
+            ids[i, : len(r)] = r[:width]
+            mask[i, : len(r)] = True
+        return ids, mask
+
+    def rerank(
+        self,
+        queries: Sequence[str],
+        candidate_texts: Sequence[Sequence[str]],
+        candidate_ids: np.ndarray,  # (B, k) first-stage ids (-1 padded)
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Re-score and re-order first-stage candidates.
+
+        Returns (scores (B, k), ids (B, k)) sorted by reranker score
+        descending; -1-padded slots stay at the tail."""
+        b = len(queries)
+        k = candidate_ids.shape[1]
+        ids_m, mask_m = self.encode_pairs(queries, candidate_texts)
+        s = np.asarray(self._score(self.params, self.head, ids_m, mask_m))
+        s = s.reshape(b, k)
+        s = np.where(candidate_ids >= 0, s, -np.inf)  # padding stays last
+        order = np.argsort(-s, axis=1, kind="stable")
+        out_ids = np.take_along_axis(candidate_ids, order, axis=1)
+        out_s = np.take_along_axis(s, order, axis=1)
+        return np.where(np.isfinite(out_s), out_s, 0.0), out_ids
+
+
+def save_reranker(rr: CrossEncoderReranker, ckpt_dir) -> None:
+    from openintel_tpu.models.checkpoint import save_params
+
+    save_params(
+        {"params": rr.params, "head": rr.head},
+        __import__("pathlib").Path(ckpt_dir) / "reranker",
+        config=rr.cfg,
+    )
+
+
+def load_reranker(ckpt_dir) -> CrossEncoderReranker:
+    from pathlib import Path
+
+    from openintel_tpu.models.checkpoint import load_meta, load_params
+
+    path = Path(ckpt_dir) / "reranker"
+    meta = load_meta(path)
+    cfg = EncoderConfig(**meta["config"]) if "config" in meta else EncoderConfig()
+    rr = CrossEncoderReranker(cfg)
+    tree = load_params({"params": rr.params, "head": rr.head}, path)
+    rr.params, rr.head = tree["params"], tree["head"]
+    return rr
+
+
+def train_reranker(
+    texts: Sequence[str],
+    cfg: Optional[EncoderConfig] = None,
+    *,
+    steps: int = 30,
+    k: int = 4,
+    batch_queries: int = 8,
+    lr: float = 1e-3,
+    seed: int = 0,
+):
+    """Self-supervised listwise training: for each sampled doc, the query is
+    a token subset; candidates = [positive, k-1 random negatives]."""
+    import optax
+
+    cfg = cfg or EncoderConfig()
+    rr = CrossEncoderReranker(cfg, seed=seed)
+    tx = optax.adamw(lr)
+    trainable = {"params": rr.params, "head": rr.head}
+    opt_state = tx.init(trainable)
+
+    @jax.jit
+    def step_fn(tr, opt_state, ids, mask):
+        def loss_fn(tr):
+            return listwise_loss(tr["params"], tr["head"], cfg, ids, mask, k)
+
+        loss, grads = jax.value_and_grad(loss_fn)(tr)
+        updates, opt_state = tx.update(grads, opt_state, tr)
+        return optax.apply_updates(tr, updates), opt_state, loss
+
+    rng = np.random.default_rng(seed)
+    losses = []
+    for _ in range(steps):
+        queries, cands = [], []
+        for _ in range(batch_queries):
+            pos = int(rng.integers(0, len(texts)))
+            toks = texts[pos].split()
+            take = max(1, min(len(toks), int(rng.integers(1, 5))))
+            queries.append(" ".join(rng.choice(toks, size=take, replace=False)))
+            negs = []
+            while len(negs) < k - 1:
+                cand = texts[int(rng.integers(0, len(texts)))]
+                if cand != texts[pos]:  # a duplicate positive is label noise
+                    negs.append(cand)
+            cands.append([texts[pos]] + negs)
+        ids, mask = rr.encode_pairs(queries, cands)
+        trainable, opt_state, loss = step_fn(trainable, opt_state, ids, mask)
+        losses.append(float(loss))
+    rr.params, rr.head = trainable["params"], trainable["head"]
+    return rr, losses
