@@ -39,8 +39,14 @@ def main() -> None:
     on_tpu = backend not in ("cpu",)
     log(f"backend: {backend}; devices: {jax.devices()}")
 
+    import os
+
     # Shard of the 10M-doc target: 1.25M docs/chip on TPU; small on CPU.
-    n_docs = 1_250_000 if on_tpu else 20_000
+    # BENCH_DOCS overrides (e.g. 10_000_000 fits one v5e chip in bf16 for a
+    # single-chip capacity run: 7.7 GB corpus + plans).
+    n_docs = int(os.environ.get("BENCH_DOCS", 0)) or (
+        1_250_000 if on_tpu else 20_000
+    )
     dim = 384
     batch = 256 if on_tpu else 32
     n_batches = 16 if on_tpu else 2
@@ -73,6 +79,7 @@ def main() -> None:
         lambda e: pad_corpus_t(jnp.transpose(e), block_c)
     )(emb_dev)
     jax.block_until_ready(emb_t_dev)
+    emb_dev.delete()  # only the transposed copy is needed on device
     log(f"dense index: {emb.nbytes/1e9:.2f} GB f32 host ({time.time()-t0:.1f}s)")
 
     # Queries: mid-frequency terms (log-uniform rank 50..vocab) + embeddings
