@@ -26,3 +26,15 @@ from openintel_tpu.errors import (  # noqa: F401
     NoData,
     SourceFailure,
 )
+
+
+def __getattr__(name):  # lazy convenience exports (avoid importing jax early)
+    if name in ("BM25Retriever", "DenseRetriever", "HybridRetriever"):
+        from openintel_tpu.models import retrievers
+
+        return getattr(retrievers, name)
+    if name == "CrossEncoderReranker":
+        from openintel_tpu.models.reranker import CrossEncoderReranker
+
+        return CrossEncoderReranker
+    raise AttributeError(f"module 'openintel_tpu' has no attribute {name!r}")
