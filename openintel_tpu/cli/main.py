@@ -398,7 +398,10 @@ def run_search(args) -> tuple[str, int]:
 
         rr = load_reranker(args.rerank)
         cand_texts = [
-            [docs[int(d)] if d >= 0 else "" for d in res.ids[i]]
+            [
+                docs[int(d)] if 0 <= d < len(docs) else ""
+                for d in res.ids[i]
+            ]
             for i in range(len(queries))
         ]
         scores, ids = rr.rerank(queries, cand_texts, res.ids)
@@ -414,7 +417,11 @@ def run_search(args) -> tuple[str, int]:
                     {
                         "doc_id": int(d),
                         "score": float(s),
-                        **({"text": docs[int(d)]} if docs and d >= 0 else {}),
+                        **(
+                            {"text": docs[int(d)]}
+                            if docs and 0 <= d < len(docs)  # stale sidecar guard
+                            else {}
+                        ),
                     }
                     for d, s in zip(res.ids[i], res.scores[i])
                     if d >= 0
@@ -429,7 +436,9 @@ def run_search(args) -> tuple[str, int]:
         for rank, (d, s) in enumerate(zip(res.ids[i], res.scores[i]), 1):
             if d < 0:
                 continue
-            snippet = f"  {docs[int(d)][:100]}" if docs else ""
+            snippet = (
+                f"  {docs[int(d)][:100]}" if docs and 0 <= d < len(docs) else ""
+            )
             lines.append(f"  {rank:2d}. doc {int(d)}  score {float(s):.4f}{snippet}")
         lines.append("")
     return "\n".join(lines), 0

@@ -68,7 +68,13 @@ class SetupIo:
         if self.read_secret is None:
             import getpass
 
-            self.read_secret = lambda: getpass.getpass("")
+            def _read_secret() -> str:
+                try:
+                    return getpass.getpass("")
+                except EOFError:  # Ctrl-D at a hidden prompt: graceful abort
+                    return ""
+
+            self.read_secret = _read_secret
 
 
 async def _probe_reddit(client_id: str, client_secret: str) -> None:

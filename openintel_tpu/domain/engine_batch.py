@@ -88,7 +88,13 @@ def aggregate_batch(
 ) -> BatchReport:
     """Fuse a batch of ticker signal sets in one device program."""
     valid = signals.valid
-    pol = jnp.where(valid, jnp.clip(signals.polarity, -1.0, 1.0), 0.0)
+    # clamp [-1, 1] AND collapse NaN to 0 — Polarity's exact rule (the pure
+    # engine's value object does this in __post_init__; parity is promised)
+    pol = jnp.where(
+        valid & ~jnp.isnan(signals.polarity),
+        jnp.clip(signals.polarity, -1.0, 1.0),
+        0.0,
+    )
     spec = jnp.logical_and(signals.speculative, valid)
 
     total = jnp.sum(valid, axis=1).astype(jnp.int32)  # (B,)

@@ -278,7 +278,13 @@ class OpenIntelServer:
         msg_id = message.get("id")
         method = message.get("method")
         if method is None:
-            return None
+            if msg_id is None:
+                return None
+            return {  # a request with an id MUST get a response
+                "jsonrpc": "2.0",
+                "id": msg_id,
+                "error": {"code": -32600, "message": "invalid request: no method"},
+            }
         if msg_id is None:  # notification (e.g. notifications/initialized)
             return None
         try:

@@ -194,8 +194,8 @@ async def run_pulse(args: dict[str, Any], feed: InfluencerFeed) -> dict[str, Any
         args["ticker"],
         args.get("accounts") or [],
         args.get("keywords") or [],
-        args.get("hours_back") or 24,
-        args.get("limit") or 20,
+        24 if args.get("hours_back") is None else args["hours_back"],
+        20 if args.get("limit") is None else args["limit"],
         feed,
         dt.datetime.now(dt.timezone.utc),
     )

@@ -184,10 +184,16 @@ def train_reranker(
             take = max(1, min(len(toks), int(rng.integers(1, 5))))
             queries.append(" ".join(rng.choice(toks, size=take, replace=False)))
             negs = []
-            while len(negs) < k - 1:
+            for _ in range(20 * k):  # bounded: degenerate corpora can't hang
+                if len(negs) >= k - 1:
+                    break
                 cand = texts[int(rng.integers(0, len(texts)))]
                 if cand != texts[pos]:  # a duplicate positive is label noise
                     negs.append(cand)
+            if len(negs) < k - 1:
+                raise ValueError(
+                    "reranker training needs >= 2 distinct documents"
+                )
             cands.append([texts[pos]] + negs)
         ids, mask = rr.encode_pairs(queries, cands)
         trainable, opt_state, loss = step_fn(trainable, opt_state, ids, mask)

@@ -101,6 +101,12 @@ def train_encoder(
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    # checkpoint already at/past the request: no-op — crucially, do NOT
+    # rewrite the meta with a smaller step (that would corrupt provenance
+    # and make a later longer run retrain on already-trained params)
+    if start_step >= steps:
+        return TrainResult(params=params, losses=[], step=start_step)
+
     rng = np.random.default_rng(seed + start_step)
     losses: list[float] = []
     step = start_step
