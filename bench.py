@@ -68,18 +68,26 @@ def main() -> None:
     rng = np.random.default_rng(1)
     emb = rng.standard_normal((n_docs, dim), dtype=np.float32)
     emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
-    emb_dev = jax.device_put(jnp.asarray(emb, jnp.bfloat16 if on_tpu else jnp.float32))
     # Production dense layout: (D, N) so the Pallas fast kernel's matmul is
     # MXU-native (no per-block transpose), pre-padded to the corpus block
-    # size so the hot path never copies the corpus. Once, at index load.
-    from openintel_tpu.ops.pallas.dense_topk import pad_corpus_t
-
+    # size so the hot path never copies the corpus. Transpose/pad/cast on the
+    # HOST and push exactly one device copy — a device-side transpose would
+    # briefly hold 2x the corpus in HBM (OOM at 10M docs).
     block_c = 4096
-    emb_t_dev = jax.jit(
-        lambda e: pad_corpus_t(jnp.transpose(e), block_c)
-    )(emb_dev)
+    if on_tpu:
+        import ml_dtypes
+
+        unit = 4 * block_c
+        n_pad = -(-n_docs // unit) * unit
+        emb_t = np.zeros((dim, n_pad), dtype=ml_dtypes.bfloat16)
+        emb_t[:, :n_docs] = emb.T.astype(ml_dtypes.bfloat16)
+        emb_t_dev = jax.device_put(jnp.asarray(emb_t))
+        del emb_t
+    else:
+        from openintel_tpu.ops.pallas.dense_topk import pad_corpus_t
+
+        emb_t_dev = pad_corpus_t(jnp.asarray(emb.T), block_c)
     jax.block_until_ready(emb_t_dev)
-    emb_dev.delete()  # only the transposed copy is needed on device
     log(f"dense index: {emb.nbytes/1e9:.2f} GB f32 host ({time.time()-t0:.1f}s)")
 
     # Queries: mid-frequency terms (log-uniform rank 50..vocab) + embeddings
