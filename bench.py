@@ -160,7 +160,7 @@ def main() -> None:
         acc, outs = jax.lax.scan(body, jnp.int32(0), (qbs, pdis, pws))
         return acc, outs
 
-    def timeit(mode, reps=3):
+    def timeit(mode, reps=8):  # min-of-N rides out tunnel/ambient jitter
         acc, outs = run_batches(emb_t_dev, q_dev, pdi_dev, pw_dev, mode=mode)
         _ = int(acc)  # device->host sync (block_until_ready alone is lazy here)
         best = float("inf")
