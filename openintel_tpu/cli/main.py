@@ -492,6 +492,15 @@ def run_train(args) -> tuple[str, int]:
 
 def main(argv: Optional[list[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+    try:
+        return _dispatch(args)
+    except FileNotFoundError as e:
+        # missing corpus/index/checkpoint paths: friendly error, not traceback
+        print(f"error: file not found: {e.filename or e}", file=sys.stderr)
+        return 1
+
+
+def _dispatch(args) -> int:
     if args.command == "analyze":
         out, code = run_analyze(args)
     elif args.command == "scan":

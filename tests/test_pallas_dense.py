@@ -94,6 +94,29 @@ def test_fast_kernel_non_divisible_corpus_ids_in_range():
     assert _recall(ids, ref_ids) >= 0.9
 
 
+def test_fast_kernel_fuzz_shapes():
+    """Sweep odd corpus sizes, dims, batch sizes, and ks against the oracle."""
+    import itertools
+
+    from openintel_tpu.ops.pallas.dense_topk import dense_topk_fast
+
+    rng_cases = [
+        (517, 32, 2, 3, 128),
+        (1024, 64, 5, 16, 128),
+        (2000, 16, 7, 1, 256),
+        (130, 48, 1, 4, 128),
+    ]
+    for i, (n, d, b, k, bc) in enumerate(rng_cases):
+        emb = synthetic_embeddings(n, dim=d, seed=100 + i)
+        q, _ = synthetic_query_embeddings(emb, b, seed=200 + i)
+        vals, ids = dense_topk_fast(emb.T, q, k=k, block_c=bc, interpret=True)
+        ids = np.asarray(ids)
+        assert ids.shape == (b, k)
+        assert ids.max() < n
+        ref_vals, ref_ids = ref.cosine_topk(emb, q, k)
+        assert _recall(ids, ref_ids) >= 0.8, (n, d, b, k, bc)
+
+
 def test_fast_kernel_query_batch_padding_sliced():
     from openintel_tpu.ops.pallas.dense_topk import dense_topk_fast
 
