@@ -341,6 +341,7 @@ def run_index(args) -> tuple[str, int]:
         save_postings(postings, f"{args.out}.postings.npz")
         save_dense(dense_idx, f"{args.out}.dense.npz")
         Path(f"{args.out}.docs.txt").write_text("\n".join(texts))
+        _write_index_meta(args.out, args.encoder, args.dim)
         return (
             f"indexed {len(texts)} docs (checkpointed in {args.resume_dir}) -> "
             f"{args.out}.postings.npz + {args.out}.dense.npz\n",
@@ -351,6 +352,7 @@ def run_index(args) -> tuple[str, int]:
     )
     save_postings(model.bm25.index, f"{args.out}.postings.npz")
     save_dense(model.dense.index, f"{args.out}.dense.npz")
+    _write_index_meta(args.out, args.encoder, args.dim)
     Path(f"{args.out}.docs.txt").write_text("\n".join(texts))
     return (
         f"indexed {len(texts)} docs -> {args.out}.postings.npz + "
@@ -358,6 +360,39 @@ def run_index(args) -> tuple[str, int]:
         f"{', bf16' if args.bf16 else ''})\n",
         0,
     )
+
+
+def _write_index_meta(prefix: str, encoder: Optional[str], dim: int) -> None:
+    """Record how the dense index was embedded, so query time can't silently
+    mismatch (neural-embedded docs scored against hashed queries rank
+    garbage in the dense arm)."""
+    from pathlib import Path
+
+    Path(f"{prefix}.meta.json").write_text(
+        json.dumps({"embedder": "neural" if encoder else "hashing", "dim": dim})
+    )
+
+
+def check_index_meta(prefix: str, encoder: Optional[str]) -> Optional[str]:
+    """Returns an error message when the index needs --encoder and none (or
+    the wrong kind) was given; None when consistent or unknown (old index)."""
+    from pathlib import Path
+
+    p = Path(f"{prefix}.meta.json")
+    if not p.exists():
+        return None
+    meta = json.loads(p.read_text())
+    if meta.get("embedder") == "neural" and not encoder:
+        return (
+            "error: this index was embedded with a trained encoder — pass "
+            "--encoder CKPT_DIR (dense scores are meaningless otherwise)"
+        )
+    if meta.get("embedder") == "hashing" and encoder:
+        return (
+            "error: this index was embedded with the hashing embedder — "
+            "drop --encoder or rebuild the index with it"
+        )
+    return None
 
 
 def run_search(args) -> tuple[str, int]:
@@ -370,6 +405,9 @@ def run_search(args) -> tuple[str, int]:
         HybridRetriever,
     )
 
+    err = check_index_meta(args.index, getattr(args, "encoder", None))
+    if err:
+        return err, 1
     postings = load_postings(f"{args.index}.postings.npz")
     dense = load_dense(f"{args.index}.dense.npz")
     docs_path = Path(f"{args.index}.docs.txt")
@@ -524,7 +562,11 @@ def _dispatch(args) -> int:
     elif args.command == "mcp":
         from openintel_tpu.mcp.server import serve
 
-        serve(offline=args.offline, index=args.index, encoder=args.encoder)
+        try:
+            serve(offline=args.offline, index=args.index, encoder=args.encoder)
+        except RuntimeError as e:  # composition errors (e.g. index/encoder mismatch)
+            print(f"error: {e}", file=sys.stderr)
+            return 1
         return 0
     else:  # pragma: no cover
         out, code = f"unknown command {args.command}", 2

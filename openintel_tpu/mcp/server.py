@@ -367,9 +367,13 @@ async def serve_stdio(server: OpenIntelServer) -> None:
 def _load_retriever(index_prefix: str, encoder_dir: Optional[str] = None):
     from pathlib import Path
 
+    from openintel_tpu.cli.main import check_index_meta
     from openintel_tpu.index.checkpoint import load_dense, load_postings
     from openintel_tpu.models.retrievers import HybridRetriever
 
+    err = check_index_meta(index_prefix, encoder_dir)
+    if err:
+        raise RuntimeError(err.removeprefix("error: "))
     postings = load_postings(f"{index_prefix}.postings.npz")
     dense = load_dense(f"{index_prefix}.dense.npz")
     embedder = None
