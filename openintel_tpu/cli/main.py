@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
     sub = parser.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("analyze", help="analyze one ticker")
+    p.add_argument(
+        "--analyzer", default=None, metavar="CKPT_DIR",
+        help="score posts with a trained neural analyzer instead of the lexicon",
+    )
     p.add_argument("ticker")
     _add_source_flags(p)
 
@@ -145,6 +149,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--reranker", action="store_true",
         help="also train a cross-encoder reranker into the checkpoint dir",
     )
+    p.add_argument(
+        "--analyzer", action="store_true",
+        help="also distill the lexicon analyzer into a neural head",
+    )
 
     p = sub.add_parser("setup", help="guided credential setup with live verify")
     p.add_argument("source", choices=["reddit", "bluesky", "x"])
@@ -178,8 +186,13 @@ def run_analyze(args) -> tuple[str, int]:
         limit=config.limit,
         engine=config.engine,
     )
+    analyzer = None
+    if getattr(args, "analyzer", None):
+        from openintel_tpu.models.neural_analyzer import load_analyzer
+
+        analyzer = load_analyzer(args.analyzer)
     try:
-        report = asyncio.run(analyze(req, social, market))
+        report = asyncio.run(analyze(req, social, market, analyzer=analyzer))
     except Exception as e:
         return f"error: {e}", 1
     if config.format is OutputFormat.JSON:
@@ -513,6 +526,21 @@ def run_train(args) -> tuple[str, int]:
         f"checkpoint already at step {res.step}; nothing to do"
     )
     logs.append(f"checkpoint: {args.out}/encoder.npz (resumable)")
+    if args.analyzer:
+        from openintel_tpu.models.neural_analyzer import (
+            save_analyzer,
+            train_neural_analyzer,
+        )
+
+        an, al = train_neural_analyzer(
+            texts, cfg, params=res.params, steps=max(20, args.steps),
+            seed=args.seed,
+        )
+        save_analyzer(an, args.out)
+        logs.append(
+            f"analyzer head distilled ({len(al)} steps, final loss "
+            f"{al[-1]:.4f}) -> {args.out}/analyzer.npz"
+        )
     if args.reranker:
         from openintel_tpu.models.reranker import save_reranker, train_reranker
 
