@@ -169,7 +169,8 @@ def main() -> None:
             acc, outs = run_batches(emb_t_dev, q_dev, pdi_dev, pw_dev, mode=mode)
             _ = int(acc)
             best = min(best, time.time() - t0)
-        per_batch = max(best - 0.03, 1e-9) / n_batches  # subtract tunnel RTT
+        # remote tunnel adds ~30ms dispatch RTT per call; local backends don't
+        per_batch = max(best - (0.03 if on_tpu else 0.0), 1e-9) / n_batches
         return per_batch, outs
 
     per_dense, outs_d = timeit("dense")
@@ -209,7 +210,7 @@ def main() -> None:
                 t0 = time.time()
                 _ = int(run_small(emb_t_dev, q2, p2, w2))
                 best = min(best, time.time() - t0)
-            per = max(best - 0.03, 1e-9) / nb2
+            per = max(best - (0.03 if on_tpu else 0.0), 1e-9) / nb2
             log(
                 f"hybrid b={small:4d}: {per*1e3:8.3f} ms/batch "
                 f"{small/per:>12,.0f} QPS (scaling vs b={batch}: "

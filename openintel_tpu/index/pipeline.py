@@ -71,15 +71,32 @@ def build_index_checkpointed(
     ckpt_dir = Path(ckpt_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     n_chunks = max(1, -(-len(texts) // chunk_docs))
+    emb_id = (
+        f"{type(embedder).__name__}:{getattr(embedder, 'dim', '?')}"
+        if embedder is not None
+        else "none"
+    )
     meta_p = ckpt_dir / "meta.json"
     if meta_p.exists():
         meta = json.loads(meta_p.read_text())
         assert meta["n_docs"] == len(texts) and meta["chunk_docs"] == chunk_docs, (
             "checkpoint dir belongs to a different corpus/chunking"
         )
+        # a resume with a different embedder would silently mix embedding
+        # spaces across chunks — refuse
+        assert meta.get("embedder", emb_id) == emb_id, (
+            f"checkpoint dir was built with embedder {meta.get('embedder')!r}, "
+            f"resume requested {emb_id!r}"
+        )
     else:
         meta_p.write_text(
-            json.dumps({"n_docs": len(texts), "chunk_docs": chunk_docs})
+            json.dumps(
+                {
+                    "n_docs": len(texts),
+                    "chunk_docs": chunk_docs,
+                    "embedder": emb_id,
+                }
+            )
         )
 
     for i in range(n_chunks):

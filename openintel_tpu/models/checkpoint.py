@@ -29,17 +29,24 @@ def _flatten(tree) -> dict:
 
 
 def save_params(tree, path: str | Path, config=None, step: int | None = None):
-    """Serialise a param pytree (and optional dataclass config + step)."""
+    """Serialise a param pytree (and optional dataclass config + step).
+
+    Writes are atomic (tmp + rename, npz before meta) so an interrupted run
+    never leaves a truncated checkpoint or params newer than their meta."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    np.savez(path, **_flatten(tree))
+    tmp = path.with_suffix(".tmp.npz")
+    np.savez(tmp, **_flatten(tree))
+    tmp.rename(path.with_suffix(".npz"))
     meta = {}
     if config is not None:
         meta["config"] = asdict(config)
     if step is not None:
         meta["step"] = step
     if meta:
-        path.with_suffix(".json").write_text(json.dumps(meta))
+        tmp_meta = path.with_suffix(".tmp.json")
+        tmp_meta.write_text(json.dumps(meta))
+        tmp_meta.rename(path.with_suffix(".json"))
 
 
 def load_params(template, path: str | Path):

@@ -71,6 +71,7 @@ def train_neural_analyzer(
     steps: int = 60,
     lr: float = 3e-3,
     seed: int = 0,
+    batch_size: int = 64,
 ) -> tuple[NeuralAnalyzer, list[float]]:
     """Distill the lexicon analyzer into the neural head (trunk frozen when
     ``params`` given, e.g. a retrieval-trained encoder)."""
@@ -84,25 +85,36 @@ def train_neural_analyzer(
     )
     head = init_analyzer_head(jax.random.PRNGKey(seed + 1), cfg)
     emb = NeuralEmbedder(cfg, params={})
-    ids, mask = emb.tokenize(texts)
     signals = lexicon_score(list(texts))
-    tp = jnp.asarray([float(s.polarity.value) for s in signals])
-    ts = jnp.asarray([1.0 if s.speculative else 0.0 for s in signals])
+    pol = np.array([float(s.polarity.value) for s in signals], np.float32)
+    spec = np.array(
+        [1.0 if s.speculative else 0.0 for s in signals], np.float32
+    )
 
     tx = optax.adamw(lr)
     opt_state = tx.init(head)
 
     @jax.jit
-    def step_fn(head, opt_state):
+    def step_fn(head, opt_state, ids, mask, tp, ts):
         loss, grads = jax.value_and_grad(
             lambda h: distill_loss(params, h, cfg, ids, mask, tp, ts)
         )(head)
         updates, opt_state = tx.update(grads, opt_state, head)
         return optax.apply_updates(head, updates), opt_state, loss
 
+    # mini-batched: a full-corpus forward would bake (N, S) into the jit and
+    # OOM at realistic corpus sizes
+    rng = np.random.default_rng(seed)
+    bsz = min(batch_size, len(texts))
     losses = []
     for _ in range(steps):
-        head, opt_state, loss = step_fn(head, opt_state)
+        idx = rng.integers(0, len(texts), size=bsz)
+        # tokenize() already pads to pow2 length buckets (bounded retraces)
+        ids, mask = emb.tokenize([texts[i] for i in idx])
+        head, opt_state, loss = step_fn(
+            head, opt_state, jnp.asarray(ids), jnp.asarray(mask),
+            jnp.asarray(pol[idx]), jnp.asarray(spec[idx]),
+        )
         losses.append(float(loss))
     return NeuralAnalyzer(cfg, params, head), losses
 

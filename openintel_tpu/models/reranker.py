@@ -62,12 +62,12 @@ class CrossEncoderReranker:
         seed: int = 0,
     ):
         self.cfg = cfg or EncoderConfig()
-        key = jax.random.PRNGKey(seed)
+        k_trunk, k_head = jax.random.split(jax.random.PRNGKey(seed))
         self.params = (
-            params if params is not None else init_params(key, self.cfg)
+            params if params is not None else init_params(k_trunk, self.cfg)
         )
         self.head = (
-            head if head is not None else init_rerank_head(key, self.cfg)
+            head if head is not None else init_rerank_head(k_head, self.cfg)
         )
         self._embedder = NeuralEmbedder(self.cfg, params={})  # tokenizer only
         self._score = jax.jit(
@@ -122,11 +122,13 @@ class CrossEncoderReranker:
 
 
 def save_reranker(rr: CrossEncoderReranker, ckpt_dir) -> None:
+    from pathlib import Path
+
     from openintel_tpu.models.checkpoint import save_params
 
     save_params(
         {"params": rr.params, "head": rr.head},
-        __import__("pathlib").Path(ckpt_dir) / "reranker",
+        Path(ckpt_dir) / "reranker",
         config=rr.cfg,
     )
 

@@ -84,16 +84,20 @@ def train_encoder(
     cfg = cfg or EncoderConfig()
     embedder = NeuralEmbedder(cfg, params={})  # tokenizer only; params below
     params = init_params(jax.random.PRNGKey(seed), cfg)
+    tx = optax.adamw(lr)
+    opt_state = tx.init(params)
+    state = {"params": params, "opt": opt_state}
+
     start_step = 0
     ckpt_path = Path(ckpt_dir) / "encoder" if ckpt_dir is not None else None
     if ckpt_path is not None and ckpt_path.with_suffix(".npz").exists():
-        params = load_params(params, ckpt_path)
+        # resume BOTH params and optimizer moments — restarting AdamW state
+        # on trained params takes oversized early steps
+        state = load_params(state, ckpt_path)
+        params, opt_state = state["params"], state["opt"]
         start_step = int(load_meta(ckpt_path).get("step", 0))
         if log:
             log(f"resumed from step {start_step}")
-
-    tx = optax.adamw(lr)
-    opt_state = tx.init(params)
 
     @jax.jit
     def step_fn(params, opt_state, batch):
@@ -117,16 +121,27 @@ def train_encoder(
         if log and (step % 10 == 0 or step == steps - 1):
             log(f"step {step}: loss {float(loss):.4f}")
         if ckpt_path is not None and (step + 1) % ckpt_every == 0:
-            save_params(params, ckpt_path, config=cfg, step=step + 1)
+            save_params(
+                {"params": params, "opt": opt_state},
+                ckpt_path, config=cfg, step=step + 1,
+            )
     if ckpt_path is not None:
-        save_params(params, ckpt_path, config=cfg, step=steps)
+        save_params(
+            {"params": params, "opt": opt_state},
+            ckpt_path, config=cfg, step=steps,
+        )
     return TrainResult(params=params, losses=losses, step=steps)
 
 
 def load_embedder(ckpt_dir: str | Path) -> NeuralEmbedder:
     """Reload a trained encoder as a retriever-pluggable embedder."""
+    import optax
+
     ckpt_path = Path(ckpt_dir) / "encoder"
     meta = load_meta(ckpt_path)
     cfg = EncoderConfig(**meta["config"]) if "config" in meta else EncoderConfig()
-    params = load_params(init_params(jax.random.PRNGKey(0), cfg), ckpt_path)
-    return NeuralEmbedder(cfg, params)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    # checkpoints hold {params, opt}; the optimizer pytree structure does not
+    # depend on the learning rate
+    template = {"params": params, "opt": optax.adamw(1e-3).init(params)}
+    return NeuralEmbedder(cfg, load_params(template, ckpt_path)["params"])
