@@ -168,6 +168,41 @@ def test_train_index_search_with_encoder(tmp_path, capsys):
     assert json.loads(out)[0]["hits"][0]["doc_id"] in (0, 3)
 
 
+def test_index_meta_guards_embedder_mismatch(tmp_path, capsys):
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("quick brown fox\nlazy dogs sleep\nfox dog fox\nmore text\n")
+    run_cli(
+        capsys,
+        "train", str(corpus), "--out", str(tmp_path / "ck"),
+        "--steps", "2", "--dim", "32", "--depth", "1", "--heads", "2",
+    )
+    run_cli(
+        capsys,
+        "index", str(corpus), "--out", str(tmp_path / "idx"),
+        "--encoder", str(tmp_path / "ck"),
+    )
+    # neural-embedded index without --encoder: refused with a clear error
+    out, code = run_cli(
+        capsys, "search", "quick fox", "--index", str(tmp_path / "idx")
+    )
+    assert code == 1 and "trained encoder" in out
+    # hashing-embedded index with --encoder: also refused
+    run_cli(capsys, "index", str(corpus), "--out", str(tmp_path / "idx2"), "--dim", "32")
+    out, code = run_cli(
+        capsys,
+        "search", "quick fox", "--index", str(tmp_path / "idx2"),
+        "--encoder", str(tmp_path / "ck"),
+    )
+    assert code == 1 and "hashing" in out
+
+
+def test_missing_index_friendly_error(tmp_path, capsys):
+    out, code = run_cli(
+        capsys, "search", "x", "--index", str(tmp_path / "nope")
+    )
+    assert code == 1  # FileNotFoundError surfaces as a one-line error
+
+
 def test_pulse_not_configured_message(capsys, monkeypatch):
     for var in ("OPENINTEL_X_BEARER",):
         monkeypatch.delenv(var, raising=False)
