@@ -59,3 +59,62 @@ def test_trained_embedder_serves_retrieval(tmp_path):
     r = HybridRetriever.build(TEXTS[:6], embedder=emb, dim=CFG.dim)
     res = r.search(["lazy dog"], k=2)
     assert res.ids.shape == (1, 2) and res.ids[0, 0] in (0, 1)
+
+
+def test_contrastive_training_generalises_past_lexical_overlap():
+    """The hard case an untrained bag-of-embeddings CANNOT solve: queries
+    share a topic with their target docs but ZERO tokens. Contrastive
+    training over token-subset pairs makes co-occurring tokens embed close,
+    so disjoint same-topic bags become near — real representation learning,
+    not lexical matching."""
+    import jax
+
+    from openintel_tpu.models.encoder import NeuralEmbedder, init_params
+
+    rng = np.random.default_rng(7)
+    n_topics = 4
+    # per topic: 4 query-only words + 12 doc words. TRAINING docs mix both
+    # (so co-occurrence can link them); EVAL docs use doc-words only and
+    # eval queries use query-words only -> zero lexical overlap at eval.
+    qwords = [[f"q{t}_{i}" for i in range(4)] for t in range(n_topics)]
+    dwords = [[f"d{t}_{i}" for i in range(12)] for t in range(n_topics)]
+    train_docs = []
+    for t in range(n_topics):
+        for _ in range(16):
+            toks = list(rng.choice(dwords[t], size=6, replace=False)) + list(
+                rng.choice(qwords[t], size=2, replace=False)
+            )
+            rng.shuffle(toks)
+            train_docs.append(" ".join(toks))
+    eval_docs, labels = [], []
+    for t in range(n_topics):
+        for _ in range(8):
+            eval_docs.append(
+                " ".join(rng.choice(dwords[t], size=6, replace=False))
+            )
+            labels.append(t)
+    labels = np.array(labels)
+    queries = []
+    q_topics = []
+    for t in range(n_topics):
+        for _ in range(6):
+            queries.append(" ".join(rng.choice(qwords[t], size=3, replace=False)))
+            q_topics.append(t)
+    q_topics = np.array(q_topics)
+
+    cfg = EncoderConfig(vocab_size=512, dim=32, depth=1, heads=2, max_len=16)
+
+    def topic_precision(embedder):
+        e_d = embedder(eval_docs)
+        e_q = embedder(queries)
+        nn = np.argmax(e_q @ e_d.T, axis=1)
+        return float(np.mean(labels[nn] == q_topics))
+
+    untrained = NeuralEmbedder(cfg, init_params(jax.random.PRNGKey(0), cfg))
+    p_before = topic_precision(untrained)
+    res = train_encoder(train_docs, cfg, steps=100, batch_size=16, lr=3e-3, seed=0)
+    p_after = topic_precision(NeuralEmbedder(cfg, res.params))
+    # chance = 0.25 and eval has ZERO lexical overlap: only learned
+    # co-occurrence structure can beat it
+    assert p_after > p_before + 0.2, (p_before, p_after)
+    assert p_after >= 0.6, (p_before, p_after)
