@@ -99,20 +99,41 @@ def build_index_checkpointed(
             )
         )
 
-    for i in range(n_chunks):
-        path = _chunk_path(ckpt_dir, i)
-        if path.exists():
-            continue
-        lo, hi = i * chunk_docs, min(len(texts), (i + 1) * chunk_docs)
-        chunk = _build_chunk(texts[lo:hi])
+    # Producer/consumer: the host tokenises+counts chunk i+1 in a worker
+    # thread while chunk i embeds (the device-bound stage with a neural
+    # embedder) — host CSR assembly never starves the device (SURVEY.md §7
+    # hard part (c)). One chunk of lookahead bounds memory.
+    import queue
+    import threading
+
+    todo = [
+        i for i in range(n_chunks) if not _chunk_path(ckpt_dir, i).exists()
+    ]
+    chunks_q: "queue.Queue" = queue.Queue(maxsize=1)
+
+    def producer():
+        for i in todo:
+            lo, hi = i * chunk_docs, min(len(texts), (i + 1) * chunk_docs)
+            chunks_q.put((i, lo, hi, _build_chunk(texts[lo:hi])))
+        chunks_q.put(None)
+
+    worker = threading.Thread(target=producer, daemon=True)
+    worker.start()
+    while True:
+        item = chunks_q.get()
+        if item is None:
+            break
+        i, lo, hi, chunk = item
         if embedder is not None:
             chunk["embeddings"] = np.asarray(embedder(texts[lo:hi]), np.float32)
+        path = _chunk_path(ckpt_dir, i)
         tmp = path.with_suffix(".tmp.npz")
         np.savez(tmp, **{k: v for k, v in chunk.items() if k != "tokens"},
                  tokens=chunk["tokens"].astype(str))
         tmp.rename(path)  # atomic: a chunk file is always complete
         if log:
             log(f"chunk {i + 1}/{n_chunks} ({hi - lo} docs) checkpointed")
+    worker.join()
 
     return merge_chunks(ckpt_dir, n_chunks, config=config)
 
