@@ -165,6 +165,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="index path prefix (from `index`): adds the search_corpus tool",
     )
     p.add_argument("--encoder", default=None, help="trained encoder checkpoint dir")
+    p.add_argument(
+        "--rerank", default=None,
+        help="cross-encoder checkpoint dir: search_corpus gains a rerank stage",
+    )
 
     return parser
 
@@ -591,7 +595,10 @@ def _dispatch(args) -> int:
         from openintel_tpu.mcp.server import serve
 
         try:
-            serve(offline=args.offline, index=args.index, encoder=args.encoder)
+            serve(
+                offline=args.offline, index=args.index,
+                encoder=args.encoder, rerank=args.rerank,
+            )
         except RuntimeError as e:  # composition errors (e.g. index/encoder mismatch)
             print(f"error: {e}", file=sys.stderr)
             return 1

@@ -230,6 +230,7 @@ class OpenIntelServer:
         pulse_feed: Optional[InfluencerFeed] = None,
         retriever=None,  # HybridRetriever over an indexed corpus (optional)
         docs: Optional[Sequence[str]] = None,
+        reranker=None,  # CrossEncoderReranker second stage (optional)
     ):
         self.social = list(social)
         self.market = market
@@ -237,6 +238,7 @@ class OpenIntelServer:
         self.pulse_feed = pulse_feed
         self.retriever = retriever
         self.docs = list(docs) if docs is not None else None
+        self.reranker = reranker
 
     @property
     def tool_specs(self) -> list[dict[str, Any]]:
@@ -251,7 +253,9 @@ class OpenIntelServer:
                 raise RuntimeError(
                     "no corpus indexed — start the server with --index PREFIX"
                 )
-            return tools.run_search_corpus(args, self.retriever, self.docs)
+            return tools.run_search_corpus(
+                args, self.retriever, self.docs, self.reranker
+            )
         if name == "list_sources":
             return tools.run_list_sources(self.social, self.market)
         if name == "analyze_ticker":
@@ -390,11 +394,17 @@ def build_server(
     offline: bool = False,
     index: Optional[str] = None,
     encoder: Optional[str] = None,
+    rerank: Optional[str] = None,
 ) -> OpenIntelServer:
     """Composition root (reference: src/mcp/server.rs:171-192)."""
     retriever, docs = (
         _load_retriever(index, encoder) if index else (None, None)
     )
+    reranker = None
+    if rerank and retriever is not None:
+        from openintel_tpu.models.reranker import load_reranker
+
+        reranker = load_reranker(rerank)
     if offline:
         from openintel_tpu.sources.fixtures import MockMarketSource, fixture_social
         from openintel_tpu.sources.yahoo import FixtureBars
@@ -406,6 +416,7 @@ def build_server(
             pulse_feed=None,
             retriever=retriever,
             docs=docs,
+            reranker=reranker,
         )
 
     from openintel_tpu.config.secrets import Credentials
@@ -425,7 +436,7 @@ def build_server(
             print(f"warning: x pulse disabled: {e}", file=sys.stderr)
     return OpenIntelServer(
         social=social, market=market, bars=market, pulse_feed=pulse_feed,
-        retriever=retriever, docs=docs,
+        retriever=retriever, docs=docs, reranker=reranker,
     )
 
 
@@ -433,5 +444,12 @@ def serve(
     offline: bool = False,
     index: Optional[str] = None,
     encoder: Optional[str] = None,
+    rerank: Optional[str] = None,
 ) -> None:
-    asyncio.run(serve_stdio(build_server(offline=offline, index=index, encoder=encoder)))
+    asyncio.run(
+        serve_stdio(
+            build_server(
+                offline=offline, index=index, encoder=encoder, rerank=rerank
+            )
+        )
+    )

@@ -207,8 +207,11 @@ async def run_pulse(args: dict[str, Any], feed: InfluencerFeed) -> dict[str, Any
     return {"summary": summary, "report": report.to_dict(), "disclaimer": DISCLAIMER}
 
 
-def run_search_corpus(args: dict[str, Any], retriever, docs=None) -> dict[str, Any]:
-    """Hybrid/bm25/dense retrieval over the server's indexed corpus."""
+def run_search_corpus(
+    args: dict[str, Any], retriever, docs=None, reranker=None
+) -> dict[str, Any]:
+    """Hybrid/bm25/dense retrieval over the server's indexed corpus, with an
+    optional cross-encoder second stage when the server holds a reranker."""
     queries = list(args.get("queries") or [])
     if not queries:
         raise ValueError("queries must be a non-empty list of strings")
@@ -222,6 +225,17 @@ def run_search_corpus(args: dict[str, Any], retriever, docs=None) -> dict[str, A
         res = retriever.search(queries, k=k, candidates_per_arm=2 * k)
     else:
         raise ValueError("mode must be hybrid, bm25, or dense")
+    reranked = False
+    if reranker is not None and docs is not None:
+        cand_texts = [
+            [docs[int(d)] if 0 <= d < len(docs) else "" for d in res.ids[i]]
+            for i in range(len(queries))
+        ]
+        scores, ids = reranker.rerank(queries, cand_texts, res.ids)
+        from openintel_tpu.models.retrievers import SearchResult
+
+        res = SearchResult(ids=ids, scores=scores)
+        reranked = True
     results = []
     for i, q in enumerate(queries):
         hits = []
@@ -234,7 +248,10 @@ def run_search_corpus(args: dict[str, Any], retriever, docs=None) -> dict[str, A
             hits.append(hit)
         results.append({"query": q, "hits": hits})
     return {
-        "summary": f"{len(queries)} queries × top-{k} ({mode})",
+        "summary": (
+            f"{len(queries)} queries × top-{k} ({mode}"
+            + (", cross-encoder reranked)" if reranked else ")")
+        ),
         "results": results,
     }
 
