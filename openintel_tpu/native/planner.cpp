@@ -92,12 +92,28 @@ int64_t plan_build_range(const int64_t* term_offsets, const int32_t* doc_ids,
     }
 
     if (prune && nt > 1 && multi_budget > 0) {
-      // k-way merge over full postings: exact scores of multi-term docs.
+      // Exact scores of multi-term docs. Every multi-term doc appears in at
+      // least one NON-largest list, so it suffices to k-way merge the
+      // smaller nt-1 lists and binary-search each union doc in the largest —
+      // O(sum small dfs * (T + log df_max)) instead of O(df_max * T), a big
+      // win on the common skewed query (one stop-wordy term + rare terms).
+      size_t big = 0;
+      for (size_t j = 1; j < nt; ++j) {
+        if (term_offsets[terms[j] + 1] - term_offsets[terms[j]] >
+            term_offsets[terms[big] + 1] - term_offsets[terms[big]])
+          big = j;
+      }
+      const int64_t big_lo = term_offsets[terms[big]];
+      const int64_t big_hi = term_offsets[terms[big] + 1];
+      const double big_w =
+          static_cast<double>(idf[terms[big]]) * qtf[big];
+
       cursor.assign(nt, 0);
       std::priority_queue<MultiDoc, std::vector<MultiDoc>, WorstFirst> heap;
       for (;;) {
         int32_t m = INT32_MAX;
         for (size_t j = 0; j < nt; ++j) {
+          if (j == big) continue;
           int64_t lo = term_offsets[terms[j]] + cursor[j];
           if (lo < term_offsets[terms[j] + 1]) m = std::min(m, doc_ids[lo]);
         }
@@ -105,6 +121,7 @@ int64_t plan_build_range(const int64_t* term_offsets, const int32_t* doc_ids,
         int matched = 0;
         double score = 0.0;
         for (size_t j = 0; j < nt; ++j) {
+          if (j == big) continue;
           int64_t lo = term_offsets[terms[j]] + cursor[j];
           if (lo < term_offsets[terms[j] + 1] && doc_ids[lo] == m) {
             score += static_cast<double>(impact[lo]) *
@@ -112,6 +129,13 @@ int64_t plan_build_range(const int64_t* term_offsets, const int32_t* doc_ids,
             cursor[j]++;
             matched++;
           }
+        }
+        // membership in the largest list via binary search
+        const int32_t* pos =
+            std::lower_bound(doc_ids + big_lo, doc_ids + big_hi, m);
+        if (pos != doc_ids + big_hi && *pos == m) {
+          score += static_cast<double>(impact[pos - doc_ids]) * big_w;
+          matched++;
         }
         if (matched >= 2) {
           MultiDoc cand{score, m};
