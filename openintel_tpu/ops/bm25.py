@@ -133,11 +133,13 @@ def build_query_plan(
     rows_ids: list[np.ndarray] = []
     rows_w: list[np.ndarray] = []
     n_term_slots = index.term_offsets.shape[0] - 1
+    max_terms = 1
     for terms in queries_term_ids:
         qtf: dict[int, int] = {}
         for t in terms:
             if 0 < t < n_term_slots:  # drop padding + out-of-vocab ids
                 qtf[t] = qtf.get(t, 0) + 1
+        max_terms = max(max_terms, len(qtf))
         prune = (
             max_postings_per_term is not None
             and any(index.df[t] > max_postings_per_term for t in qtf)
@@ -172,7 +174,7 @@ def build_query_plan(
             if prune:
                 ids, impacts = index.pruned_postings(int(t), max_postings_per_term)
                 if multi_docs is not None and multi_docs.size:
-                    fids, fimp = index.postings(int(t))
+                    fids, fimp = term_data[t]  # fetched during multi scoring
                     forced = np.flatnonzero(
                         np.isin(fids, multi_docs, assume_unique=True)
                     )
@@ -194,12 +196,9 @@ def build_query_plan(
     b = len(rows_ids)
     doc_ids = np.full((b, width), index.n_docs, dtype=np.int32)  # sentinel row
     weights = np.zeros((b, width), dtype=np.float32)
-    max_terms = 1
     for i, (ids, w) in enumerate(zip(rows_ids, rows_w)):
         doc_ids[i, : len(ids)] = ids
         weights[i, : len(w)] = w
-    for terms in queries_term_ids:
-        max_terms = max(max_terms, len({t for t in terms if t > 0}))
     if sort:
         order = np.argsort(doc_ids, axis=1, kind="stable")
         doc_ids = np.take_along_axis(doc_ids, order, axis=1)
@@ -213,7 +212,6 @@ def build_query_plan(
     )
 
 
-@partial(jax.jit, static_argnames=("n_docs", "k", "presorted", "max_run"))
 def bm25_topk_device(
     doc_ids: jax.Array,  # (B, P) int32 with sentinel n_docs padding
     weights: jax.Array,  # (B, P) f32
@@ -238,6 +236,20 @@ def bm25_topk_device(
 
     Returns (vals (B, k) f32, ids (B, k) i32); rows with fewer than k matching
     docs pad with (0.0, -1)."""
+    # normalise max_run to a power of two BEFORE the jit cache lookup: runs of
+    # 5..8 etc. trace to byte-identical programs, so don't compile them apart
+    p = int(doc_ids.shape[1])
+    run = max_run if 0 < max_run <= p else p
+    norm = 1
+    while norm < run:
+        norm *= 2
+    return _bm25_topk_device_jit(
+        doc_ids, weights, n_docs, k, presorted, min(norm, p)
+    )
+
+
+@partial(jax.jit, static_argnames=("n_docs", "k", "presorted", "max_run"))
+def _bm25_topk_device_jit(doc_ids, weights, n_docs, k, presorted, max_run):
     if presorted:
         d, w = doc_ids, weights
     else:

@@ -70,13 +70,20 @@ def _kernel(
     k: int,
     block_c: int,
     n_docs: int,
+    n_queries: int,
 ):
+    i = pl.program_id(0)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
+    tq = run_vals.shape[0]
 
     @pl.when(j == 0)
     def _init():
-        run_vals[:] = jnp.full_like(run_vals, NEG_INF)
+        # Padded query rows seed at +inf so their k-th best is unbeatable and
+        # they can never fire the merge gate (score-0 rows would otherwise
+        # tie 0 >= 0 on every block and run the merge for the whole tile).
+        row = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 0) + i * tq
+        run_vals[:] = jnp.where(row < n_queries, NEG_INF, jnp.inf)
         run_ids[:] = jnp.full_like(run_ids, -1)
 
     # bf16 inputs use the MXU natively (Mosaic rejects HIGHEST for bf16);
@@ -193,7 +200,9 @@ def dense_topk_pallas(
         )
 
     grid = (b_pad // block_q, n_pad // block_c)
-    kernel = functools.partial(_kernel, k=k, block_c=block_c, n_docs=n_docs)
+    kernel = functools.partial(
+        _kernel, k=k, block_c=block_c, n_docs=n_docs, n_queries=b
+    )
 
     out_vals, out_ids = pl.pallas_call(
         kernel,
@@ -366,9 +375,17 @@ def dense_topk_fast(
 
     # As positive floats the packed ints sort identically — feed them straight
     # to the TPU-optimised PartialReduce top-k (approx_max_k); (r, parity)
-    # ride along in the mantissa, (superblock, lane) in the column.
+    # ride along in the mantissa, (superblock, lane) in the column. Corpus
+    # zero-padding packs to score 0 and can occupy up to the last
+    # superblock's 128 candidate slots, shadowing negative-scored real docs;
+    # over-fetch by that many and compact after the id filter. (Residual
+    # caveat: a negative-scored real doc in the last superblock sharing a
+    # 512-doc packing group with padding columns is still masked — strictly
+    # smaller than the group-collision loss already documented.)
+    pad_slots = 128 if doc_emb_t.shape[1] != n_docs else 0
+    k_fetch = min(k + pad_slots, n_super * 128)
     gf = jax.lax.bitcast_convert_type(packed, jnp.float32)
-    fv, pcols = jax.lax.approx_max_k(gf, k, recall_target=0.99)
+    fv, pcols = jax.lax.approx_max_k(gf, k_fetch, recall_target=0.99)
     pvals = jax.lax.bitcast_convert_type(fv, jnp.int32)
     ids = (
         ((pcols // 128) * _FOLD + (pvals & 3)) * block_c  # corpus block
@@ -380,4 +397,10 @@ def dense_topk_fast(
         - _SHIFT
     )
     valid = ids < n_docs  # corpus zero-padding decodes to out-of-range ids
+    if k_fetch > k:  # compact: push padding entries below every real doc
+        key = jnp.where(valid, pvals, jnp.int32(-(2**31)))
+        _, sel = jax.lax.top_k(key, k)
+        ids = jnp.take_along_axis(ids, sel, axis=1)
+        vals = jnp.take_along_axis(vals, sel, axis=1)
+        valid = jnp.take_along_axis(valid, sel, axis=1)
     return jnp.where(valid, vals, 0.0)[:b], jnp.where(valid, ids, -1)[:b]
