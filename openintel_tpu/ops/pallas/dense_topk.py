@@ -377,12 +377,16 @@ def dense_topk_fast(
     # to the TPU-optimised PartialReduce top-k (approx_max_k); (r, parity)
     # ride along in the mantissa, (superblock, lane) in the column. Corpus
     # zero-padding packs to score 0 and can occupy up to the last
-    # superblock's 128 candidate slots, shadowing negative-scored real docs;
-    # over-fetch by that many and compact after the id filter. (Residual
-    # caveat: a negative-scored real doc in the last superblock sharing a
-    # 512-doc packing group with padding columns is still masked — strictly
-    # smaller than the group-collision loss already documented.)
-    pad_slots = 128 if doc_emb_t.shape[1] != n_docs else 0
+    # superblock's 128 candidate slots, shadowing NEGATIVE-scored real docs.
+    # For small corpora (where an all-negative top-k is plausible and the
+    # extra approx width is free) we over-fetch those slots and compact
+    # after the id filter; at production scale the top-k of a real workload
+    # is positive and the over-fetch measurably costs ~3 ms/batch, so the
+    # shadowing caveat is documented instead. (Either way a negative-scored
+    # real doc sharing a 512-doc packing group with padding columns is
+    # masked — strictly smaller than the documented group-collision loss.)
+    padded = doc_emb_t.shape[1] != n_docs
+    pad_slots = 128 if (padded and n_docs <= 262_144) else 0
     k_fetch = min(k + pad_slots, n_super * 128)
     gf = jax.lax.bitcast_convert_type(packed, jnp.float32)
     fv, pcols = jax.lax.approx_max_k(gf, k_fetch, recall_target=0.99)
