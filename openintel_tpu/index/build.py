@@ -52,7 +52,16 @@ def build_postings_index(
             from openintel_tpu import native
 
             raw = native.native_build_postings(texts)
-        except Exception:
+        except (ImportError, OSError, AttributeError) as e:
+            # library missing/stale ABI: degrade to the Python builder, but
+            # never silently — the native path is 12x faster
+            import sys
+
+            print(
+                f"warning: native postings builder unavailable ({e}); "
+                "falling back to the Python builder",
+                file=sys.stderr,
+            )
             raw = None
         if raw is not None:
             term_offsets, doc_ids, tf, doc_len, df, vocab_map = raw

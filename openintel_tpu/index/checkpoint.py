@@ -1,9 +1,18 @@
 """Index checkpointing: serialize built indexes to disk, mmap-reload.
 
 The reference is stateless by design (no persistence in v1 — SURVEY.md §5),
-but a TPU index build is long-running state worth checkpointing: postings,
-impacts, stats and embeddings persist as one .npz (+ vocab sidecar json) and
-reload with ``mmap_mode`` so a 10M-doc index maps lazily instead of copying.
+but a TPU index build is long-running state worth checkpointing. Layout per
+checkpoint ``<base>``:
+
+- ``<base>.npz`` — postings CSR arrays + stats (a few hundred MB at 10M
+  docs; loaded eagerly), with a ``<base>.vocab.json`` sidecar;
+- ``<base>.npz`` + ``<base>.emb.npy`` for the dense index — the embedding
+  matrix lives in a raw ``.npy`` so ``np.load(mmap_mode="r")`` actually maps
+  it lazily (``np.load`` silently IGNORES mmap_mode for .npz members, so
+  multi-GB matrices must not live inside the archive).
+
+All writes are atomic (tmp + rename, arrays before sidecars) and loads
+validate that the vocab sidecar matches the arrays it was saved with.
 """
 
 from __future__ import annotations
@@ -16,14 +25,34 @@ import numpy as np
 from openintel_tpu.index.schema import BM25Config, DenseIndex, PostingsIndex
 from openintel_tpu.ops.tokenizer import Vocab
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
+
+
+def _base(path: str | Path) -> Path:
+    """Normalise '<x>' / '<x>.npz' to the checkpoint base path '<x>' so save
+    and load always derive identical file names (with_suffix would mangle
+    dotted names like 'run.v2')."""
+    s = str(path)
+    return Path(s[: -len(".npz")] if s.endswith(".npz") else s)
+
+
+def _atomic_savez(target: Path, **arrays) -> None:
+    tmp = target.parent / (target.name + ".tmp.npz")
+    np.savez(tmp, **arrays)
+    tmp.rename(target)
 
 
 def save_postings(index: PostingsIndex, path: str | Path) -> None:
-    path = Path(path)
-    path.parent.mkdir(parents=True, exist_ok=True)
-    np.savez(
-        path,
+    base = _base(path)
+    base.parent.mkdir(parents=True, exist_ok=True)
+    # vocab sidecar FIRST, then the arrays atomically: a crash in between
+    # leaves the old npz paired with a new-but-consistent vocab rejected by
+    # the load-time size check below, never a silent mismatch
+    tmp_vocab = base.parent / (base.name + ".vocab.json.tmp")
+    tmp_vocab.write_text(json.dumps(index.vocab.token_to_id))
+    tmp_vocab.rename(base.parent / (base.name + ".vocab.json"))
+    _atomic_savez(
+        base.parent / (base.name + ".npz"),
         term_offsets=index.term_offsets,
         doc_ids=index.doc_ids,
         tf=index.tf,
@@ -31,31 +60,32 @@ def save_postings(index: PostingsIndex, path: str | Path) -> None:
         df=index.df,
         idf=index.idf,
         doc_len=index.doc_len,
-        meta=np.array(
-            [FORMAT_VERSION, index.n_docs], dtype=np.int64
-        ),
+        meta=np.array([FORMAT_VERSION, index.n_docs], dtype=np.int64),
         stats=np.array([index.avgdl, index.config.k1, index.config.b], np.float64),
     )
-    vocab_path = path.with_suffix(".vocab.json")
-    vocab_path.write_text(json.dumps(index.vocab.token_to_id))
 
 
 def load_postings(path: str | Path, *, mmap: bool = True) -> PostingsIndex:
-    path = Path(path)
-    data = np.load(path if path.suffix == ".npz" else path.with_suffix(".npz"),
-                   mmap_mode="r" if mmap else None)
+    base = _base(path)
+    data = np.load(base.parent / (base.name + ".npz"))
     version, n_docs = (int(x) for x in np.asarray(data["meta"]))
-    if version != FORMAT_VERSION:
+    if version not in (1, FORMAT_VERSION):
         raise ValueError(f"unsupported index format version {version}")
     avgdl, k1, b = (float(x) for x in np.asarray(data["stats"]))
     vocab = Vocab(
         token_to_id={
             k: int(v)
             for k, v in json.loads(
-                Path(path).with_suffix(".vocab.json").read_text()
+                (base.parent / (base.name + ".vocab.json")).read_text()
             ).items()
         }
     )
+    if vocab.size != int(data["df"].shape[0]):
+        raise ValueError(
+            f"vocab sidecar ({vocab.size} slots) does not match the postings "
+            f"arrays ({int(data['df'].shape[0])} term slots) — "
+            "stale/mismatched checkpoint pair"
+        )
     return PostingsIndex(
         term_offsets=data["term_offsets"],
         doc_ids=data["doc_ids"],
@@ -71,29 +101,48 @@ def load_postings(path: str | Path, *, mmap: bool = True) -> PostingsIndex:
     )
 
 
+def _is_bf16(dtype) -> bool:
+    import ml_dtypes
+
+    return dtype == np.dtype(ml_dtypes.bfloat16)
+
+
 def save_dense(index: DenseIndex, path: str | Path) -> None:
-    path = Path(path)
-    path.parent.mkdir(parents=True, exist_ok=True)
-    emb = index.embeddings
-    # bfloat16 has no numpy dtype; store as raw uint16 with a flag.
-    is_bf16 = emb.dtype.str not in ("<f4", "<f8", "<f2")
-    np.savez(
-        path,
-        embeddings=np.asarray(emb).view(np.uint16) if is_bf16 else emb,
-        meta=np.array([FORMAT_VERSION, index.n_docs, index.dim, int(is_bf16)], np.int64),
+    base = _base(path)
+    base.parent.mkdir(parents=True, exist_ok=True)
+    emb = np.asarray(index.embeddings)
+    if _is_bf16(emb.dtype):
+        raw, is_bf16 = emb.view(np.uint16), True
+    elif emb.dtype in (np.float32, np.float16, np.float64):
+        raw, is_bf16 = emb, False
+    else:
+        raise TypeError(f"unsupported embedding dtype {emb.dtype}")
+    # the (potentially multi-GB) matrix lives OUTSIDE the npz so load can
+    # genuinely memory-map it
+    tmp = base.parent / (base.name + ".emb.tmp.npy")  # np.save appends .npy otherwise
+    np.save(tmp, raw)
+    tmp.rename(base.parent / (base.name + ".emb.npy"))
+    _atomic_savez(
+        base.parent / (base.name + ".npz"),
+        meta=np.array(
+            [FORMAT_VERSION, index.n_docs, index.dim, int(is_bf16)], np.int64
+        ),
     )
 
 
 def load_dense(path: str | Path, *, mmap: bool = True) -> DenseIndex:
-    path = Path(path)
-    data = np.load(path if path.suffix == ".npz" else path.with_suffix(".npz"),
-                   mmap_mode="r" if mmap else None)
+    base = _base(path)
+    data = np.load(base.parent / (base.name + ".npz"))
     version, n_docs, dim, is_bf16 = (int(x) for x in np.asarray(data["meta"]))
-    if version != FORMAT_VERSION:
+    if version not in (1, FORMAT_VERSION):
         raise ValueError(f"unsupported index format version {version}")
-    emb = data["embeddings"]
+    emb_path = base.parent / (base.name + ".emb.npy")
+    if emb_path.exists():
+        emb = np.load(emb_path, mmap_mode="r" if mmap else None)
+    else:  # version-1 checkpoints kept the matrix inside the npz
+        emb = data["embeddings"]
     if is_bf16:
-        import jax.numpy as jnp
+        import ml_dtypes
 
-        emb = np.asarray(emb).view(jnp.bfloat16.dtype)
+        emb = np.asarray(emb).view(ml_dtypes.bfloat16)
     return DenseIndex(embeddings=emb, n_docs=n_docs, dim=dim)

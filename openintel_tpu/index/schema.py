@@ -64,17 +64,23 @@ class PostingsIndex:
         return self.doc_ids[lo:hi], self.impact[lo:hi]
 
     def ensure_impact_order(self) -> np.ndarray:
-        """Build (or return) the per-term impact-descending permutation."""
+        """Build (or return) the per-term impact-descending permutation.
+
+        One global lexsort keyed (term, -impact, doc) — identical to a
+        per-term lexsort but without V Python-level sort calls (a 30k-term
+        vocab at 1M+ docs stalls the first pruned query for seconds
+        otherwise)."""
         if self.impact_order is None:
-            order = np.empty(self.nnz, dtype=np.int64)
-            for t in range(self.term_offsets.shape[0] - 1):
-                lo, hi = int(self.term_offsets[t]), int(self.term_offsets[t + 1])
-                if hi > lo:
-                    seg = np.lexsort(
-                        (self.doc_ids[lo:hi], -self.impact[lo:hi])
-                    )
-                    order[lo:hi] = seg + lo
-            self.impact_order = order
+            if self.nnz == 0:
+                self.impact_order = np.zeros(0, dtype=np.int64)
+                return self.impact_order
+            seg_lens = np.diff(self.term_offsets).astype(np.int64)
+            term_of = np.repeat(
+                np.arange(seg_lens.shape[0], dtype=np.int64), seg_lens
+            )
+            self.impact_order = np.lexsort(
+                (self.doc_ids, -self.impact, term_of)
+            ).astype(np.int64)
         return self.impact_order
 
     def pruned_postings(

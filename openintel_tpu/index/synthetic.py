@@ -11,6 +11,14 @@ from __future__ import annotations
 import numpy as np
 
 
+def _zipf_probs(vocab_size: int, s: float = 1.1) -> np.ndarray:
+    """Zipf rank probabilities (shared by the token corpus and the direct
+    CSR generator so the two stay statistically equivalent)."""
+    ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
+    probs = 1.0 / ranks**s
+    return probs / probs.sum()
+
+
 def synthetic_token_corpus(
     n_docs: int,
     *,
@@ -21,15 +29,15 @@ def synthetic_token_corpus(
     """Zipf-ish synthetic posts as whitespace-joined pseudo-tokens ("t123")."""
     rng = np.random.default_rng(seed)
     lengths = np.clip(rng.poisson(mean_len, size=n_docs), 3, 4 * mean_len)
-    # Zipf over vocab ranks (s ~ 1.1), truncated to vocab_size.
-    ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
-    probs = 1.0 / ranks**1.1
-    probs /= probs.sum()
-    docs = []
-    for n in lengths:
-        ids = rng.choice(vocab_size, size=int(n), p=probs)
-        docs.append(" ".join(f"t{i}" for i in ids))
-    return docs
+    # one draw for ALL tokens (a per-doc rng.choice re-preprocesses the
+    # vocab-size probability vector n_docs times), then split by document
+    all_ids = rng.choice(
+        vocab_size, size=int(lengths.sum()), p=_zipf_probs(vocab_size)
+    )
+    bounds = np.cumsum(lengths)[:-1]
+    return [
+        " ".join(f"t{i}" for i in ids) for ids in np.split(all_ids, bounds)
+    ]
 
 
 def synthetic_queries_from_docs(
@@ -88,9 +96,7 @@ def synthetic_postings_index(
     from openintel_tpu.ops.tokenizer import Vocab
 
     rng = np.random.default_rng(seed)
-    ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
-    probs = 1.0 / ranks**1.1
-    probs /= probs.sum()
+    probs = _zipf_probs(vocab_size)
 
     # Expected term-frequency mass per term: df ~ n_docs * (1 - exp(-p*L)).
     lam = probs * mean_len

@@ -252,3 +252,9 @@ def install() -> bool:
 
     tok._native_tokenize_batch = native_tokenize_batch
     return True
+
+
+# Import side effect (as documented above): wire the native batch tokenizer
+# whenever the shared object is already built. No compilation happens here;
+# build() is explicit.
+install()
