@@ -118,6 +118,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--rerank", default=None,
         help="re-score the top candidates with a cross-encoder checkpoint dir",
     )
+    p.add_argument(
+        "--mesh", default=None, metavar="SPEC",
+        help="serve over a device mesh: corpus shards ('8') or "
+        "data x corpus ('2x4'); requires that many devices",
+    )
 
     p = sub.add_parser("index", help="build a hybrid index from a corpus file")
     p.add_argument("corpus", help="text file, one document per line")
@@ -168,6 +173,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--rerank", default=None,
         help="cross-encoder checkpoint dir: search_corpus gains a rerank stage",
+    )
+    p.add_argument(
+        "--mesh", default=None, metavar="SPEC",
+        help="serve search_corpus over a device mesh ('8' or '2x4')",
     )
 
     return parser
@@ -437,7 +446,23 @@ def run_search(args) -> tuple[str, int]:
         embedder = load_embedder(args.encoder)
 
     queries = args.query
-    if args.mode == "bm25":
+    if getattr(args, "mesh", None):
+        from openintel_tpu.parallel.retriever import (
+            ShardedHybridRetriever,
+            parse_mesh_spec,
+        )
+
+        try:
+            data, corpus = parse_mesh_spec(args.mesh)
+            sharded = ShardedHybridRetriever(
+                postings, dense, embedder, data=data, corpus=corpus
+            )
+        except ValueError as e:
+            return f"error: --mesh {args.mesh}: {e}", 1
+        res = sharded.search(
+            queries, k=args.k, candidates_per_arm=2 * args.k, mode=args.mode
+        )
+    elif args.mode == "bm25":
         res = BM25Retriever(postings).search(queries, k=args.k)
     elif args.mode == "dense":
         res = DenseRetriever(dense, embedder).search(queries, k=args.k)
@@ -598,6 +623,7 @@ def _dispatch(args) -> int:
             serve(
                 offline=args.offline, index=args.index,
                 encoder=args.encoder, rerank=args.rerank,
+                mesh=getattr(args, "mesh", None),
             )
         except RuntimeError as e:  # composition errors (e.g. index/encoder mismatch)
             print(f"error: {e}", file=sys.stderr)

@@ -368,7 +368,11 @@ async def serve_stdio(server: OpenIntelServer) -> None:
             print(json.dumps(response), flush=True)
 
 
-def _load_retriever(index_prefix: str, encoder_dir: Optional[str] = None):
+def _load_retriever(
+    index_prefix: str,
+    encoder_dir: Optional[str] = None,
+    mesh: Optional[str] = None,
+):
     from pathlib import Path
 
     from openintel_tpu.cli.main import check_index_meta
@@ -387,6 +391,19 @@ def _load_retriever(index_prefix: str, encoder_dir: Optional[str] = None):
         embedder = load_embedder(encoder_dir)
     docs_path = Path(f"{index_prefix}.docs.txt")
     docs = docs_path.read_text().splitlines() if docs_path.exists() else None
+    if mesh:
+        from openintel_tpu.parallel.retriever import (
+            ShardedHybridRetriever,
+            parse_mesh_spec,
+        )
+
+        data, corpus = parse_mesh_spec(mesh)
+        return (
+            ShardedHybridRetriever(
+                postings, dense, embedder, data=data, corpus=corpus
+            ),
+            docs,
+        )
     return HybridRetriever(postings, dense, embedder), docs
 
 
@@ -395,10 +412,11 @@ def build_server(
     index: Optional[str] = None,
     encoder: Optional[str] = None,
     rerank: Optional[str] = None,
+    mesh: Optional[str] = None,
 ) -> OpenIntelServer:
     """Composition root (reference: src/mcp/server.rs:171-192)."""
     retriever, docs = (
-        _load_retriever(index, encoder) if index else (None, None)
+        _load_retriever(index, encoder, mesh) if index else (None, None)
     )
     reranker = None
     if rerank and retriever is not None:
@@ -445,11 +463,13 @@ def serve(
     index: Optional[str] = None,
     encoder: Optional[str] = None,
     rerank: Optional[str] = None,
+    mesh: Optional[str] = None,
 ) -> None:
     asyncio.run(
         serve_stdio(
             build_server(
-                offline=offline, index=index, encoder=encoder, rerank=rerank
+                offline=offline, index=index, encoder=encoder, rerank=rerank,
+                mesh=mesh,
             )
         )
     )

@@ -217,14 +217,18 @@ def run_search_corpus(
         raise ValueError("queries must be a non-empty list of strings")
     k = int(args.get("k") or 10)
     mode = (args.get("mode") or "hybrid").lower()
-    if mode == "bm25":
+    if mode not in ("hybrid", "bm25", "dense"):
+        raise ValueError("mode must be hybrid, bm25, or dense")
+    if not hasattr(retriever, "bm25"):
+        # mesh-sharded retriever: every arm serves through the one sharded
+        # device program (parallel.retriever.ShardedHybridRetriever)
+        res = retriever.search(queries, k=k, candidates_per_arm=2 * k, mode=mode)
+    elif mode == "bm25":
         res = retriever.bm25.search(queries, k=k)
     elif mode == "dense":
         res = retriever.dense.search(queries, k=k)
-    elif mode == "hybrid":
-        res = retriever.search(queries, k=k, candidates_per_arm=2 * k)
     else:
-        raise ValueError("mode must be hybrid, bm25, or dense")
+        res = retriever.search(queries, k=k, candidates_per_arm=2 * k)
     reranked = False
     if reranker is not None and docs is not None:
         cand_texts = [

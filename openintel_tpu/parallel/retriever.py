@@ -1,0 +1,324 @@
+"""ShardedHybridRetriever: the servable multi-chip retrieval component.
+
+The reference wires every capability it has into both composition roots
+(reference: src/mcp/server.rs:171-192, src/main.rs:16-35); this component
+gives the multi-chip path the same treatment. It owns the full lifecycle:
+
+- load a saved index (postings + dense checkpoint, ``index.checkpoint``);
+- pad the corpus shard-even and lay it out over a ("data", "corpus")
+  mesh (``NamedSharding``; transposed (D, N) layout for the Pallas fast
+  kernel so the per-shard matmul is MXU-native);
+- per-query-batch host work: encode queries, build ONE global query plan
+  (C++ planner fast path), split it at shard boundaries into per-shard
+  local-id plans (:func:`shard_query_plans` — the single owner of that
+  logic);
+- run the one-program sharded hybrid step (per-shard BM25 + dense top-c,
+  ICI all-gather, deterministic global merge, RRF) and post-filter the
+  corpus padding.
+
+Cross-shard results are bit-identical to a single-chip run over the same
+query plan (SURVEY.md hard part (d)): shards concatenate in shard order, so
+equal scores resolve to the lower global doc id, and the split plan carries
+exactly the global plan's candidates.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from openintel_tpu.index.schema import DenseIndex, PostingsIndex
+from openintel_tpu.models.embedding import HashingEmbedder
+from openintel_tpu.models.retrievers import SearchResult
+from openintel_tpu.ops.bm25 import _bucket, build_query_plan, encode_query
+from openintel_tpu.ops.fusion import RRF_K
+from openintel_tpu.parallel.mesh import CORPUS_AXIS, DATA_AXIS, make_mesh
+from openintel_tpu.parallel.sharded import (
+    sharded_bm25_topk,
+    sharded_dense_topk,
+    sharded_hybrid_topk,
+)
+
+
+def parse_mesh_spec(spec: str) -> tuple[int, int]:
+    """Parse a CLI mesh spec: "8" -> (data=1, corpus=8); "2x4" -> (2, 4)."""
+    s = spec.lower().strip()
+    if "x" in s:
+        d, c = s.split("x", 1)
+        data, corpus = int(d), int(c)
+    else:
+        data, corpus = 1, int(s)
+    if data < 1 or corpus < 1:
+        raise ValueError(f"invalid mesh spec {spec!r}")
+    return data, corpus
+
+
+@dataclass(frozen=True)
+class ShardedPlanMeta:
+    """Host-side facts about a split plan the device step needs."""
+
+    presorted: bool
+    max_terms: int  # longest equal-doc run (distinct terms per query)
+    width: int  # per-shard plan width
+
+
+def shard_query_plans(
+    index: PostingsIndex,
+    queries_term_ids: Sequence[Sequence[int]],
+    n_shards: int,
+    *,
+    shard_size: Optional[int] = None,
+    max_postings_per_term: Optional[int] = None,
+    multi_budget: int = 256,
+    min_width: int = 128,
+) -> tuple[np.ndarray, np.ndarray, ShardedPlanMeta]:
+    """Build ONE global query plan and split it at shard boundaries.
+
+    Returns (doc_ids (S, B, W) int32 with sentinel ``shard_size``,
+    weights (S, B, W) f32, meta). Ids are shard-local (global - shard_lo).
+
+    Splitting the global plan (instead of planning per shard) keeps the
+    candidate set — including impact pruning and multi-term forcing —
+    byte-identical to the single-chip plan, so the merged cross-shard result
+    equals the single-chip result exactly. Rows are sorted ascending by doc
+    id, so each shard's entries are one contiguous slice (searchsorted)."""
+    plan = build_query_plan(
+        index,
+        queries_term_ids,
+        max_postings_per_term=max_postings_per_term,
+        multi_budget=multi_budget,
+        sort=True,
+    )
+    if shard_size is None:
+        shard_size = -(-index.n_docs // n_shards)
+    b, _ = plan.doc_ids.shape
+    bounds = np.arange(n_shards + 1, dtype=np.int64) * shard_size
+    # per row: positions of each shard boundary in the sorted id row
+    cuts = np.empty((b, n_shards + 1), dtype=np.int64)
+    for i in range(b):
+        cuts[i] = np.searchsorted(plan.doc_ids[i], bounds)
+    width = _bucket(max(int((cuts[:, 1:] - cuts[:, :-1]).max()), 1), min_width)
+
+    pdi = np.full((n_shards, b, width), shard_size, dtype=np.int32)
+    pw = np.zeros((n_shards, b, width), dtype=np.float32)
+    for s in range(n_shards):
+        lo = int(bounds[s])
+        for i in range(b):
+            a, z = int(cuts[i, s]), int(cuts[i, s + 1])
+            if z > a:
+                pdi[s, i, : z - a] = plan.doc_ids[i, a:z] - lo
+                pw[s, i, : z - a] = plan.weights[i, a:z]
+    return pdi, pw, ShardedPlanMeta(
+        presorted=True, max_terms=plan.max_terms, width=width
+    )
+
+
+def shard_postings(index: PostingsIndex, lo: int, hi: int) -> PostingsIndex:
+    """Slice a global PostingsIndex to the doc range [lo, hi) with local ids.
+
+    Keeps global idf (what ``global_bm25_stats`` produces in a real build);
+    used for per-host index shards and the multi-chip dry run."""
+    v = index.term_offsets.shape[0] - 1
+    term_offsets = np.zeros(v + 1, dtype=np.int64)
+    ids_chunks, tf_chunks, imp_chunks = [], [], []
+    total = 0
+    for t in range(v):
+        a, b = int(index.term_offsets[t]), int(index.term_offsets[t + 1])
+        ids = index.doc_ids[a:b]
+        m = (ids >= lo) & (ids < hi)
+        sel = np.flatnonzero(m)
+        ids_chunks.append(ids[sel] - lo)
+        tf_chunks.append(index.tf[a:b][sel])
+        imp_chunks.append(index.impact[a:b][sel])
+        total += len(sel)
+        term_offsets[t + 1] = total
+    df_local = np.diff(term_offsets).astype(np.int32)
+    return PostingsIndex(
+        term_offsets=term_offsets,
+        doc_ids=np.concatenate(ids_chunks).astype(np.int32)
+        if total
+        else np.zeros(0, np.int32),
+        tf=np.concatenate(tf_chunks).astype(np.float32)
+        if total
+        else np.zeros(0, np.float32),
+        impact=np.concatenate(imp_chunks).astype(np.float32)
+        if total
+        else np.zeros(0, np.float32),
+        df=df_local,
+        idf=index.idf,  # global idf
+        doc_len=index.doc_len[lo:hi],
+        avgdl=index.avgdl,
+        n_docs=hi - lo,
+        vocab=index.vocab,
+        config=index.config,
+    )
+
+
+class ShardedHybridRetriever:
+    """Hybrid (BM25 + dense + RRF) retrieval served over a device mesh.
+
+    Drop-in alternative to ``models.retrievers.HybridRetriever`` for corpora
+    that shard over chips: same ``search()`` surface, plus ``mode=`` to serve
+    a single arm through the sharded program."""
+
+    def __init__(
+        self,
+        postings: PostingsIndex,
+        dense: DenseIndex,
+        embedder: Optional[Callable[[Sequence[str]], np.ndarray]] = None,
+        *,
+        mesh=None,
+        data: int = 1,
+        corpus: Optional[int] = None,
+        kernel: Optional[str] = None,  # "xla" | "pallas" | "pallas_fast" | None=auto
+        rrf_k: float = RRF_K,
+        block_size: int = 4096,
+        max_postings_per_term: Optional[int] = None,
+        multi_budget: int = 256,
+        interpret: bool = False,
+    ):
+        if mesh is None:
+            devices = (
+                jax.devices()[: data * corpus] if corpus is not None else None
+            )
+            mesh = make_mesh(data=data, corpus=corpus, devices=devices)
+        self.mesh = mesh
+        self.n_shards = int(self.mesh.shape[CORPUS_AXIS])
+        self.data_size = int(self.mesh.shape[DATA_AXIS])
+        self.postings = postings
+        self.n_docs = int(dense.n_docs)
+        assert postings.n_docs == dense.n_docs, (
+            f"postings ({postings.n_docs} docs) and dense index "
+            f"({dense.n_docs} docs) disagree — mismatched checkpoint pair"
+        )
+        self.embedder = embedder or HashingEmbedder(dim=dense.dim)
+        if kernel is None:
+            kernel = (
+                "pallas_fast" if jax.default_backend() not in ("cpu",) else "xla"
+            )
+        assert kernel in ("xla", "pallas", "pallas_fast"), kernel
+        self.kernel = kernel
+        self.rrf_k = rrf_k
+        self.block_size = block_size
+        self.max_postings_per_term = max_postings_per_term
+        self.multi_budget = multi_budget
+        self.interpret = interpret
+
+        # Shard-even corpus padding. The fast kernel prefers 512-aligned
+        # shards so its block size divides the shard (no in-jit re-pad).
+        align = self.n_shards * (512 if kernel == "pallas_fast" else 1)
+        emb = np.asarray(dense.embeddings)
+        pad = (-self.n_docs) % align
+        if pad:
+            emb = np.concatenate(
+                [emb, np.zeros((pad, emb.shape[1]), emb.dtype)], axis=0
+            )
+        self.shard_size = emb.shape[0] // self.n_shards
+        if kernel == "pallas_fast":
+            spec = P(None, CORPUS_AXIS)  # (D, N) column-sharded
+            arr = jnp.asarray(np.ascontiguousarray(emb.T))
+        else:
+            spec = P(CORPUS_AXIS, None)  # (N, D) row-sharded
+            arr = jnp.asarray(emb)
+        self._emb = jax.device_put(arr, NamedSharding(self.mesh, spec))
+
+    @classmethod
+    def load(
+        cls,
+        index_prefix: str,
+        embedder: Optional[Callable[[Sequence[str]], np.ndarray]] = None,
+        **kwargs,
+    ) -> "ShardedHybridRetriever":
+        """Load a saved index pair (``openintel index --out PREFIX``) and
+        shard it over the mesh."""
+        from openintel_tpu.index.checkpoint import load_dense, load_postings
+
+        postings = load_postings(f"{index_prefix}.postings.npz")
+        dense = load_dense(f"{index_prefix}.dense.npz")
+        return cls(postings, dense, embedder, **kwargs)
+
+    def _pad_batch(self, arr: np.ndarray, fill=0) -> np.ndarray:
+        pad = (-arr.shape[0]) % self.data_size
+        if pad == 0:
+            return arr
+        tail = np.full((pad,) + arr.shape[1:], fill, dtype=arr.dtype)
+        return np.concatenate([arr, tail], axis=0)
+
+    def _postprocess(self, vals, ids, b: int, k: int) -> SearchResult:
+        """Strip batch padding, mask corpus-padding ids, stable-compact."""
+        vals = np.asarray(vals)[:b]
+        ids = np.asarray(ids)[:b]
+        bad = ids >= self.n_docs
+        if bad.any():
+            ids = np.where(bad, -1, ids)
+            vals = np.where(bad, 0.0, vals)
+            order = np.argsort(ids < 0, axis=1, kind="stable")
+            ids = np.take_along_axis(ids, order, axis=1)
+            vals = np.take_along_axis(vals, order, axis=1)
+        return SearchResult(ids=ids.astype(np.int32), scores=vals.astype(np.float32))
+
+    def search(
+        self,
+        queries: Sequence[str],
+        k: int = 10,
+        *,
+        query_embeddings: Optional[np.ndarray] = None,
+        candidates_per_arm: Optional[int] = None,
+        mode: str = "hybrid",
+    ) -> SearchResult:
+        """Batched retrieval through the sharded device program.
+
+        ``mode`` ∈ {"hybrid", "bm25", "dense"}. Query batches pad to the data
+        axis; rankings are -1-padded like the single-chip retrievers."""
+        assert mode in ("hybrid", "bm25", "dense"), mode
+        b = len(queries)
+        if b == 0:
+            return SearchResult(
+                ids=np.zeros((0, k), np.int32), scores=np.zeros((0, k), np.float32)
+            )
+        k = min(k, self.n_docs)
+        c = min(candidates_per_arm or k, self.n_docs)
+
+        if mode in ("hybrid", "dense"):
+            if query_embeddings is None:
+                query_embeddings = self.embedder(list(queries))
+            q = self._pad_batch(np.asarray(query_embeddings))
+            q = jnp.asarray(q, self._emb.dtype)
+        if mode in ("hybrid", "bm25"):
+            term_ids = [encode_query(self.postings, que) for que in queries]
+            term_ids += [[]] * ((-b) % self.data_size)  # batch padding rows
+            pdi, pw, meta = shard_query_plans(
+                self.postings,
+                term_ids,
+                self.n_shards,
+                shard_size=self.shard_size,
+                max_postings_per_term=self.max_postings_per_term,
+                multi_budget=self.multi_budget,
+            )
+
+        if mode == "dense":
+            vals, ids = sharded_dense_topk(
+                self.mesh, self._emb, q, k,
+                block_size=self.block_size, kernel=self.kernel,
+                interpret=self.interpret,
+            )
+        elif mode == "bm25":
+            vals, ids = sharded_bm25_topk(
+                self.mesh, jnp.asarray(pdi), jnp.asarray(pw),
+                self.shard_size, k,
+                presorted=meta.presorted, max_run=meta.max_terms,
+            )
+        else:
+            vals, ids = sharded_hybrid_topk(
+                self.mesh, self._emb, q, jnp.asarray(pdi), jnp.asarray(pw), k,
+                candidates_per_arm=c, rrf_k=self.rrf_k,
+                block_size=self.block_size, kernel=self.kernel,
+                presorted=meta.presorted, max_run=meta.max_terms,
+                interpret=self.interpret,
+            )
+        return self._postprocess(vals, ids, b, k)

@@ -1,0 +1,60 @@
+"""The driver entry points must hold in this exact environment: entry() jits
+single-chip, dryrun_multichip() owns its platform (MULTICHIP verdict)."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __graft_entry__ as graft  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def test_entry_compiles_and_runs_production_kernels():
+    fn, args = graft.entry()
+    vals, ids = jax.jit(fn)(*args)
+    vals, ids = np.asarray(vals), np.asarray(ids)
+    assert vals.shape == ids.shape == (16, 10)
+    assert ids.max() < 4096
+    # real rankings: at least the top slot of every query is a valid doc
+    assert (ids[:, 0] >= 0).all()
+
+
+def test_dryrun_multichip_in_process():
+    # conftest pinned cpu + 8 virtual devices -> the in-process path
+    graft.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_reexecs_when_backends_are_wrong():
+    """Simulate the driver: backends initialized with too few devices before
+    the dryrun is requested — must re-exec a child and still pass."""
+    repo = Path(__file__).resolve().parent.parent
+    code = (
+        "import os;"
+        "os.environ['JAX_PLATFORMS']='cpu';"
+        "os.environ.pop('XLA_FLAGS', None);"
+        "import jax;"
+        "assert len(jax.devices()) == 1;"  # backends now live, 1 device
+        f"import sys; sys.path.insert(0, {str(repo)!r});"
+        "import __graft_entry__ as g;"
+        "g.dryrun_multichip(8);"
+        "print('REEXEC_OK')"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=repo,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "REEXEC_OK" in res.stdout
+    assert "dryrun_multichip OK" in res.stdout

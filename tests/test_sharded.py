@@ -15,6 +15,7 @@ from openintel_tpu.index.synthetic import (
 from openintel_tpu.ops import reference as ref
 from openintel_tpu.ops.bm25 import build_query_plan, encode_query
 from openintel_tpu.parallel.mesh import make_mesh
+from openintel_tpu.parallel.retriever import shard_query_plans
 from openintel_tpu.parallel.sharded import (
     global_bm25_stats,
     sharded_bm25_topk,
@@ -95,17 +96,23 @@ def test_sharded_bm25_matches_single_shard():
     queries = synthetic_queries_from_docs(docs, B, seed=3)
     term_ids = [encode_query(global_idx, q) for q in queries]
 
+    # component-owned per-shard plan assembly (split of the global plan) must
+    # carry the same candidates as hand-built per-shard-index plans
+    pdi, pw, meta = shard_query_plans(
+        global_idx, term_ids, 8, shard_size=shard_size
+    )
     plans = [build_query_plan(idx, term_ids) for idx in shard_indexes]
-    width = max(p.doc_ids.shape[1] for p in plans)
-    pdi = np.full((8, B, width), shard_size, np.int32)
-    pw = np.zeros((8, B, width), np.float32)
     for s, p in enumerate(plans):
-        w = p.doc_ids.shape[1]
-        pdi[s, :, :w] = p.doc_ids
-        pw[s, :, :w] = p.weights
+        for b in range(B):
+            want = {int(d) for d in p.doc_ids[b] if d < shard_size}
+            got = {int(d) for d in pdi[s, b] if d < shard_size}
+            assert want == got
 
     mesh = make_mesh(data=1, corpus=8)
-    vals, ids = sharded_bm25_topk(mesh, pdi, pw, shard_size, K)
+    vals, ids = sharded_bm25_topk(
+        mesh, pdi, pw, shard_size, K,
+        presorted=meta.presorted, max_run=meta.max_terms,
+    )
     from ranking_utils import assert_ranking_close
 
     for b, tids in enumerate(term_ids):
@@ -120,18 +127,14 @@ def test_sharded_hybrid_matches_reference():
     term_ids = [encode_query(global_idx, q) for q in queries]
     q_emb, _ = synthetic_query_embeddings(emb, B, seed=6)
 
-    plans = [build_query_plan(idx, term_ids) for idx in shard_indexes]
-    width = max(p.doc_ids.shape[1] for p in plans)
-    pdi = np.full((8, B, width), shard_size, np.int32)
-    pw = np.zeros((8, B, width), np.float32)
-    for s, p in enumerate(plans):
-        w = p.doc_ids.shape[1]
-        pdi[s, :, :w] = p.doc_ids
-        pw[s, :, :w] = p.weights
+    pdi, pw, meta = shard_query_plans(
+        global_idx, term_ids, 8, shard_size=shard_size
+    )
 
     mesh = make_mesh(data=1, corpus=8)
     vals, ids = sharded_hybrid_topk(
-        mesh, emb, q_emb, pdi, pw, K, candidates_per_arm=2 * K, block_size=256
+        mesh, emb, q_emb, pdi, pw, K, candidates_per_arm=2 * K, block_size=256,
+        presorted=meta.presorted, max_run=meta.max_terms,
     )
     for b, tids in enumerate(term_ids):
         rv, ri = ref.hybrid_topk(
@@ -150,21 +153,15 @@ def test_sharded_hybrid_production_kernel_interpret():
     term_ids = [encode_query(global_idx, q) for q in queries]
     q_emb, _ = synthetic_query_embeddings(emb, B, seed=16)
 
-    plans = [build_query_plan(idx, term_ids) for idx in shard_indexes]
-    width = max(p.doc_ids.shape[1] for p in plans)
-    pdi = np.full((8, B, width), shard_size, np.int32)
-    pw = np.zeros((8, B, width), np.float32)
-    for s, p in enumerate(plans):
-        w = p.doc_ids.shape[1]
-        pdi[s, :, :w] = p.doc_ids
-        pw[s, :, :w] = p.weights
-    max_run = max(p.max_terms for p in plans)
+    pdi, pw, meta = shard_query_plans(
+        global_idx, term_ids, 8, shard_size=shard_size
+    )
 
     mesh = make_mesh(data=1, corpus=8)
     vals, ids = sharded_hybrid_topk(
         mesh, emb.T.copy(), q_emb, pdi, pw, K,
         candidates_per_arm=2 * K,
-        kernel="pallas_fast", presorted=True, max_run=max_run,
+        kernel="pallas_fast", presorted=meta.presorted, max_run=meta.max_terms,
         interpret=True,
     )
     # pallas_fast is approximate (packing groups); compare by recall
