@@ -137,7 +137,9 @@ def main() -> None:
             return dense_topk_fast(
                 embs_t, qb, k=c_arm, block_c=block_c, n_docs=n_docs
             )
-        return dense_topk_xla(jnp.transpose(embs_t), qb, c_arm, 4096)
+        # slice the block padding back off: zero-padded rows score 0 and
+        # would otherwise enter the top-32 on the CPU path
+        return dense_topk_xla(jnp.transpose(embs_t)[:n_docs], qb, c_arm, 4096)
 
     @functools.partial(jax.jit, static_argnames=("mode",))
     def run_batches(embs_t, qbs, pdis, pws, mode="hybrid"):

@@ -399,9 +399,16 @@ def _write_index_meta(prefix: str, encoder: Optional[str], dim: int) -> None:
     )
 
 
-def check_index_meta(prefix: str, encoder: Optional[str]) -> Optional[str]:
+def check_index_meta(
+    prefix: str, encoder: Optional[str], embedder=None
+) -> Optional[str]:
     """Returns an error message when the index needs --encoder and none (or
-    the wrong kind) was given; None when consistent or unknown (old index)."""
+    the wrong kind, or a different-dimension checkpoint) was given; None when
+    consistent or unknown (old index).
+
+    ``embedder``: the loaded query embedder, when available — its ``dim`` is
+    checked against the index meta so a *different* trained checkpoint (other
+    run, other width) can't silently produce garbage dense scores."""
     from pathlib import Path
 
     p = Path(f"{prefix}.meta.json")
@@ -418,6 +425,13 @@ def check_index_meta(prefix: str, encoder: Optional[str]) -> Optional[str]:
             "error: this index was embedded with the hashing embedder — "
             "drop --encoder or rebuild the index with it"
         )
+    want_dim = meta.get("dim")
+    got_dim = getattr(embedder, "dim", None)
+    if want_dim is not None and got_dim is not None and got_dim != want_dim:
+        return (
+            f"error: this index was embedded at {want_dim}d but the encoder "
+            f"checkpoint embeds at {got_dim}d — wrong checkpoint for this index"
+        )
     return None
 
 
@@ -431,19 +445,18 @@ def run_search(args) -> tuple[str, int]:
         HybridRetriever,
     )
 
-    err = check_index_meta(args.index, getattr(args, "encoder", None))
+    embedder = None
+    if getattr(args, "encoder", None):
+        from openintel_tpu.models.train import load_embedder
+
+        embedder = load_embedder(args.encoder)
+    err = check_index_meta(args.index, getattr(args, "encoder", None), embedder)
     if err:
         return err, 1
     postings = load_postings(f"{args.index}.postings.npz")
     dense = load_dense(f"{args.index}.dense.npz")
     docs_path = Path(f"{args.index}.docs.txt")
     docs = docs_path.read_text().splitlines() if docs_path.exists() else None
-
-    embedder = None
-    if getattr(args, "encoder", None):
-        from openintel_tpu.models.train import load_embedder
-
-        embedder = load_embedder(args.encoder)
 
     queries = args.query
     if getattr(args, "mesh", None):

@@ -141,6 +141,21 @@ def load_dense(path: str | Path, *, mmap: bool = True) -> DenseIndex:
         emb = np.load(emb_path, mmap_mode="r" if mmap else None)
     else:  # version-1 checkpoints kept the matrix inside the npz
         emb = data["embeddings"]
+    # A crash between the .emb.npy write and the meta write could pair an old
+    # matrix with new meta — reject shape/dtype mismatches instead of loading
+    # silently-corrupt embeddings (mirrors the postings vocab check).
+    want_itemsize = 2 if is_bf16 else None
+    if emb.size != n_docs * dim:
+        raise ValueError(
+            f"dense checkpoint matrix has {emb.size} elements, meta says "
+            f"{n_docs} x {dim} — stale/mismatched checkpoint pair"
+        )
+    if want_itemsize is not None and emb.dtype.itemsize != want_itemsize:
+        raise ValueError(
+            f"dense checkpoint meta says bf16 (2-byte) storage but the matrix "
+            f"dtype is {emb.dtype} — stale/mismatched checkpoint pair"
+        )
+    emb = emb.reshape(n_docs, dim)
     if is_bf16:
         import ml_dtypes
 

@@ -110,30 +110,58 @@ def build_index_checkpointed(
         i for i in range(n_chunks) if not _chunk_path(ckpt_dir, i).exists()
     ]
     chunks_q: "queue.Queue" = queue.Queue(maxsize=1)
+    stop = threading.Event()  # consumer died: let the producer bail out
+
+    def _put(item) -> bool:
+        """put() that gives up when the consumer has stopped draining —
+        otherwise a consumer exception would leave the producer blocked on
+        the size-1 queue forever."""
+        while True:
+            try:
+                chunks_q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                if stop.is_set():
+                    return False
 
     def producer():
-        for i in todo:
-            lo, hi = i * chunk_docs, min(len(texts), (i + 1) * chunk_docs)
-            chunks_q.put((i, lo, hi, _build_chunk(texts[lo:hi])))
-        chunks_q.put(None)
+        # The sentinel (None on success, ("error", exc) on failure) is ALWAYS
+        # enqueued — a producer exception must surface in the consumer, never
+        # deadlock it on an empty queue.
+        try:
+            for i in todo:
+                if stop.is_set():
+                    return
+                lo, hi = i * chunk_docs, min(len(texts), (i + 1) * chunk_docs)
+                if not _put((i, lo, hi, _build_chunk(texts[lo:hi]))):
+                    return
+        except BaseException as e:  # noqa: BLE001 — re-raised in the consumer
+            _put(("error", e))
+        else:
+            _put(None)
 
     worker = threading.Thread(target=producer, daemon=True)
     worker.start()
-    while True:
-        item = chunks_q.get()
-        if item is None:
-            break
-        i, lo, hi, chunk = item
-        if embedder is not None:
-            chunk["embeddings"] = np.asarray(embedder(texts[lo:hi]), np.float32)
-        path = _chunk_path(ckpt_dir, i)
-        tmp = path.with_suffix(".tmp.npz")
-        np.savez(tmp, **{k: v for k, v in chunk.items() if k != "tokens"},
-                 tokens=chunk["tokens"].astype(str))
-        tmp.rename(path)  # atomic: a chunk file is always complete
-        if log:
-            log(f"chunk {i + 1}/{n_chunks} ({hi - lo} docs) checkpointed")
-    worker.join()
+    try:
+        while True:
+            item = chunks_q.get()
+            if item is None:
+                break
+            if item[0] == "error":
+                raise item[1]
+            i, lo, hi, chunk = item
+            if embedder is not None:
+                chunk["embeddings"] = np.asarray(embedder(texts[lo:hi]), np.float32)
+            path = _chunk_path(ckpt_dir, i)
+            tmp = path.with_suffix(".tmp.npz")
+            np.savez(tmp, **{k: v for k, v in chunk.items() if k != "tokens"},
+                     tokens=chunk["tokens"].astype(str))
+            tmp.rename(path)  # atomic: a chunk file is always complete
+            if log:
+                log(f"chunk {i + 1}/{n_chunks} ({hi - lo} docs) checkpointed")
+    finally:
+        stop.set()
+        worker.join(timeout=30)
 
     return merge_chunks(ckpt_dir, n_chunks, config=config)
 

@@ -379,16 +379,16 @@ def _load_retriever(
     from openintel_tpu.index.checkpoint import load_dense, load_postings
     from openintel_tpu.models.retrievers import HybridRetriever
 
-    err = check_index_meta(index_prefix, encoder_dir)
-    if err:
-        raise RuntimeError(err.removeprefix("error: "))
-    postings = load_postings(f"{index_prefix}.postings.npz")
-    dense = load_dense(f"{index_prefix}.dense.npz")
     embedder = None
     if encoder_dir:
         from openintel_tpu.models.train import load_embedder
 
         embedder = load_embedder(encoder_dir)
+    err = check_index_meta(index_prefix, encoder_dir, embedder)
+    if err:
+        raise RuntimeError(err.removeprefix("error: "))
+    postings = load_postings(f"{index_prefix}.postings.npz")
+    dense = load_dense(f"{index_prefix}.dense.npz")
     docs_path = Path(f"{index_prefix}.docs.txt")
     docs = docs_path.read_text().splitlines() if docs_path.exists() else None
     if mesh:

@@ -44,7 +44,25 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     if not _SO.exists():
         return None
-    lib = ctypes.CDLL(str(_SO))
+    # A stale prebuilt .so (compiled before a source file was added) would
+    # miss symbols and crash every caller at bind time — rebuild it when any
+    # source is newer; if the toolchain is unavailable, fall back to Python.
+    stale = any(_SO.stat().st_mtime < s.stat().st_mtime for s in _SRCS)
+    if stale:
+        try:
+            build()
+        except (OSError, subprocess.CalledProcessError):
+            return None
+    try:
+        lib = _bind(ctypes.CDLL(str(_SO)))
+    except (AttributeError, OSError):
+        # missing symbol / unloadable library: Python fallbacks take over
+        return None
+    _lib = lib
+    return lib
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     i64p = ctypes.POINTER(ctypes.c_int64)
     lib.tokenize_batch.restype = ctypes.c_int64
     lib.tokenize_batch.argtypes = [
@@ -77,7 +95,6 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64,
         i32p, f32p, ctypes.c_int64, i64p, ctypes.c_int64,
     ]
-    _lib = lib
     return lib
 
 

@@ -209,3 +209,24 @@ def test_pulse_not_configured_message(capsys, monkeypatch):
     out, code = run_cli(capsys, "pulse", "TSLA")
     assert code == 1
     assert "not configured" in out
+
+
+def test_index_meta_guards_wrong_encoder_dim(tmp_path):
+    """A *different* trained checkpoint (other run, other width) than the one
+    that built the index must be rejected, not score garbage."""
+    import json as _json
+
+    from openintel_tpu.cli.main import check_index_meta
+
+    (tmp_path / "idx.meta.json").write_text(
+        _json.dumps({"embedder": "neural", "dim": 64})
+    )
+
+    class Stub:
+        dim = 32
+
+    err = check_index_meta(str(tmp_path / "idx"), "some/ckpt", Stub())
+    assert err is not None and "64d" in err and "32d" in err
+    # matching dim passes
+    Stub.dim = 64
+    assert check_index_meta(str(tmp_path / "idx"), "some/ckpt", Stub()) is None

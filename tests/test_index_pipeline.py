@@ -87,3 +87,47 @@ def test_mismatched_checkpoint_dir_rejected(tmp_path):
 
     with pytest.raises(AssertionError):
         build_index_checkpointed(docs + ["extra doc"], tmp_path, chunk_docs=25)
+
+
+def test_producer_exception_surfaces_not_deadlocks(tmp_path, monkeypatch):
+    """A chunk-build failure must raise in the caller (sentinel always
+    enqueued), never hang the consumer on an empty queue."""
+    from openintel_tpu.index import pipeline
+
+    docs = synthetic_token_corpus(120, vocab_size=60, seed=63)
+
+    def boom(texts):
+        raise RuntimeError("tokeniser exploded")
+
+    monkeypatch.setattr(pipeline, "_build_chunk", boom)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="tokeniser exploded"):
+        build_index_checkpointed(docs, tmp_path, chunk_docs=50)
+
+
+def test_consumer_exception_unblocks_producer(tmp_path):
+    """An embedder failure must raise AND let the producer thread exit (it
+    would otherwise stay blocked on the size-1 queue)."""
+    import threading
+
+    import pytest
+
+    docs = synthetic_token_corpus(300, vocab_size=100, seed=64)
+    before = threading.active_count()
+
+    def bad_embedder(texts):
+        raise ValueError("device OOM")
+
+    with pytest.raises(ValueError, match="device OOM"):
+        build_index_checkpointed(
+            docs, tmp_path, chunk_docs=50, embedder=bad_embedder
+        )
+    # the worker joined (with margin for scheduling)
+    import time
+
+    for _ in range(50):
+        if threading.active_count() <= before:
+            break
+        time.sleep(0.1)
+    assert threading.active_count() <= before

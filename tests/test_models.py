@@ -118,3 +118,36 @@ def test_synthetic_postings_index_is_consistent():
     # scoring works end to end
     vals, ids = ref.bm25_topk(idx, [1, 2, 3], 10)
     assert (vals >= 0).all()
+
+
+def test_load_dense_rejects_mismatched_matrix(tmp_path):
+    """Meta/matrix pairs must validate on load: a stale .emb.npy paired with
+    newer meta is rejected, not silently reinterpreted."""
+    import numpy as np
+    import pytest
+
+    from openintel_tpu.index.checkpoint import load_dense, save_dense
+    from openintel_tpu.index.schema import DenseIndex
+
+    idx = DenseIndex.from_embeddings(
+        np.random.default_rng(0).standard_normal((20, 8)).astype(np.float32)
+    )
+    save_dense(idx, tmp_path / "d.npz")
+    # overwrite the matrix with a wrong-shape one (simulated stale pair)
+    np.save(tmp_path / "d.emb.tmp.npy", np.zeros((10, 8), np.float32))
+    (tmp_path / "d.emb.tmp.npy").rename(tmp_path / "d.emb.npy")
+    with pytest.raises(ValueError, match="stale/mismatched"):
+        load_dense(tmp_path / "d.npz")
+
+    # bf16 meta paired with an f32 matrix: itemsize check
+    import ml_dtypes
+
+    idx16 = DenseIndex(
+        embeddings=idx.embeddings.astype(ml_dtypes.bfloat16),
+        n_docs=20, dim=8,
+    )
+    save_dense(idx16, tmp_path / "e.npz")
+    np.save(tmp_path / "e.emb.tmp.npy", np.zeros((20, 8), np.float32))
+    (tmp_path / "e.emb.tmp.npy").rename(tmp_path / "e.emb.npy")
+    with pytest.raises(ValueError, match="stale/mismatched"):
+        load_dense(tmp_path / "e.npz")

@@ -108,3 +108,19 @@ def test_native_plan_edge_cases(lib, idx):
     np.testing.assert_array_equal(np.asarray(in_), np.asarray(ip))
     np.testing.assert_allclose(np.asarray(vn), np.asarray(vp), rtol=1e-6)
     assert (np.asarray(in_)[0] == -1).all()  # empty query ranks nothing
+
+
+def test_stale_or_broken_library_degrades_to_python(monkeypatch):
+    """A library missing a symbol (stale prebuilt .so) must make _load return
+    None — Python fallbacks take over — instead of crashing every import."""
+    from openintel_tpu import native
+
+    monkeypatch.setattr(native, "_lib", None)
+
+    def bad_bind(lib):
+        raise AttributeError("undefined symbol: plan_build")
+
+    monkeypatch.setattr(native, "_bind", bad_bind)
+    assert native._load() is None
+    # and the query-plan builder falls back to the NumPy path
+    assert native.native_build_query_plan(None, [], 8, 8) is None
