@@ -26,13 +26,17 @@ from openintel_tpu.domain.ports import MarketDataSource, PostAnalyzer, SocialDat
 from openintel_tpu.errors import NoData
 
 
-async def analyze(
+async def gather_inputs(
     req: AnalysisRequest,
     social_sources: Sequence[SocialDataSource],
     market_source: Optional[MarketDataSource],
     analyzer: Optional[PostAnalyzer] = None,
-    now: Optional[dt.datetime] = None,
-) -> SpeculationReport:
+):
+    """The IO half of analyze: fetch + score, no aggregation.
+
+    Returns (ticker, posts, signals, market, orchestration_notes); raises
+    NoData when every input is empty. Shared by the scalar path and the
+    device-batched scan path (analyze_batch)."""
     ticker = Ticker.parse(req.ticker)
 
     notes: list[str] = []
@@ -72,7 +76,19 @@ async def analyze(
 
         analyzer = LexiconAnalyzer()
     signals = await analyzer.analyze(posts)
+    return ticker, posts, signals, market, notes
 
+
+async def analyze(
+    req: AnalysisRequest,
+    social_sources: Sequence[SocialDataSource],
+    market_source: Optional[MarketDataSource],
+    analyzer: Optional[PostAnalyzer] = None,
+    now: Optional[dt.datetime] = None,
+) -> SpeculationReport:
+    ticker, posts, signals, market, notes = await gather_inputs(
+        req, social_sources, market_source, analyzer
+    )
     report = SpeculationEngine.aggregate(
         ticker,
         posts,
@@ -83,3 +99,65 @@ async def analyze(
     )
     report.fusion.notes = notes + report.fusion.notes
     return report
+
+
+async def analyze_batch(
+    reqs: Sequence[AnalysisRequest],
+    social_sources: Sequence[SocialDataSource],
+    market_source: Optional[MarketDataSource],
+    analyzer: Optional[PostAnalyzer] = None,
+    now: Optional[dt.datetime] = None,
+) -> list:
+    """Batched analyze: IO fans out per ticker concurrently, then ALL tickers
+    aggregate in ONE device program (engine_batch.aggregate_batch) — the
+    TPU-native analogue of the reference's join_all over tickers
+    (reference: src/mcp/tools.rs:159-174).
+
+    Returns one entry per request: a SpeculationReport, or the Exception that
+    ticker raised (one bad ticker never fails the batch)."""
+    import contextlib
+
+    import jax
+
+    from openintel_tpu.domain.engine_batch import (
+        aggregate_batch,
+        pack_batch,
+        reports_from_batch,
+        small_batch_device,
+    )
+
+    async def one(req: AnalysisRequest):
+        try:
+            return await gather_inputs(req, social_sources, market_source, analyzer), None
+        except Exception as e:
+            return None, e
+
+    results = await asyncio.gather(*(one(r) for r in reqs))
+    out: list = [e for _, e in results]
+    # one aggregate_batch per distinct EngineConfig (it's a static jit arg;
+    # scans share a single config in practice, so this is one device call)
+    groups: dict = {}
+    for i, (g, e) in enumerate(results):
+        if e is None:
+            groups.setdefault(reqs[i].engine, []).append(i)
+    when = now or dt.datetime.now(dt.timezone.utc)
+    for cfg, idxs in groups.items():
+        inputs = [
+            (results[i][0][1], results[i][0][2], results[i][0][3]) for i in idxs
+        ]
+        tickers = [results[i][0][0] for i in idxs]
+        notes = [results[i][0][4] for i in idxs]
+        # a typical watchlist is tiny math: run it on the host CPU backend
+        # rather than paying a remote-accelerator dispatch + first compile
+        n_posts = max((len(s) for _, s, _ in inputs), default=0)
+        dev = small_batch_device(len(inputs) * max(n_posts, 1))
+        ctx = jax.default_device(dev) if dev is not None else contextlib.nullcontext()
+        with ctx:
+            batch_sig, batch_mkt = pack_batch(inputs)
+            report_cols = aggregate_batch(batch_sig, batch_mkt, cfg)
+        reports = reports_from_batch(
+            tickers, inputs, report_cols, when, notes_per_ticker=notes
+        )
+        for j, i in enumerate(idxs):
+            out[i] = reports[j]
+    return out

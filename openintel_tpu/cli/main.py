@@ -94,7 +94,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--format", choices=["table", "json"], default="table")
 
     p = sub.add_parser("risk", help="ATR(14) risk calculator — never advice")
-    p.add_argument("ticker")
+    p.add_argument(
+        "ticker", nargs="+",
+        help="one ticker (full frame) or several (batch screen: one device "
+        "ATR program for the whole list)",
+    )
     p.add_argument("--budget", type=float, required=True, help="risk budget USD")
     p.add_argument("--direction", choices=["long", "short"], default="long")
     p.add_argument("--stop-multiple", type=float, default=None)
@@ -301,26 +305,57 @@ def run_pulse(args) -> tuple[str, int]:
 
 
 def run_risk(args) -> tuple[str, int]:
-    from openintel_tpu.application.risk import risk_frame
+    from openintel_tpu.application.risk import risk_frame, risk_screen
 
     _, _, bars, _ = _wire(args.offline)
-    try:
-        frame = asyncio.run(
-            risk_frame(
-                args.ticker,
-                args.direction or LONG,
-                args.budget,
-                args.stop_multiple,
-                args.entry,
-                bars,
-                dt.datetime.now(dt.timezone.utc),
+    now = dt.datetime.now(dt.timezone.utc)
+    if len(args.ticker) == 1:
+        try:
+            frame = asyncio.run(
+                risk_frame(
+                    args.ticker[0],
+                    args.direction or LONG,
+                    args.budget,
+                    args.stop_multiple,
+                    args.entry,
+                    bars,
+                    now,
+                )
             )
+        except Exception as e:
+            return f"error: {e}", 1
+        if args.format == "json":
+            return render.render_risk_json(frame), 0
+        return render.render_risk_table(frame), 0
+
+    if args.entry is not None:
+        return "error: --entry only applies to a single-ticker frame", 1
+    frames = asyncio.run(
+        risk_screen(
+            args.ticker, args.direction or LONG, args.budget,
+            args.stop_multiple, bars, now,
         )
-    except Exception as e:
-        return f"error: {e}", 1
+    )
     if args.format == "json":
-        return render.render_risk_json(frame), 0
-    return render.render_risk_table(frame), 0
+        payload = [
+            {"ticker": t, "error": str(f)}
+            if isinstance(f, Exception)
+            else f.to_dict()
+            for t, f in zip(args.ticker, frames)
+        ]
+        return json.dumps(payload, indent=2), 0
+    lines = []
+    for t, f in zip(args.ticker, frames):
+        if isinstance(f, Exception):
+            lines.append(f"{t}: error — {f}")
+        else:
+            lines.append(
+                f"{f.ticker}: entry {f.entry:.2f}  stop {f.stop:.2f}  "
+                f"ATR {f.atr:.2f}  shares {f.shares}  "
+                f"max loss ${f.max_loss_usd:.2f}"
+            )
+    lines += ["", "a calculator, not advice — it never recommends a trade"]
+    return "\n".join(lines) + "\n", 0
 
 
 def run_index(args) -> tuple[str, int]:

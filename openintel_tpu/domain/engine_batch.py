@@ -18,11 +18,14 @@ Confidence codes: 0=low, 1=medium, 2=high.
 
 from __future__ import annotations
 
+import datetime as dt
 from dataclasses import dataclass
 from functools import partial
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from openintel_tpu.domain.engine import EngineConfig
 from openintel_tpu.domain.values import Alignment, Confidence
@@ -120,8 +123,15 @@ def aggregate_batch(
         * 100.0,
         0.0,
     )
-    rvol_ok = jnp.logical_and(market.present, market.avg_volume > 0.0)
-    rvol = jnp.where(rvol_ok, market.volume / jnp.maximum(market.avg_volume, 1.0), jnp.nan)
+    # the scalar engine guards only avg_volume == 0 (a negative avg still
+    # yields an rvol); the where-in-where keeps the division exact for any
+    # non-zero denominator while avoiding div-by-zero on masked rows
+    rvol_ok = jnp.logical_and(market.present, market.avg_volume != 0.0)
+    rvol = jnp.where(
+        rvol_ok,
+        market.volume / jnp.where(rvol_ok, market.avg_volume, 1.0),
+        jnp.nan,
+    )
 
     # --- crowding: renormalised blend over present components ---
     w_spec = jnp.where(has_posts, cfg.crowding_weight_spec, 0.0)
@@ -174,3 +184,166 @@ def aggregate_batch(
         alignment=alignment,
         confidence=confidence,
     )
+
+
+# ---------------------------------------------------------------------------
+# Host-side pack / unpack: the production scan path (mcp.tools.run_scan /
+# run_compare via application.analyze_batch) packs every ticker's analyzer
+# outputs into ONE aggregate_batch device call and reassembles full
+# SpeculationReport entities from the columns, with note/field parity to the
+# scalar engine (asserted by a randomized cross-check in tests).
+# ---------------------------------------------------------------------------
+
+
+def small_batch_device(elements: int, threshold: int = 1_000_000):
+    """Device override for tiny batch programs: a watchlist scan's fusion math
+    is microseconds of VPU work — dispatching it to a remote accelerator
+    (and paying its first-compile) costs orders of magnitude more than the
+    host CPU backend. Returns the CPU device for small problems on non-CPU
+    defaults, else None (use the default device).
+
+    Use as ``with jax.default_device(d)`` when not None."""
+    if elements >= threshold:
+        return None
+    if jax.default_backend() == "cpu":
+        return None
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return None
+
+
+def pack_batch(inputs: Sequence[tuple]) -> tuple["BatchSignals", "BatchMarket"]:
+    """Pack [(posts, signals, market_snapshot_or_None), ...] into padded
+    device arrays. Post counts pad to the batch max (masked by ``valid``)."""
+    b = len(inputs)
+    n = max((len(sig) for _, sig, _ in inputs), default=0) or 1
+    pol = np.zeros((b, n), np.float32)
+    spec = np.zeros((b, n), bool)
+    valid = np.zeros((b, n), bool)
+    present = np.zeros(b, bool)
+    last = np.zeros(b, np.float32)
+    prev = np.zeros(b, np.float32)
+    vol = np.zeros(b, np.float32)
+    avgv = np.zeros(b, np.float32)
+    ivr = np.zeros(b, np.float32)
+    ivp = np.zeros(b, bool)
+    for i, (posts, signals, market) in enumerate(inputs):
+        if len(signals) != len(posts):
+            from openintel_tpu.errors import AnalyzerMismatch
+
+            raise AnalyzerMismatch(expected=len(posts), got=len(signals))
+        m = len(signals)
+        if m:
+            pol[i, :m] = [s.polarity.value for s in signals]
+            spec[i, :m] = [s.speculative for s in signals]
+            valid[i, :m] = True
+        if market is not None:
+            present[i] = True
+            last[i] = market.last_price
+            prev[i] = market.previous_close
+            vol[i] = market.volume
+            avgv[i] = market.avg_volume
+            if market.iv_rank is not None:
+                ivr[i] = market.iv_rank
+                ivp[i] = True
+    return (
+        BatchSignals(
+            polarity=jnp.asarray(pol),
+            speculative=jnp.asarray(spec),
+            valid=jnp.asarray(valid),
+        ),
+        BatchMarket(
+            present=jnp.asarray(present),
+            last_price=jnp.asarray(last),
+            previous_close=jnp.asarray(prev),
+            volume=jnp.asarray(vol),
+            avg_volume=jnp.asarray(avgv),
+            iv_rank=jnp.asarray(ivr),
+            iv_present=jnp.asarray(ivp),
+        ),
+    )
+
+
+def reports_from_batch(
+    tickers: Sequence,
+    inputs: Sequence[tuple],
+    batch: "BatchReport",
+    now: dt.datetime,
+    notes_per_ticker: Optional[Sequence[list]] = None,
+) -> list:
+    """Assemble SpeculationReport entities from BatchReport columns.
+
+    Mirrors SpeculationEngine.aggregate's assembly exactly, including the
+    market-summary / social-only notes and their order; ``notes_per_ticker``
+    (orchestration notes) are prepended like analyze() does."""
+    from openintel_tpu.domain.entities import (
+        FusionSignals,
+        MarketSummary,
+        SocialSummary,
+        SpeculationReport,
+    )
+    from openintel_tpu.domain.values import Polarity, SpeculationIndex
+
+    cols = {
+        k: np.asarray(getattr(batch, k))
+        for k in (
+            "total_mentions", "net_sentiment", "bullish", "bearish", "neutral",
+            "speculation_index", "pct_change", "rvol", "crowding", "alignment",
+            "confidence",
+        )
+    }
+    out = []
+    for i, (ticker, (posts, _signals, market)) in enumerate(zip(tickers, inputs)):
+        notes: list[str] = list(
+            notes_per_ticker[i] if notes_per_ticker is not None else []
+        )
+        by_source: dict[str, int] = {}
+        for p in posts:
+            by_source[p.source.value] = by_source.get(p.source.value, 0) + 1
+        bullish = int(cols["bullish"][i])
+        bearish = int(cols["bearish"][i])
+        social = SocialSummary(
+            total_mentions=int(cols["total_mentions"][i]),
+            mentions_by_source=by_source,
+            net_sentiment=Polarity(float(cols["net_sentiment"][i])),
+            bullish=bullish,
+            bearish=bearish,
+            neutral=int(cols["neutral"][i]),
+            bull_bear_ratio=None if bearish == 0 else bullish / bearish,
+            speculation_index=SpeculationIndex(
+                float(cols["speculation_index"][i])
+            ),
+        )
+        market_summary = None
+        if market is not None:
+            if market.previous_close == 0.0:
+                notes.append("previous_close is 0; pct_change set to 0")
+            if market.avg_volume == 0:
+                notes.append("avg_volume is 0; rvol unavailable")
+            rvol = float(cols["rvol"][i])
+            market_summary = MarketSummary(
+                last_price=market.last_price,
+                pct_change=float(cols["pct_change"][i]),
+                rvol=None if np.isnan(rvol) else rvol,
+                realized_vol=market.realized_vol,
+                put_call_ratio=market.put_call_ratio,
+                iv_rank=market.iv_rank,
+            )
+        else:
+            notes.append("social-only, no price reference")
+        out.append(
+            SpeculationReport(
+                ticker=ticker,
+                generated_at=now,
+                social=social,
+                market=market_summary,
+                fusion=FusionSignals(
+                    alignment=ALIGNMENT_CODES[int(cols["alignment"][i])],
+                    crowding=float(cols["crowding"][i]),
+                    notes=notes,
+                ),
+                social_confidence=CONFIDENCE_CODES[int(cols["confidence"][i])],
+            )
+        )
+    return out

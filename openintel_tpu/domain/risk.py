@@ -97,7 +97,11 @@ def frame(
     budget_usd: float,
     stop_multiple: float,
     generated_at: dt.datetime,
+    atr_value: Optional[float] = None,
 ) -> RiskFrame:
+    """``atr_value``: precomputed ATR (e.g. one device ``atr_batch`` call over
+    a whole screen); when None the scalar ATR is computed from ``bars``.
+    All validation still runs either way."""
     if direction not in (LONG, SHORT):
         raise _fail(f"direction must be '{LONG}' or '{SHORT}'")
     if not (math.isfinite(budget_usd) and budget_usd > 0.0):
@@ -113,8 +117,8 @@ def frame(
     ):
         raise _fail("price history contains invalid values")
 
-    a = atr(bars, ATR_PERIOD)
-    if a is None:
+    a = atr_value if atr_value is not None else atr(bars, ATR_PERIOD)
+    if a is None or len(bars) < ATR_PERIOD + 1:
         raise _fail(f"not enough history for ATR({ATR_PERIOD})")
     if not (math.isfinite(a) and a > 0.0):
         raise _fail("degenerate price history — ATR is zero or invalid")

@@ -18,6 +18,7 @@ import datetime as dt
 from typing import Any, Optional, Sequence
 
 from openintel_tpu.application import DISCLAIMER, analyze
+from openintel_tpu.application.analyze import analyze_batch
 from openintel_tpu.application.pulse import pulse as pulse_app
 from openintel_tpu.application.request import AnalysisRequest
 from openintel_tpu.application.risk import risk_frame as risk_app
@@ -101,22 +102,27 @@ async def run_scan(
     social_sources: Sequence[SocialDataSource],
     market_source: Optional[MarketDataSource],
 ) -> dict[str, Any]:
-    async def one(ticker: str) -> dict[str, Any]:
-        req = request_from(
-            ticker,
+    """IO fans out per ticker; ALL tickers then fuse in one device program
+    (engine_batch.aggregate_batch). One bad ticker never fails the batch."""
+    tickers = list(args.get("tickers", []))
+    reqs = [
+        request_from(
+            t,
             args.get("enable_reddit"),
             args.get("enable_bluesky"),
             args.get("no_market"),
             args.get("limit"),
         )
-        try:
-            report = await analyze(req, social_sources, market_source)
-            return {"ticker": ticker, "report": report.to_dict()}
-        except Exception as e:  # one bad ticker never fails the batch
-            return {"ticker": ticker, "error": str(e)}
-
-    entries = await asyncio.gather(*(one(t) for t in args.get("tickers", [])))
-    return {"entries": list(entries), "disclaimer": DISCLAIMER}
+        for t in tickers
+    ]
+    results = await analyze_batch(reqs, social_sources, market_source)
+    entries = [
+        {"ticker": t, "error": str(r)}
+        if isinstance(r, Exception)
+        else {"ticker": t, "report": r.to_dict()}
+        for t, r in zip(tickers, results)
+    ]
+    return {"entries": entries, "disclaimer": DISCLAIMER}
 
 
 def rank_metric(report: SpeculationReport, rank_by: str) -> float:
@@ -153,25 +159,23 @@ async def run_compare(
     if rank_by not in RANK_BY:
         raise ValueError(f"unknown rank_by {rank_by!r} (expected one of {RANK_BY})")
 
-    async def one(ticker: str):
-        req = request_from(
-            ticker,
+    tickers = list(args.get("tickers", []))
+    reqs = [
+        request_from(
+            t,
             args.get("enable_reddit"),
             args.get("enable_bluesky"),
             args.get("no_market"),
             args.get("limit"),
         )
-        try:
-            return ticker, await analyze(req, social_sources, market_source), None
-        except Exception as e:
-            return ticker, None, e
-
-    results = await asyncio.gather(*(one(t) for t in args.get("tickers", [])))
+        for t in tickers
+    ]
+    results = await analyze_batch(reqs, social_sources, market_source)
     ranked: list[dict[str, Any]] = []
     errors: list[dict[str, str]] = []
-    for ticker, report, err in results:
-        if err is not None:
-            errors.append({"ticker": ticker, "error": str(err)})
+    for ticker, report in zip(tickers, results):
+        if isinstance(report, Exception):
+            errors.append({"ticker": ticker, "error": str(report)})
         else:
             ranked.append(
                 {

@@ -230,3 +230,28 @@ def test_index_meta_guards_wrong_encoder_dim(tmp_path):
     # matching dim passes
     Stub.dim = 64
     assert check_index_meta(str(tmp_path / "idx"), "some/ckpt", Stub()) is None
+
+
+def test_risk_batch_screen_offline(capsys):
+    out, code = run_cli(
+        capsys, "risk", "NVDA", "AMD", "--budget", "200", "--offline"
+    )
+    assert code == 0
+    assert "NVDA: entry 106.00  stop 98.00" in out
+    assert "AMD: entry 106.00  stop 98.00" in out
+    assert "a calculator, not advice" in out
+
+    out, code = run_cli(
+        capsys, "risk", "NVDA", "AMD", "--budget", "200", "--offline",
+        "--format", "json",
+    )
+    assert code == 0
+    doc = json.loads(out)
+    assert [d["ticker"] for d in doc] == ["NVDA", "AMD"]
+    assert doc[0]["atr"] == pytest.approx(4.0)
+
+    out, code = run_cli(
+        capsys, "risk", "NVDA", "AMD", "--budget", "200", "--offline",
+        "--entry", "100",
+    )
+    assert code == 1 and "--entry only applies" in out

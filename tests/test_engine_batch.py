@@ -130,3 +130,175 @@ def test_batch_engine_matches_pure_engine():
                 np.testing.assert_allclose(
                     float(out.rvol[i]), ref.market.rvol, rtol=1e-6
                 )
+
+
+def _random_posts_signals(rng, n):
+    from openintel_tpu.domain.values import Polarity
+
+    posts, signals = [], []
+    for j in range(n):
+        kind = SourceKind.REDDIT if rng.random() < 0.5 else SourceKind.BLUESKY
+        posts.append(
+            SocialPost(
+                id=f"p{j}",
+                source=kind,
+                author=f"user{j}",
+                text=PostText.parse(f"post {j}"),
+                created_at=NOW,
+                engagement=int(rng.integers(0, 100)),
+            )
+        )
+        signals.append(
+            PostSignal(
+                polarity=Polarity(float(np.float32(rng.uniform(-1, 1)))),
+                speculative=bool(rng.random() < 0.3),
+            )
+        )
+    return posts, signals
+
+
+def _random_market(rng):
+    if rng.random() < 0.2:
+        return None
+    return MarketSnapshot(
+        ticker=Ticker.parse("AAPL"),
+        as_of=NOW,
+        last_price=float(np.float32(rng.uniform(50, 250))),
+        previous_close=float(rng.choice([0.0, 100.0, 185.0])),
+        volume=int(rng.integers(0, 10**8)),
+        avg_volume=float(rng.choice([0.0, 0.5, 52_000_000.0])),
+        iv_rank=float(np.float32(rng.uniform(0, 1))) if rng.random() < 0.5 else None,
+    )
+
+
+def test_production_batch_path_matches_scalar_engine_100_batches():
+    """pack_batch -> aggregate_batch -> reports_from_batch (the run_scan /
+    run_compare path) must reproduce SpeculationEngine.aggregate field by
+    field on >=100 random batches — incl. notes, ratios, market passthrough."""
+    from openintel_tpu.domain.engine_batch import pack_batch, reports_from_batch
+
+    rng = np.random.default_rng(1234)
+    ticker = Ticker.parse("AAPL")
+    for _ in range(100):
+        b = int(rng.integers(1, 9))
+        inputs = []
+        for _ in range(b):
+            posts, signals = _random_posts_signals(rng, int(rng.integers(0, 24)))
+            inputs.append((posts, signals, _random_market(rng)))
+        sig, mkt = pack_batch(inputs)
+        cols = aggregate_batch(sig, mkt, CFG)
+        got = reports_from_batch([ticker] * b, inputs, cols, NOW)
+        for i, (posts, signals, market) in enumerate(inputs):
+            want = SpeculationEngine.aggregate(
+                ticker, posts, signals, market, NOW, CFG
+            )
+            g, w = got[i], want
+            assert g.social.total_mentions == w.social.total_mentions
+            assert g.social.mentions_by_source == w.social.mentions_by_source
+            assert g.social.bullish == w.social.bullish
+            assert g.social.bearish == w.social.bearish
+            assert g.social.neutral == w.social.neutral
+            if w.social.bull_bear_ratio is None:
+                assert g.social.bull_bear_ratio is None
+            else:
+                np.testing.assert_allclose(
+                    g.social.bull_bear_ratio, w.social.bull_bear_ratio
+                )
+            np.testing.assert_allclose(
+                g.social.net_sentiment.value,
+                w.social.net_sentiment.value,
+                rtol=1e-5, atol=1e-6,
+            )
+            np.testing.assert_allclose(
+                g.social.speculation_index.value,
+                w.social.speculation_index.value,
+                rtol=1e-5, atol=1e-6,
+            )
+            np.testing.assert_allclose(
+                g.fusion.crowding, w.fusion.crowding, rtol=1e-5, atol=1e-6
+            )
+            assert g.fusion.alignment == w.fusion.alignment, (
+                i, g.fusion.alignment, w.fusion.alignment
+            )
+            assert g.fusion.notes == w.fusion.notes
+            assert g.social_confidence == w.social_confidence
+            if w.market is None:
+                assert g.market is None
+            else:
+                np.testing.assert_allclose(
+                    g.market.pct_change, w.market.pct_change,
+                    rtol=1e-4, atol=1e-5,
+                )
+                if w.market.rvol is None:
+                    assert g.market.rvol is None
+                else:
+                    np.testing.assert_allclose(
+                        g.market.rvol, w.market.rvol, rtol=1e-5
+                    )
+                assert g.market.last_price == w.market.last_price
+                assert g.market.iv_rank == w.market.iv_rank
+
+
+def test_analyze_batch_equals_scalar_analyze_offline():
+    """run_scan's production path: analyze_batch over the fixture sources
+    must reproduce analyze() per ticker exactly (reports serialise equal,
+    modulo f32 rounding in the float fields)."""
+    import asyncio
+
+    from openintel_tpu.application.analyze import analyze, analyze_batch
+    from openintel_tpu.application.request import AnalysisRequest
+    from openintel_tpu.domain.values import ALL_SOURCES
+    from openintel_tpu.sources.fixtures import MockMarketSource, fixture_social
+
+    social, market = fixture_social(), MockMarketSource()
+    reqs = [
+        AnalysisRequest(
+            ticker=t, enabled_sources=tuple(ALL_SOURCES),
+            market_enabled=True, limit=50,
+        )
+        for t in ("AAPL", "TSLA", "NVDA")
+    ] + [
+        AnalysisRequest(
+            ticker="GME", enabled_sources=tuple(ALL_SOURCES),
+            market_enabled=False, limit=50,
+        )
+    ]
+    batch = asyncio.run(analyze_batch(reqs, social, market, now=NOW))
+    for req, got in zip(reqs, batch):
+        want = asyncio.run(analyze(req, social, market, now=NOW))
+        gd, wd = got.to_dict(), want.to_dict()
+        for key in ("social", "fusion", "market"):
+            g, w = gd.get(key), wd.get(key)
+            if key == "market" and w is None:
+                assert g is None
+                continue
+            for f in w:
+                if isinstance(w[f], float):
+                    np.testing.assert_allclose(
+                        g[f], w[f], rtol=1e-5, atol=1e-6, err_msg=f"{key}.{f}"
+                    )
+                else:
+                    assert g[f] == w[f], (key, f, g[f], w[f])
+
+
+def test_analyze_batch_isolates_bad_tickers():
+    import asyncio
+
+    from openintel_tpu.application.analyze import analyze_batch
+    from openintel_tpu.application.request import AnalysisRequest
+    from openintel_tpu.domain.values import ALL_SOURCES
+    from openintel_tpu.sources.fixtures import MockMarketSource, fixture_social
+
+    reqs = [
+        AnalysisRequest(
+            ticker=t, enabled_sources=tuple(ALL_SOURCES),
+            market_enabled=True, limit=50,
+        )
+        for t in ("AAPL", "not a ticker!", "TSLA")
+    ]
+    out = asyncio.run(
+        analyze_batch(reqs, fixture_social(), MockMarketSource(), now=NOW)
+    )
+    assert isinstance(out[1], Exception)
+    assert out[0].social.total_mentions == 10
+    assert out[2].social.total_mentions == 10

@@ -115,3 +115,72 @@ def test_atr_batch_matches_scalar_path():
     out = np.asarray(atr_batch(high, low, close))
     assert out.shape == (3,)
     np.testing.assert_allclose(out, 4.0, rtol=1e-6)
+
+
+def test_risk_screen_matches_scalar_risk_frame():
+    """The production batch screen (one device atr_batch call) must agree
+    with per-ticker risk_frame on every field, across ragged history lengths
+    and error isolation (randomised, seeded)."""
+    import asyncio
+    import datetime as dt
+
+    import numpy as np
+
+    from openintel_tpu.application.risk import risk_frame, risk_screen
+    from openintel_tpu.domain.values import Bar
+
+    rng = np.random.default_rng(7)
+    now = dt.datetime(2026, 6, 24, tzinfo=dt.timezone.utc)
+
+    histories = {}
+    for i, t in enumerate(["AAA", "BBB", "CCC", "DDD", "EEE"]):
+        n = int(rng.integers(15, 60))  # >= ATR period + 1
+        closes = 100 + np.cumsum(rng.normal(0, 2, size=n))
+        closes = np.maximum(closes, 5.0)
+        histories[t] = [
+            Bar(
+                high=float(c + abs(rng.normal(0, 1)) + 0.5),
+                low=float(max(c - abs(rng.normal(0, 1)) - 0.5, 1.0)),
+                close=float(c),
+            )
+            for c in closes
+        ]
+    histories["FFF"] = [Bar(high=10.0, low=9.0, close=9.5)] * 5  # too thin
+
+    class Src:
+        async def bars(self, ticker):
+            return histories[ticker.as_str()]
+
+    tickers = list(histories)
+    frames = asyncio.run(risk_screen(tickers, "long", 500.0, 2.0, Src(), now))
+    for t, got in zip(tickers, frames):
+        if t == "FFF":
+            assert isinstance(got, Exception) and "not enough history" in str(got)
+            continue
+        want = asyncio.run(risk_frame(t, "long", 500.0, 2.0, None, Src(), now))
+        np.testing.assert_allclose(got.atr, want.atr, rtol=1e-5)
+        np.testing.assert_allclose(got.stop, want.stop, rtol=1e-5)
+        np.testing.assert_allclose(
+            got.risk_per_share, want.risk_per_share, rtol=1e-5
+        )
+        assert got.shares == want.shares
+        assert got.direction == want.direction
+        assert got.entry == want.entry
+        assert got.bars_used == want.bars_used
+        np.testing.assert_allclose(got.targets, want.targets, rtol=1e-5)
+
+
+def test_risk_screen_isolates_bad_tickers():
+    import asyncio
+    import datetime as dt
+
+    from openintel_tpu.application.risk import risk_screen
+    from openintel_tpu.sources.yahoo import FixtureBars
+
+    now = dt.datetime(2026, 6, 24, tzinfo=dt.timezone.utc)
+    frames = asyncio.run(
+        risk_screen(["NVDA", "bad ticker!", "AMD"], "long", 200.0, 2.0,
+                    FixtureBars(), now)
+    )
+    assert isinstance(frames[1], Exception)
+    assert frames[0].stop == 98.0 and frames[2].stop == 98.0  # golden ATR=4.0
