@@ -127,6 +127,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="serve over a device mesh: corpus shards ('8') or "
         "data x corpus ('2x4'); requires that many devices",
     )
+    _distributed_flags(p)
 
     p = sub.add_parser("index", help="build a hybrid index from a corpus file")
     p.add_argument("corpus", help="text file, one document per line")
@@ -143,6 +144,7 @@ def build_parser() -> argparse.ArgumentParser:
         "re-running resumes after interruption",
     )
     p.add_argument("--chunk-docs", type=int, default=10_000)
+    _distributed_flags(p)
 
     p = sub.add_parser("train", help="contrastively train the neural encoder")
     p.add_argument("corpus", help="text file, one document per line")
@@ -182,8 +184,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--mesh", default=None, metavar="SPEC",
         help="serve search_corpus over a device mesh ('8' or '2x4')",
     )
+    _distributed_flags(p)
 
     return parser
+
+
+def _distributed_flags(p: argparse.ArgumentParser) -> None:
+    from openintel_tpu.parallel.distributed import add_distributed_flags
+
+    add_distributed_flags(p)
 
 
 def run_analyze(args) -> tuple[str, int]:
@@ -644,6 +653,15 @@ def main(argv: Optional[list[str]] = None) -> int:
 
 
 def _dispatch(args) -> int:
+    if getattr(args, "coordinator", None):
+        # multi-host: join the process group BEFORE any jax backend use
+        from openintel_tpu.parallel.distributed import initialize_from_args
+
+        try:
+            initialize_from_args(args)
+        except (ValueError, RuntimeError) as e:
+            print(f"error: --coordinator: {e}", file=sys.stderr)
+            return 1
     if args.command == "analyze":
         out, code = run_analyze(args)
     elif args.command == "scan":

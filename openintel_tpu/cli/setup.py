@@ -138,6 +138,24 @@ def run_setup(
         )
         return "\n".join(lines) + "\n", 0
 
+    # Replace-or-keep: stored credentials are detected up front; declining
+    # keeps them untouched (reference: src/cli/setup.rs:698+ replace-declined).
+    # A broken store degrades to "nothing stored" — setup must stay usable.
+    try:
+        existing = [key for _, key, _ in fields if store.get(key)]
+    except StoreError:
+        existing = []
+    if existing:
+        io.write(
+            f"{source} already has stored credentials. Replace them? [y/N]: "
+        )
+        answer = io.read_line().strip().lower()
+        if answer not in ("y", "yes"):
+            return (
+                f"{source}: keeping existing credentials (nothing changed)\n",
+                0,
+            )
+
     io.write(GUIDES[source] + "\n\n")
     for attempt in range(1, MAX_ATTEMPTS + 1):
         values: list[tuple[str, str]] = []

@@ -126,3 +126,64 @@ def test_non_tty_prints_guide_and_env_state(monkeypatch):
     assert code == 0
     assert "OPENINTEL_REDDIT_CLIENT_ID: set" in out
     assert "OPENINTEL_REDDIT_CLIENT_SECRET: unset" in out
+
+
+def test_replace_existing_accepted_overwrites():
+    """Stored credentials + 'y' -> prompts run, new values overwrite
+    (reference: src/cli/setup.rs:698+ replace flow)."""
+    store = InMemoryStore()
+    store.set(sec.KEY_REDDIT_CLIENT_ID, "old-id")
+    store.set(sec.KEY_REDDIT_CLIENT_SECRET, "old-secret")
+    io = ScriptedIo(["y\n", "new-id\n", "new-secret\n"])
+    out, code = run_setup("reddit", store=store, io=io, probe=ok_probe)
+    assert code == 0 and "verified and saved" in out
+    assert "Replace them?" in io.text
+    assert store.get(sec.KEY_REDDIT_CLIENT_ID) == "new-id"
+    assert store.get(sec.KEY_REDDIT_CLIENT_SECRET) == "new-secret"
+
+
+def test_replace_existing_declined_keeps_stored():
+    """Declining the replace prompt exits 0 and touches nothing; no probe,
+    no prompts for values."""
+    probe_calls = []
+
+    async def spy_probe(*args):
+        probe_calls.append(args)
+
+    store = InMemoryStore()
+    store.set(sec.KEY_REDDIT_CLIENT_ID, "old-id")
+    store.set(sec.KEY_REDDIT_CLIENT_SECRET, "old-secret")
+    io = ScriptedIo(["n\n"])
+    out, code = run_setup("reddit", store=store, io=io, probe=spy_probe)
+    assert code == 0
+    assert "keeping existing credentials" in out
+    assert store.get(sec.KEY_REDDIT_CLIENT_ID) == "old-id"
+    assert store.get(sec.KEY_REDDIT_CLIENT_SECRET) == "old-secret"
+    assert probe_calls == []
+    # the guide/prompts never ran
+    assert "client id:" not in io.text
+
+
+def test_forget_then_setup_skips_replace_prompt():
+    """--forget removes stored credentials; the next setup goes straight to
+    the prompts (no replace question)."""
+    store = InMemoryStore()
+    store.set(sec.KEY_REDDIT_CLIENT_ID, "old-id")
+    store.set(sec.KEY_REDDIT_CLIENT_SECRET, "old-secret")
+    out, code = run_setup("reddit", forget=True, store=store, io=ScriptedIo([]))
+    assert code == 0 and "removed" in out
+    io = ScriptedIo(["fresh-id\n", "fresh-secret\n"])
+    out, code = run_setup("reddit", store=store, io=io, probe=ok_probe)
+    assert code == 0
+    assert "Replace them?" not in io.text
+    assert store.get(sec.KEY_REDDIT_CLIENT_ID) == "fresh-id"
+
+
+def test_replace_prompt_survives_broken_store():
+    """A broken keychain degrades to 'nothing stored': setup still runs
+    (it will then fail at save time with the env-fallback message)."""
+    store = InMemoryStore.failing()
+    io = ScriptedIo(["id\n", "secret\n"])
+    out, code = run_setup("reddit", store=store, io=io, probe=ok_probe)
+    assert code == 1
+    assert "could not save to keychain" in out
