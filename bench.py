@@ -162,6 +162,21 @@ def main() -> None:
         acc, outs = jax.lax.scan(body, jnp.int32(0), (qbs, pdis, pws))
         return acc, outs
 
+    # MEASURE the per-call dispatch/tunnel RTT instead of assuming it: a
+    # trivial jitted op's round trip is pure overhead, amortised across the
+    # 16-batch scan in the real programs. Reported separately in the JSON so
+    # the adjustment is visible, never baked in.
+    @jax.jit
+    def _tiny(x):
+        return x + 1
+
+    _ = int(_tiny(jnp.int32(0)))
+    rtt = min(
+        (lambda t0: (int(_tiny(jnp.int32(0))), time.time() - t0)[1])(time.time())
+        for _ in range(20)
+    )
+    log(f"measured dispatch RTT: {rtt*1e3:.1f} ms/call")
+
     def timeit(mode, reps=8):  # min-of-N rides out tunnel/ambient jitter
         acc, outs = run_batches(emb_t_dev, q_dev, pdi_dev, pw_dev, mode=mode)
         _ = int(acc)  # device->host sync (block_until_ready alone is lazy here)
@@ -171,19 +186,24 @@ def main() -> None:
             acc, outs = run_batches(emb_t_dev, q_dev, pdi_dev, pw_dev, mode=mode)
             _ = int(acc)
             best = min(best, time.time() - t0)
-        # remote tunnel adds ~30ms dispatch RTT per call; local backends don't
-        per_batch = max(best - (0.03 if on_tpu else 0.0), 1e-9) / n_batches
-        return per_batch, outs
+        per_batch_raw = best / n_batches
+        per_batch = max(best - rtt, 1e-9) / n_batches
+        return per_batch, per_batch_raw, outs
 
-    per_dense, outs_d = timeit("dense")
+    per_dense, per_dense_raw, outs_d = timeit("dense")
     log(f"dense arm : {per_dense*1e3:8.3f} ms/batch  {batch/per_dense:>12,.0f} QPS")
-    per_bm25, outs_b = timeit("bm25")
+    per_bm25, per_bm25_raw, outs_b = timeit("bm25")
     log(f"bm25 arm  : {per_bm25*1e3:8.3f} ms/batch  {batch/per_bm25:>12,.0f} QPS")
     outs_arms = {"dense": outs_d[1], "bm25": outs_b[1]}
-    per_hybrid, outs = timeit("hybrid")
+    per_hybrid, per_hybrid_raw, outs = timeit("hybrid")
     qps = batch / per_hybrid
-    log(f"hybrid    : {per_hybrid*1e3:8.3f} ms/batch  {qps:>12,.0f} QPS")
+    qps_raw = batch / per_hybrid_raw
+    log(
+        f"hybrid    : {per_hybrid*1e3:8.3f} ms/batch  {qps:>12,.0f} QPS "
+        f"(raw, RTT included: {qps_raw:,.0f})"
+    )
 
+    qps_b64 = None
     if on_tpu:  # batched multi-query scaling (BASELINE config 4)
         for small in (64,):
             nb2 = total_q // small
@@ -208,15 +228,16 @@ def main() -> None:
             acc = run_small(emb_t_dev, q2, p2, w2)
             _ = int(acc)
             best = float("inf")
-            for _ in range(2):
+            for _ in range(4):
                 t0 = time.time()
                 _ = int(run_small(emb_t_dev, q2, p2, w2))
                 best = min(best, time.time() - t0)
-            per = max(best - (0.03 if on_tpu else 0.0), 1e-9) / nb2
+            per = max(best - rtt, 1e-9) / nb2
+            qps_b64 = small / per
             log(
                 f"hybrid b={small:4d}: {per*1e3:8.3f} ms/batch "
-                f"{small/per:>12,.0f} QPS (scaling vs b={batch}: "
-                f"{(small/per)/qps:.2f}x)"
+                f"{qps_b64:>12,.0f} QPS (per-query efficiency vs b={batch}: "
+                f"{qps_b64/qps:.2f}x)"
             )
 
     # Recall@10 parity vs the exact NumPy reference scorer on a query sample,
@@ -226,7 +247,7 @@ def main() -> None:
     # storage-precision loss).
     from openintel_tpu.ops import reference as ref
 
-    sample = min(32, total_q)
+    sample = min(512, total_q)
     hyb_ids = np.asarray(outs[1]).reshape(total_q, k)[:sample]
     if on_tpu:  # host-side bf16 round-to-nearest-even (no device round trip)
         u = emb.view(np.uint32)
@@ -236,10 +257,20 @@ def main() -> None:
     else:
         emb_bf16 = emb
     rec_f32, rec_stored, rec_arm_b, rec_arm_d = [], [], [], []
-    # batch the dense reference (one big matmul per index instead of a
-    # 1 GB matvec per query) and reuse per-query BM25 rankings across checks
-    _, dn_f32 = ref.cosine_topk(emb, q[:sample], c_arm)
-    _, dn_bf16 = ref.cosine_topk(emb_bf16, q[:sample], c_arm)
+    # blocked dense reference: one matmul per 128-query block per index
+    # (bounds the (B, N) score buffer at ~0.7 GB) — reuse per-query BM25
+    # rankings across checks
+    def _ref_dense(e):
+        parts = [
+            ref.cosine_topk(e, q[i : i + 128], c_arm)[1]
+            for i in range(0, sample, 128)
+        ]
+        return np.concatenate(parts, axis=0)
+
+    t0 = time.time()
+    dn_f32 = _ref_dense(emb)
+    dn_bf16 = _ref_dense(emb_bf16)
+    log(f"reference dense rankings for {sample} queries ({time.time()-t0:.1f}s)")
     bm_exact = [ref.bm25_topk(index, term_ids[i], c_arm)[1] for i in range(sample)]
     b_ids_dev = np.asarray(outs_arms["bm25"]).reshape(total_q, -1)[:sample]
     d_ids_dev = np.asarray(outs_arms["dense"]).reshape(total_q, -1)[:sample]
@@ -265,10 +296,11 @@ def main() -> None:
                 len(ed & {int(d) for d in d_ids_dev[i] if d >= 0}) / len(ed)
             )
     recall = float(np.mean(rec_f32)) if rec_f32 else 1.0
+    recall_min = float(np.min(rec_f32)) if rec_f32 else 1.0
     recall_stored = float(np.mean(rec_stored)) if rec_stored else 1.0
     log(
-        f"recall@10 (n={sample}): {recall:.3f} vs f32 index, "
-        f"{recall_stored:.3f} vs stored (bf16) index; "
+        f"recall@10 (n={sample}): {recall:.3f} mean / {recall_min:.3f} min "
+        f"vs f32 index, {recall_stored:.3f} vs stored (bf16) index; "
         f"arm recall@{c_arm}: bm25 {np.mean(rec_arm_b):.3f}, "
         f"dense {np.mean(rec_arm_d):.3f}"
     )
@@ -278,11 +310,21 @@ def main() -> None:
         "value": round(qps, 1),
         "unit": "queries/sec/chip",
         "vs_baseline": round(qps / 100_000.0, 4),
+        # raw wall-clock (dispatch RTT included) and the measured RTT the
+        # headline subtracts — the adjustment is visible, not baked in
+        "value_raw": round(qps_raw, 1),
+        "dispatch_rtt_ms": round(rtt * 1e3, 2),
         "recall_at_10_vs_exact": round(recall, 4),
+        "recall_at_10_min": round(recall_min, 4),
+        "recall_at_10_vs_stored": round(recall_stored, 4),
+        "recall_sample_queries": sample,
         "dense_arm_qps": round(batch / per_dense, 1),
         "bm25_arm_qps": round(batch / per_bm25, 1),
         "backend": backend,
     }
+    if qps_b64 is not None:
+        result["qps_b64"] = round(qps_b64, 1)
+        result["b64_per_query_efficiency"] = round((qps_b64 / qps), 4)
     print(json.dumps(result), flush=True)
 
 
