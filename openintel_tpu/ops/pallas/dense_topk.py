@@ -408,3 +408,168 @@ def dense_topk_fast(
         vals = jnp.take_along_axis(vals, sel, axis=1)
         valid = jnp.take_along_axis(valid, sel, axis=1)
     return jnp.where(valid, vals, 0.0)[:b], jnp.where(valid, ids, -1)[:b]
+
+
+# ---------------------------------------------------------------------------
+# int8 variant of the fast kernel: same candidate-emission scheme, int8 MXU.
+#
+# v5e's MXU runs int8 x int8 -> int32 at 2x the bf16 rate, and an int8 corpus
+# halves the HBM stream — the two resources that bound dense_topk_fast. The
+# index stores round(127 * unit_norm_embedding) per component, so the int32
+# dot is ~16129 * cosine with |error| < ~2.5e3 absolute (quantisation),
+# i.e. ~1.5e-2 on the cosine — good enough for CANDIDATE GENERATION, not for
+# final ranking: pair with exact_rescore below (gathers the top-c candidates'
+# bf16 rows and rescores in f32) to recover exact-ordering top-k.
+#
+# Packing (int32 key, monotonic): bit 30 set (keeps the f32 bitcast ordering
+# away from denormals the TPU would flush), bits 23..7 = score + 32768
+# (strictly positive 16-bit), bits 6..2 = sublane group r, bits 1..0 = block
+# parity. One shift+or+max per element — same VPU op count as the f32 path.
+# ---------------------------------------------------------------------------
+
+_I8_BIAS = 32768  # int dot in (-32768, 32767) -> strictly positive
+_I8_FLAG = 1 << 30  # keeps bitcast floats normal (TPU flushes denormals)
+_I8_SCALE = 127.0 * 127.0  # int dot -> cosine
+
+
+def quantize_int8(emb) -> "jax.Array":
+    """round(127 * x) for unit-norm embeddings (host or device array)."""
+    import numpy as np
+
+    x = np.asarray(emb, np.float32)
+    return np.clip(np.rint(127.0 * x), -127, 127).astype(np.int8)
+
+
+def _fast_kernel_i8(q_ref, e_ref, out_ref, acc_ref, *, block_c: int):
+    j = pl.program_id(0)
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        e_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),  # (B,D) x (D,BC)
+        preferred_element_type=jnp.int32,
+    )  # (B, BC) int32 ~ 16129 * cosine
+    b = scores.shape[0]
+    key = ((scores + _I8_BIAS) << 7) | jnp.int32(_I8_FLAG)
+    r_groups = block_c // 128
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, (b, r_groups, 128), 1)
+    m1 = jnp.max(key.reshape(b, r_groups, 128) | (r_idx << 2), axis=1) | (
+        j % _FOLD
+    )
+
+    @pl.when(j % _FOLD == 0)
+    def _reset():
+        acc_ref[:] = m1
+
+    @pl.when(j % _FOLD != 0)
+    def _combine():
+        acc_ref[:] = jnp.maximum(acc_ref[:], m1)
+
+    @pl.when(j % _FOLD == _FOLD - 1)
+    def _write():
+        out_ref[:] = acc_ref[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_c", "interpret", "n_docs")
+)
+def dense_topk_fast_i8(
+    doc_emb_t: jax.Array,  # (D, N) int8 quantised unit-norm COLUMNS
+    queries: jax.Array,  # (B, D) int8 quantised unit-norm rows
+    k: int = 10,
+    block_c: int = 4096,
+    interpret: bool = False,
+    n_docs: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """int8 approximate cosine top-k (candidate generation). Returns
+    (vals (B, k) f32 [~1.5e-2 cosine precision], ids (B, k) i32, -1 padded).
+    Same perf contract as dense_topk_fast: pre-pad with pad_corpus_t."""
+    assert doc_emb_t.dtype == jnp.int8 and queries.dtype == jnp.int8
+    dim, n_stored = doc_emb_t.shape
+    n_docs = n_stored if n_docs is None else n_docs
+    b = queries.shape[0]
+    assert block_c % 128 == 0 and block_c <= 4096, "block_c in 128..4096, /128"
+
+    unit = _FOLD * block_c
+    if n_stored % unit != 0 or n_stored < unit:
+        doc_emb_t = pad_corpus_t(doc_emb_t, block_c)
+    sub = 32  # int8 sublane packing
+    b_pad = _round_up(b, sub)
+    if b_pad != b:
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((b_pad - b, dim), queries.dtype)], axis=0
+        )
+
+    n_blocks = doc_emb_t.shape[1] // block_c
+    n_super = n_blocks // _FOLD
+    assert n_super * 128 >= k, "corpus too small for k candidates; shrink block_c"
+    packed = pl.pallas_call(
+        functools.partial(_fast_kernel_i8, block_c=block_c),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((b_pad, dim), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, block_c), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (b_pad, 128), lambda j: (0, j // _FOLD), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b_pad, n_super * 128), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((b_pad, 128), jnp.int32)],
+        interpret=interpret,
+    )(queries, doc_emb_t)
+
+    # keys all have bit 30 set -> positive normal floats, bit-order == value
+    # order: feed straight to the TPU PartialReduce top-k
+    padded = doc_emb_t.shape[1] != n_docs
+    pad_slots = 128 if (padded and n_docs <= 262_144) else 0
+    k_fetch = min(k + pad_slots, n_super * 128)
+    gf = jax.lax.bitcast_convert_type(packed, jnp.float32)
+    fv, pcols = jax.lax.approx_max_k(gf, k_fetch, recall_target=0.99)
+    pvals = jax.lax.bitcast_convert_type(fv, jnp.int32)
+    ids = (
+        ((pcols // 128) * _FOLD + (pvals & 3)) * block_c  # corpus block
+        + ((pvals >> 2) & 31) * 128  # sublane group r
+        + pcols % 128  # lane
+    ).astype(jnp.int32)
+    vals = (
+        ((pvals & ~jnp.int32(_I8_FLAG)) >> 7) - _I8_BIAS
+    ).astype(jnp.float32) / _I8_SCALE
+    valid = ids < n_docs
+    if k_fetch > k:
+        key = jnp.where(valid, pvals, jnp.int32(-(2**31)))
+        _, sel = jax.lax.top_k(key, k)
+        ids = jnp.take_along_axis(ids, sel, axis=1)
+        vals = jnp.take_along_axis(vals, sel, axis=1)
+        valid = jnp.take_along_axis(valid, sel, axis=1)
+    return jnp.where(valid, vals, 0.0)[:b], jnp.where(valid, ids, -1)[:b]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def exact_rescore(
+    doc_emb: jax.Array,  # (N, D) row-major bf16/f32 unit-norm (NOT transposed)
+    queries: jax.Array,  # (B, D) f32/bf16 unit-norm
+    cand_ids: jax.Array,  # (B, C) int32 candidate ids, -1 padded
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact f32 rescoring of a small candidate set: gather the candidates'
+    rows (B*C rows — megabytes, not the corpus) and re-rank. Restores exact
+    ordering on top of the int8 candidate pass; ties break by ascending doc
+    id via a two-key sort, matching the NumPy reference."""
+    b, c = cand_ids.shape
+    safe = jnp.maximum(cand_ids, 0)
+    cand = jnp.take(doc_emb, safe, axis=0)  # (B, C, D)
+    scores = jax.lax.dot_general(
+        cand.astype(jnp.float32),
+        queries.astype(jnp.float32),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (B, C)
+    scores = jnp.where(cand_ids >= 0, scores, NEG_INF)
+    # deterministic: primary -score, secondary doc id ascending
+    neg, ids_sorted = jax.lax.sort(
+        (-scores, cand_ids), num_keys=2, dimension=1
+    )
+    vals = -neg[:, :k]
+    ids = ids_sorted[:, :k]
+    invalid = vals == NEG_INF
+    return jnp.where(invalid, 0.0, vals), jnp.where(invalid, -1, ids)

@@ -125,3 +125,79 @@ def test_fast_kernel_query_batch_padding_sliced():
     vals, ids = dense_topk_fast(emb.T, q, k=6, block_c=128, interpret=True)
     assert np.asarray(vals).shape == (3, 6)
     assert np.asarray(ids).shape == (3, 6)
+
+
+def test_int8_kernel_candidates_plus_exact_rescore():
+    """int8 candidate pass + exact f32 rescore must recover the exact top-k
+    (the production int8 serving pair)."""
+    from openintel_tpu.ops.pallas.dense_topk import (
+        dense_topk_fast_i8,
+        exact_rescore,
+        quantize_int8,
+    )
+
+    emb = synthetic_embeddings(5000, dim=64, seed=16)
+    q, _ = synthetic_query_embeddings(emb, 9, seed=17)
+    import jax.numpy as jnp
+
+    emb_i8 = jnp.asarray(quantize_int8(emb.T))
+    q_i8 = jnp.asarray(quantize_int8(q))
+    # candidate pass alone: near-exact recall at 4x overfetch
+    cvals, cids = dense_topk_fast_i8(
+        emb_i8, q_i8, k=40, block_c=256, interpret=True
+    )
+    ref_vals, ref_ids = ref.cosine_topk(emb, q, 10)
+    got10 = np.asarray(cids)
+    rec = np.mean([
+        len(set(map(int, got10[i])) & set(map(int, ref_ids[i]))) / 10
+        for i in range(len(ref_ids))
+    ])
+    assert rec >= 0.95, rec
+    # int scores decode to cosine within the quantisation budget
+    assert np.all(np.abs(np.asarray(cvals)) <= 1.2)
+
+    # rescore: exact ordering (vals AND ids) on the candidate set
+    rvals, rids = exact_rescore(jnp.asarray(emb), jnp.asarray(q), cids, 10)
+    match = np.asarray(rids) == ref_ids
+    assert match.mean() >= rec  # rescore never loses candidates
+    np.testing.assert_allclose(
+        np.asarray(rvals)[match],
+        ref_vals[match],
+        rtol=1e-5, atol=1e-6,
+    )
+    # ordering within each row is exactly descending (ties by id)
+    v = np.asarray(rvals)
+    assert np.all(np.diff(v, axis=1) <= 1e-7)
+
+
+def test_int8_kernel_padding_and_shapes():
+    from openintel_tpu.ops.pallas.dense_topk import (
+        dense_topk_fast_i8,
+        quantize_int8,
+    )
+    import jax.numpy as jnp
+
+    emb = synthetic_embeddings(300, dim=32, seed=18)
+    q, _ = synthetic_query_embeddings(emb, 5, seed=19)
+    vals, ids = dense_topk_fast_i8(
+        jnp.asarray(quantize_int8(emb.T)), jnp.asarray(quantize_int8(q)),
+        k=8, block_c=256, interpret=True,
+    )
+    ids = np.asarray(ids)
+    assert ids.shape == (5, 8)
+    assert ids.max() < 300
+    ref_vals, ref_ids = ref.cosine_topk(emb, q, 8)
+    assert _recall(ids, ref_ids) >= 0.85
+
+
+def test_exact_rescore_handles_padding_ids():
+    from openintel_tpu.ops.pallas.dense_topk import exact_rescore
+    import jax.numpy as jnp
+
+    emb = synthetic_embeddings(100, dim=16, seed=20)
+    q, _ = synthetic_query_embeddings(emb, 2, seed=21)
+    cand = jnp.asarray([[3, 7, -1, -1], [50, -1, -1, -1]], jnp.int32)
+    vals, ids = exact_rescore(jnp.asarray(emb), jnp.asarray(q), cand, 3)
+    ids = np.asarray(ids)
+    assert set(ids[0]) <= {3, 7, -1}
+    assert ids[0][2] == -1 and ids[1][1] == -1
