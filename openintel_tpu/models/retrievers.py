@@ -66,7 +66,7 @@ class DenseRetriever:
         embedder: Optional[Callable[[Sequence[str]], np.ndarray]] = None,
         *,
         use_pallas: Optional[bool] = None,
-        kernel: Optional[str] = None,  # "xla" | "pallas" | "fast" | None=auto
+        kernel: Optional[str] = None,  # "xla" | "pallas" | "fast" | "int8" | None=auto
     ):
         self.index = index
         self.embedder = embedder or HashingEmbedder(dim=index.dim)
@@ -74,19 +74,32 @@ class DenseRetriever:
             if use_pallas is None:
                 use_pallas = jax.default_backend() not in ("cpu",)
             kernel = "pallas" if use_pallas else "xla"
-        assert kernel in ("xla", "pallas", "fast"), kernel
+        assert kernel in ("xla", "pallas", "fast", "int8"), kernel
         self.kernel = kernel
         self.use_pallas = kernel != "xla"
+        # Pallas kernels run in interpreter mode on CPU hosts (hermetic tests)
+        self._interpret = jax.default_backend() in ("cpu",)
         emb = jnp.asarray(index.embeddings)
-        # The fast kernel streams the transposed (D, N) layout (MXU-native
+        # The fast kernels stream the transposed (D, N) layout (MXU-native
         # stationary operand), block-padded so the hot path never copies the
-        # corpus; transpose + pad once at load.
+        # corpus; transpose + pad once at load. The int8 kernel additionally
+        # keeps the full-precision rows for the exact-rescore second stage.
         if kernel == "fast":
             from openintel_tpu.ops.pallas.dense_topk import pad_corpus_t
 
             self._emb_device = jax.device_put(
                 pad_corpus_t(emb.T, self._fast_block_c())
             )
+        elif kernel == "int8":
+            from openintel_tpu.ops.pallas.dense_topk import (
+                pad_corpus_t_i8,
+                quantize_int8,
+            )
+
+            self._emb_device = jax.device_put(
+                pad_corpus_t_i8(jnp.asarray(quantize_int8(emb).T))
+            )
+            self._rescore_emb = jax.device_put(emb)
         else:
             self._emb_device = jax.device_put(emb)
 
@@ -113,6 +126,20 @@ class DenseRetriever:
 
     def _topk(self, q: jax.Array, k: int):
         k = min(k, self.index.n_docs)
+        if self.kernel == "int8":
+            from openintel_tpu.ops.pallas.dense_topk import (
+                dense_topk_fast_i8,
+                exact_rescore,
+                quantize_int8,
+            )
+
+            c = min(max(2 * k, 32), self.index.n_docs)
+            q8 = jnp.asarray(quantize_int8(np.asarray(q, np.float32)))
+            _, cids = dense_topk_fast_i8(
+                self._emb_device, q8, k=c, n_docs=self.index.n_docs,
+                interpret=self._interpret,
+            )
+            return exact_rescore(self._rescore_emb, q, cids, k)
         if self.kernel == "fast":
             from openintel_tpu.ops.pallas.dense_topk import dense_topk_fast
 
@@ -130,7 +157,12 @@ class DenseRetriever:
         return dense_topk_xla(self._emb_device, q, k)
 
     def search_embeddings(self, query_emb: np.ndarray, k: int = 10) -> SearchResult:
-        q = jnp.asarray(query_emb, self._emb_device.dtype)
+        dtype = (
+            self._rescore_emb.dtype
+            if self.kernel == "int8"
+            else self._emb_device.dtype
+        )
+        q = jnp.asarray(query_emb, dtype)
         vals, ids = self._topk(q, k)
         return SearchResult(ids=np.asarray(ids), scores=np.asarray(vals))
 

@@ -151,3 +151,34 @@ def test_load_dense_rejects_mismatched_matrix(tmp_path):
     (tmp_path / "e.emb.tmp.npy").rename(tmp_path / "e.emb.npy")
     with pytest.raises(ValueError, match="stale/mismatched"):
         load_dense(tmp_path / "e.npz")
+
+
+def test_dense_retriever_int8_kernel_matches_xla():
+    """kernel="int8" (turbo candidates + exact rescore) must agree with the
+    exact XLA path on ids for a well-separated corpus."""
+    import numpy as np
+
+    from openintel_tpu.index.schema import DenseIndex
+    from openintel_tpu.index.synthetic import (
+        synthetic_embeddings,
+        synthetic_query_embeddings,
+    )
+    from openintel_tpu.models.retrievers import DenseRetriever
+
+    emb = synthetic_embeddings(2000, dim=64, seed=30)
+    q, _ = synthetic_query_embeddings(emb, 7, seed=31)
+    idx = DenseIndex.from_embeddings(emb)
+    r8 = DenseRetriever(idx, kernel="int8")
+    rx = DenseRetriever(idx, kernel="xla")
+    got = r8.search_embeddings(q, k=10)
+    want = rx.search_embeddings(q, k=10)
+    # candidate pass is approximate; overlap must be near-total and scores
+    # exact where ids agree (rescore is exact f32)
+    overlap = np.mean([
+        len(set(got.ids[i]) & set(want.ids[i])) / 10 for i in range(7)
+    ])
+    assert overlap >= 0.95, overlap
+    match = got.ids == want.ids
+    np.testing.assert_allclose(
+        got.scores[match], want.scores[match], rtol=1e-5, atol=1e-6
+    )
