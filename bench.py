@@ -301,42 +301,50 @@ def main() -> None:
 
     sample = min(512, total_q)
     hyb_ids = np.asarray(outs[1]).reshape(total_q, k)[:sample]
-    if on_tpu:  # host-side bf16 round-to-nearest-even (no device round trip)
-        u = emb.view(np.uint32)
-        emb_bf16 = (
-            ((u + (((u >> 16) & 1) + 0x7FFF)) & 0xFFFF0000).view(np.float32).copy()
-        )
-    else:
-        emb_bf16 = emb
     rec_f32, rec_stored, rec_arm_b, rec_arm_d = [], [], [], []
     # Dense reference rankings via the chunked portable oracle: f32-HIGHEST
-    # dense_topk_xla over 256k-doc chunks streamed from host, merged by
-    # global id. dense_topk_xla is independently asserted bit-equal to the
-    # NumPy reference in the hermetic suite (tests/test_dense.py), and this
-    # runs in seconds where a 512-query NumPy matmul over 1.25M docs takes
-    # ~15 minutes single-threaded. Chunking also keeps the 10M-doc capacity
-    # run feasible (one 400 MB f32 chunk resident at a time).
-    def _ref_dense(e):
-        chunk = 262_144
-        qs = jnp.asarray(q[:sample], jnp.float32)
-        best_v = np.full((sample, c_arm), -np.inf, np.float32)
-        best_i = np.full((sample, c_arm), -1, np.int64)
-        for lo in range(0, n_docs, chunk):
-            ev = jnp.asarray(e[lo : lo + chunk], jnp.float32)
-            v, i = dense_topk_xla(ev, qs, c_arm, 4096)
-            v = np.asarray(v, np.float32)
-            i = np.asarray(i, np.int64) + lo
-            av = np.concatenate([best_v, v], axis=1)
-            ai = np.concatenate([best_i, i], axis=1)
-            # exact merge, ties by ascending doc id (reference semantics)
-            order = np.lexsort((ai, -av), axis=1)[:, :c_arm]
-            best_v = np.take_along_axis(av, order, axis=1)
-            best_i = np.take_along_axis(ai, order, axis=1)
-        return best_i
+    # dense_topk_xla over 256k-doc chunks, merged by global id on the host.
+    # dense_topk_xla is independently asserted bit-equal to the NumPy
+    # reference in the hermetic suite (tests/test_dense.py); a 512-query
+    # NumPy matmul over 1.25M docs takes ~15 min single-threaded. The f32
+    # corpus streams over the (slow) tunnel exactly ONCE: each chunk yields
+    # BOTH the idealised-f32 ranking and the stored-bf16 ranking (the chunk
+    # cast to bf16 on device, scored with exact f32 accumulation).
+    def _merge(best, v, i):
+        av = np.concatenate([best[0], v], axis=1)
+        ai = np.concatenate([best[1], i], axis=1)
+        # exact merge, ties by ascending doc id (reference semantics)
+        order = np.lexsort((ai, -av), axis=1)[:, :c_arm]
+        return (
+            np.take_along_axis(av, order, axis=1),
+            np.take_along_axis(ai, order, axis=1),
+        )
 
     t0 = time.time()
-    dn_f32 = _ref_dense(emb)
-    dn_bf16 = _ref_dense(emb_bf16)
+    chunk = 262_144
+    qs = jnp.asarray(q[:sample], jnp.float32)
+    empty = (
+        np.full((sample, c_arm), -np.inf, np.float32),
+        np.full((sample, c_arm), -1, np.int64),
+    )
+    best32, best16 = empty, empty
+    for lo in range(0, n_docs, chunk):
+        ev = jnp.asarray(emb[lo : lo + chunk], jnp.float32)
+        v, i = dense_topk_xla(ev, qs, c_arm, 4096)
+        best32 = _merge(
+            best32, np.asarray(v, np.float32), np.asarray(i, np.int64) + lo
+        )
+        # stored-index reference: docs rounded to bf16, queries f32, exact
+        # f32 accumulation (same definition as round 1; CPU stores f32,
+        # so its stored reference is the f32 chunk unrounded)
+        ev16 = (
+            ev.astype(jnp.bfloat16).astype(jnp.float32) if on_tpu else ev
+        )
+        v, i = dense_topk_xla(ev16, qs, c_arm, 4096)
+        best16 = _merge(
+            best16, np.asarray(v, np.float32), np.asarray(i, np.int64) + lo
+        )
+    dn_f32, dn_bf16 = best32[1], best16[1]
     log(f"reference dense rankings for {sample} queries ({time.time()-t0:.1f}s)")
     bm_exact = [ref.bm25_topk(index, term_ids[i], c_arm)[1] for i in range(sample)]
     b_ids_dev = np.asarray(outs_arms["bm25"]).reshape(total_q, -1)[:sample]
