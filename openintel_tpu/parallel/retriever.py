@@ -198,10 +198,8 @@ class ShardedHybridRetriever:
         )
         self.embedder = embedder or HashingEmbedder(dim=dense.dim)
         if kernel is None:
-            kernel = (
-                "pallas_fast" if jax.default_backend() not in ("cpu",) else "xla"
-            )
-        assert kernel in ("xla", "pallas", "pallas_fast"), kernel
+            kernel = "int8" if jax.default_backend() not in ("cpu",) else "xla"
+        assert kernel in ("xla", "pallas", "pallas_fast", "int8"), kernel
         self.kernel = kernel
         self.rrf_k = rrf_k
         self.block_size = block_size
@@ -209,9 +207,17 @@ class ShardedHybridRetriever:
         self.multi_budget = multi_budget
         self.interpret = interpret
 
-        # Shard-even corpus padding. The fast kernel prefers 512-aligned
-        # shards so its block size divides the shard (no in-jit re-pad).
-        align = self.n_shards * (512 if kernel == "pallas_fast" else 1)
+        # Shard-even corpus padding. The fast kernels prefer aligned shards
+        # so their block/super size divides the shard (no in-jit re-pad):
+        # 512 for pallas_fast, the 16,384-column turbo unit for int8.
+        if kernel == "int8":
+            from openintel_tpu.ops.pallas.dense_topk import _TURBO_UNIT
+
+            align = self.n_shards * _TURBO_UNIT
+        elif kernel == "pallas_fast":
+            align = self.n_shards * 512
+        else:
+            align = self.n_shards
         emb = np.asarray(dense.embeddings)
         pad = (-self.n_docs) % align
         if pad:
@@ -219,13 +225,31 @@ class ShardedHybridRetriever:
                 [emb, np.zeros((pad, emb.shape[1]), emb.dtype)], axis=0
             )
         self.shard_size = emb.shape[0] // self.n_shards
-        if kernel == "pallas_fast":
-            spec = P(None, CORPUS_AXIS)  # (D, N) column-sharded
-            arr = jnp.asarray(np.ascontiguousarray(emb.T))
+        if kernel == "int8":
+            from openintel_tpu.ops.pallas.dense_topk import quantize_int8
+
+            # int8 transposed candidates + full-precision rows for the
+            # per-shard exact rescore, both corpus-sharded
+            self._emb = jax.device_put(
+                jnp.asarray(np.ascontiguousarray(quantize_int8(emb).T)),
+                NamedSharding(self.mesh, P(None, CORPUS_AXIS)),
+            )
+            self._rescore = jax.device_put(
+                jnp.asarray(emb),
+                NamedSharding(self.mesh, P(CORPUS_AXIS, None)),
+            )
+        elif kernel == "pallas_fast":
+            self._emb = jax.device_put(
+                jnp.asarray(np.ascontiguousarray(emb.T)),
+                NamedSharding(self.mesh, P(None, CORPUS_AXIS)),
+            )
+            self._rescore = None
         else:
-            spec = P(CORPUS_AXIS, None)  # (N, D) row-sharded
-            arr = jnp.asarray(emb)
-        self._emb = jax.device_put(arr, NamedSharding(self.mesh, spec))
+            self._emb = jax.device_put(
+                jnp.asarray(emb),
+                NamedSharding(self.mesh, P(CORPUS_AXIS, None)),
+            )
+            self._rescore = None
 
     @classmethod
     def load(
@@ -284,11 +308,18 @@ class ShardedHybridRetriever:
         k = min(k, self.n_docs)
         c = min(candidates_per_arm or k, self.n_docs)
 
+        q8 = None
         if mode in ("hybrid", "dense"):
             if query_embeddings is None:
                 query_embeddings = self.embedder(list(queries))
-            q = self._pad_batch(np.asarray(query_embeddings))
-            q = jnp.asarray(q, self._emb.dtype)
+            q_np = self._pad_batch(np.asarray(query_embeddings, np.float32))
+            if self.kernel == "int8":
+                from openintel_tpu.ops.pallas.dense_topk import quantize_int8
+
+                q8 = jnp.asarray(quantize_int8(q_np))
+                q = jnp.asarray(q_np, self._rescore.dtype)
+            else:
+                q = jnp.asarray(q_np, self._emb.dtype)
         if mode in ("hybrid", "bm25"):
             term_ids = [encode_query(self.postings, que) for que in queries]
             term_ids += [[]] * ((-b) % self.data_size)  # batch padding rows
@@ -306,6 +337,7 @@ class ShardedHybridRetriever:
                 self.mesh, self._emb, q, k,
                 block_size=self.block_size, kernel=self.kernel,
                 interpret=self.interpret,
+                rescore=self._rescore, queries_i8=q8,
             )
         elif mode == "bm25":
             vals, ids = sharded_bm25_topk(
@@ -320,5 +352,6 @@ class ShardedHybridRetriever:
                 block_size=self.block_size, kernel=self.kernel,
                 presorted=meta.presorted, max_run=meta.max_terms,
                 interpret=self.interpret,
+                rescore=self._rescore, queries_i8=q8,
             )
         return self._postprocess(vals, ids, b, k)

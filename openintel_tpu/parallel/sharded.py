@@ -40,11 +40,28 @@ def _merge_gathered(vals_g: jax.Array, ids_g: jax.Array, k: int):
     return vals, ids
 
 
-def _local_dense_topk(emb_local, q_local, k, kernel, block_size, interpret=False):
+def _local_dense_topk(
+    emb_local, q_local, k, kernel, block_size, interpret=False,
+    rescore_local=None, q_i8_local=None,
+):
     """Per-shard dense arm. ``kernel``: "xla" (portable), "pallas" (exact
-    fused top-k), "pallas_fast" (production candidate-emission kernel; takes
-    the (D, N_local) transposed layout). ``interpret`` runs the Pallas
-    kernels in interpreter mode (hermetic CPU-mesh tests)."""
+    fused top-k), "pallas_fast" (bf16 candidate-emission kernel; takes the
+    (D, N_local) transposed layout), "int8" (turbo int8 candidates + exact
+    per-shard f32 rescore over ``rescore_local`` rows; also takes
+    ``q_i8_local`` quantised queries). ``interpret`` runs the Pallas kernels
+    in interpreter mode (hermetic CPU-mesh tests)."""
+    if kernel == "int8":
+        from openintel_tpu.ops.pallas.dense_topk import (
+            dense_topk_fast_i8,
+            exact_rescore,
+        )
+
+        _, cids = dense_topk_fast_i8(
+            emb_local, q_i8_local, k=k, interpret=interpret,
+        )
+        # rescore LOCALLY (ids are shard-local; rows are the local shard) so
+        # the all-gathered candidates already carry exact f32 scores
+        return exact_rescore(rescore_local, q_local, cids, k)
     if kernel == "pallas":
         from openintel_tpu.ops.pallas.dense_topk import dense_topk_pallas
 
@@ -75,29 +92,48 @@ def _fast_block_c(n_local: int) -> int:
 
 def _emb_spec(kernel: str):
     """Sharding spec for the dense index: (N, D) row-sharded normally; the
-    fast kernel streams the transposed (D, N) layout, column-sharded."""
-    return P(None, CORPUS_AXIS) if kernel == "pallas_fast" else P(CORPUS_AXIS, None)
+    fast kernels stream the transposed (D, N) layout, column-sharded."""
+    if kernel in ("pallas_fast", "int8"):
+        return P(None, CORPUS_AXIS)
+    return P(CORPUS_AXIS, None)
+
+
+def _dense_n_docs(doc_emb, kernel: str) -> int:
+    return (
+        doc_emb.shape[1]
+        if kernel in ("pallas_fast", "int8")
+        else doc_emb.shape[0]
+    )
 
 
 def sharded_dense_topk(
     mesh: Mesh,
-    doc_emb: jax.Array,  # (N, D) — or (D, N) when kernel="pallas_fast"
+    doc_emb: jax.Array,  # (N, D) — or (D, N) when kernel="pallas_fast"/"int8"
     queries: jax.Array,  # (B, D), B divisible by the data axis size
     k: int,
     *,
     block_size: int = 4096,
     kernel: str = "xla",
     interpret: bool = False,
+    rescore: Optional[jax.Array] = None,  # (N, D) rows, kernel="int8"
+    queries_i8: Optional[jax.Array] = None,  # (B, D) int8, kernel="int8"
 ) -> tuple[jax.Array, jax.Array]:
     """Dense cosine top-k over a corpus sharded across the mesh."""
-    n_docs = doc_emb.shape[1] if kernel == "pallas_fast" else doc_emb.shape[0]
+    n_docs = _dense_n_docs(doc_emb, kernel)
     n_shards = mesh.shape[CORPUS_AXIS]
     assert n_docs % n_shards == 0, "pad the corpus to shard evenly"
     shard_size = n_docs // n_shards
+    if kernel == "int8":
+        assert rescore is not None and queries_i8 is not None
+    else:
+        # uniform shard_map signature: tiny unused operands
+        rescore = jnp.zeros((n_shards, queries.shape[1]), queries.dtype)
+        queries_i8 = jnp.zeros(queries.shape, jnp.int8)
 
-    def local(emb_local, q_local):
+    def local(emb_local, q_local, rs_local, q8_local):
         vals, ids = _local_dense_topk(
-            emb_local, q_local, k, kernel, block_size, interpret
+            emb_local, q_local, k, kernel, block_size, interpret,
+            rescore_local=rs_local, q_i8_local=q8_local,
         )
         shard = jax.lax.axis_index(CORPUS_AXIS)
         gids = jnp.where(ids >= 0, ids + shard * shard_size, -1)
@@ -112,11 +148,16 @@ def sharded_dense_topk(
     f = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(_emb_spec(kernel), P(DATA_AXIS, None)),
+        in_specs=(
+            _emb_spec(kernel),
+            P(DATA_AXIS, None),
+            P(CORPUS_AXIS, None),
+            P(DATA_AXIS, None),
+        ),
         out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
         check_vma=False,
     )
-    return f(doc_emb, queries)
+    return f(doc_emb, queries, rescore, queries_i8)
 
 
 def sharded_bm25_topk(
@@ -172,22 +213,30 @@ def sharded_hybrid_topk(
     presorted: bool = False,
     max_run: int = 0,
     interpret: bool = False,
+    rescore: Optional[jax.Array] = None,  # (N, D) rows, kernel="int8"
+    queries_i8: Optional[jax.Array] = None,  # (B, D) int8, kernel="int8"
 ) -> tuple[jax.Array, jax.Array]:
     """Full hybrid query step, one device program: per-shard BM25 + dense
     local top-c, ICI all-gather, global merges, RRF fusion, final top-k."""
     from openintel_tpu.ops.bm25 import bm25_topk_device
 
     c = candidates_per_arm or k
-    n_docs = doc_emb.shape[1] if kernel == "pallas_fast" else doc_emb.shape[0]
+    n_docs = _dense_n_docs(doc_emb, kernel)
     n_shards = mesh.shape[CORPUS_AXIS]
     assert n_docs % n_shards == 0
     shard_size = n_docs // n_shards
+    if kernel == "int8":
+        assert rescore is not None and queries_i8 is not None
+    else:
+        rescore = jnp.zeros((n_shards, queries.shape[1]), queries.dtype)
+        queries_i8 = jnp.zeros(queries.shape, jnp.int8)
 
-    def local(emb_local, q_local, ids_local, w_local):
+    def local(emb_local, q_local, ids_local, w_local, rs_local, q8_local):
         shard = jax.lax.axis_index(CORPUS_AXIS)
         # dense arm
         d_vals, d_ids = _local_dense_topk(
-            emb_local, q_local, c, kernel, block_size, interpret
+            emb_local, q_local, c, kernel, block_size, interpret,
+            rescore_local=rs_local, q_i8_local=q8_local,
         )
         d_gids = jnp.where(d_ids >= 0, d_ids + shard * shard_size, -1)
         d_vals = jnp.where(d_ids >= 0, d_vals, -jnp.inf)  # mask padded slots
@@ -215,11 +264,13 @@ def sharded_hybrid_topk(
             P(DATA_AXIS, None),
             P(CORPUS_AXIS, DATA_AXIS, None),
             P(CORPUS_AXIS, DATA_AXIS, None),
+            P(CORPUS_AXIS, None),
+            P(DATA_AXIS, None),
         ),
         out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
         check_vma=False,
     )
-    return f(doc_emb, queries, plan_doc_ids, plan_weights)
+    return f(doc_emb, queries, plan_doc_ids, plan_weights, rescore, queries_i8)
 
 
 def global_bm25_stats(mesh: Mesh, local_df: jax.Array, local_len_sum: jax.Array,

@@ -238,3 +238,40 @@ def test_empty_and_mismatch_guards(corpus):
     )
     with pytest.raises(AssertionError, match="disagree"):
         ShardedHybridRetriever(postings, small, embedder, data=1, corpus=8)
+
+
+def test_int8_kernel_sharded_hybrid_and_dense(corpus):
+    """The production int8 path (turbo candidates + per-shard exact rescore)
+    through the sharded component: near-exact vs single-chip (the candidate
+    pass is approximate by design; rescore restores exact scoring)."""
+    docs, postings, dense, embedder = corpus
+    sr = ShardedHybridRetriever(
+        postings, dense, embedder, data=2, corpus=4, kernel="int8",
+        interpret=True,
+    )
+    queries = synthetic_queries_from_docs(docs, 5, seed=23)
+    want = HybridRetriever(postings, dense, embedder, use_pallas=False).search(
+        queries, k=10, candidates_per_arm=20
+    )
+    got = sr.search(queries, k=10, candidates_per_arm=20)
+    rec = np.mean([
+        len({i for i in got.ids[b] if i >= 0} & {i for i in want.ids[b] if i >= 0})
+        / max((want.ids[b] >= 0).sum(), 1)
+        for b in range(5)
+    ])
+    assert rec >= 0.9, rec
+    assert got.ids.max() < N  # corpus padding (1000 -> 65536) never surfaces
+
+    got_d = sr.search(queries, k=10, mode="dense")
+    want_d = DenseRetriever(dense, embedder, use_pallas=False).search(
+        queries, k=10
+    )
+    rec_d = np.mean([
+        len(set(got_d.ids[b]) & set(want_d.ids[b])) / 10 for b in range(5)
+    ])
+    assert rec_d >= 0.9, rec_d
+    # rescored scores are exact where ids agree
+    m = got_d.ids == want_d.ids
+    np.testing.assert_allclose(
+        got_d.scores[m], want_d.scores[m], rtol=1e-4, atol=1e-5
+    )
