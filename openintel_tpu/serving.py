@@ -1,0 +1,135 @@
+"""Serving-side batch aggregation.
+
+The dense arm streams the whole corpus shard per device batch, so per-query
+cost at small batches is bounded by the corpus stream, not compute — at
+batch 64 that floor is ~9.4 µs/query of HBM bandwidth alone vs 2.3 µs
+amortised at batch 256 (measured; docs/benchmarks.md "Batch-64"). No kernel
+change can cross that line; aggregating concurrent small request waves into
+full device batches can. This module is that layer.
+
+``BatchCoalescer`` wraps any batched ``search(queries, k, ...) ->
+SearchResult`` callable (HybridRetriever, ShardedHybridRetriever, ...) with
+a thread-safe request queue: concurrent callers' queries coalesce into one
+device batch of up to ``max_batch`` queries, flushed when full or after
+``max_wait_ms`` of quiet. Callers block until their slice of the fused
+result returns. Latency cost is bounded by the wait window; throughput
+approaches the full-batch rate as concurrency rises.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Callable, Sequence
+
+import numpy as np
+
+from openintel_tpu.models.retrievers import SearchResult
+
+
+class _Pending:
+    __slots__ = ("queries", "k", "event", "result", "error")
+
+    def __init__(self, queries: Sequence[str], k: int):
+        self.queries = list(queries)
+        self.k = k
+        self.event = threading.Event()
+        self.result: SearchResult | None = None
+        self.error: BaseException | None = None
+
+
+class BatchCoalescer:
+    """Coalesce concurrent search calls into full device batches.
+
+    ``search_fn(queries, k=...) -> SearchResult`` must accept a list of
+    query strings. Requests with different ``k`` coalesce too: the fused
+    call runs at the wave's max k and each caller's rows are trimmed."""
+
+    def __init__(
+        self,
+        search_fn: Callable[..., SearchResult],
+        *,
+        max_batch: int = 256,
+        max_wait_ms: float = 2.0,
+    ):
+        assert max_batch >= 1
+        self._search = search_fn
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1e3
+        self._lock = threading.Lock()
+        self._queue: list[_Pending] = []
+        self._queued = 0  # queries currently queued
+        self._flusher: threading.Thread | None = None
+        self.batches_run = 0  # observability: fused device calls
+        self.queries_run = 0
+
+    def search(self, queries: Sequence[str], k: int = 10) -> SearchResult:
+        """Blocking, thread-safe. Returns this caller's ranked results."""
+        if not queries:
+            return SearchResult(
+                ids=np.zeros((0, k), np.int32),
+                scores=np.zeros((0, k), np.float32),
+            )
+        if len(queries) >= self.max_batch:
+            # already a full wave: run it directly, no queueing latency
+            with self._lock:
+                self.batches_run += 1
+                self.queries_run += len(queries)
+            return self._search(list(queries), k=k)
+        req = _Pending(queries, k)
+        with self._lock:
+            self._queue.append(req)
+            self._queued += len(req.queries)
+            full = self._queued >= self.max_batch
+            if full:
+                wave = self._take_wave_locked()
+            elif self._flusher is None:
+                self._flusher = threading.Thread(
+                    target=self._flush_after_wait, daemon=True
+                )
+                self._flusher.start()
+        if full:
+            self._run_wave(wave)
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result  # type: ignore[return-value]
+
+    def _take_wave_locked(self) -> list[_Pending]:
+        wave, self._queue = self._queue, []
+        self._queued = 0
+        self._flusher = None
+        return wave
+
+    def _flush_after_wait(self) -> None:
+        import time
+
+        time.sleep(self.max_wait)
+        with self._lock:
+            if threading.current_thread() is not self._flusher:
+                return  # a full wave already flushed and replaced us
+            wave = self._take_wave_locked()
+        if wave:
+            self._run_wave(wave)
+
+    def _run_wave(self, wave: list[_Pending]) -> None:
+        all_q = [q for r in wave for q in r.queries]
+        k_max = max(r.k for r in wave)
+        with self._lock:
+            self.batches_run += 1
+            self.queries_run += len(all_q)
+        try:
+            res = self._search(all_q, k=k_max)
+        except BaseException as e:  # noqa: BLE001 — delivered to each caller
+            for r in wave:
+                r.error = e
+                r.event.set()
+            return
+        lo = 0
+        for r in wave:
+            hi = lo + len(r.queries)
+            r.result = SearchResult(
+                ids=np.asarray(res.ids[lo:hi, : r.k]),
+                scores=np.asarray(res.scores[lo:hi, : r.k]),
+            )
+            lo = hi
+            r.event.set()

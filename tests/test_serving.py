@@ -1,0 +1,123 @@
+"""BatchCoalescer: concurrent small request waves must fuse into few device
+batches with every caller getting exactly its own rows (the serving-layer
+answer to the measured batch-64 corpus-stream floor, docs/benchmarks.md)."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from openintel_tpu.models.retrievers import SearchResult
+from openintel_tpu.serving import BatchCoalescer
+
+
+def echo_search(queries, k=10):
+    """Deterministic fake: row i's top hit encodes the query's own number."""
+    ids = np.zeros((len(queries), k), np.int32) - 1
+    scores = np.zeros((len(queries), k), np.float32)
+    for i, q in enumerate(queries):
+        ids[i, 0] = int(q.split("-")[1])
+        scores[i, 0] = 1.0
+    return SearchResult(ids=ids, scores=scores)
+
+
+def test_concurrent_waves_fuse_and_route_correctly():
+    co = BatchCoalescer(echo_search, max_batch=64, max_wait_ms=50.0)
+    results = {}
+    errors = []
+
+    def worker(base):
+        try:
+            qs = [f"q-{base + j}" for j in range(8)]
+            res = co.search(qs, k=4)
+            results[base] = res
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(b * 100,)) for b in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert not errors
+    assert len(results) == 8
+    for base, res in results.items():
+        assert res.ids.shape == (8, 4)
+        np.testing.assert_array_equal(
+            res.ids[:, 0], [base + j for j in range(8)]
+        )
+    # 8 waves x 8 queries = 64 = max_batch -> ideally 1 fused call; allow a
+    # little scheduling slack but far fewer calls than requests
+    assert co.batches_run <= 3, co.batches_run
+    assert co.queries_run == 64
+
+
+def test_quiet_queue_flushes_after_wait():
+    co = BatchCoalescer(echo_search, max_batch=1000, max_wait_ms=10.0)
+    res = co.search(["q-7"], k=2)  # alone: must not hang
+    assert res.ids[0, 0] == 7
+    assert co.batches_run == 1
+
+
+def test_full_batch_bypasses_queue():
+    co = BatchCoalescer(echo_search, max_batch=4, max_wait_ms=1000.0)
+    res = co.search([f"q-{i}" for i in range(4)], k=3)
+    np.testing.assert_array_equal(res.ids[:, 0], [0, 1, 2, 3])
+    assert co.batches_run == 1  # direct, no wait window
+
+
+def test_mixed_k_trims_per_caller():
+    co = BatchCoalescer(echo_search, max_batch=8, max_wait_ms=20.0)
+    out = {}
+
+    def w(name, k):
+        out[name] = co.search([f"q-{k}"], k=k)
+
+    ts = [threading.Thread(target=w, args=(f"r{k}", k)) for k in (2, 5)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=10)
+    assert out["r2"].ids.shape == (1, 2)
+    assert out["r5"].ids.shape == (1, 5)
+    assert out["r2"].ids[0, 0] == 2 and out["r5"].ids[0, 0] == 5
+
+
+def test_search_fn_error_propagates_to_every_caller():
+    def boom(queries, k=10):
+        raise RuntimeError("device fell over")
+
+    co = BatchCoalescer(boom, max_batch=8, max_wait_ms=5.0)
+    with pytest.raises(RuntimeError, match="device fell over"):
+        co.search(["q-1"], k=2)
+
+
+def test_empty_request_short_circuits():
+    calls = []
+
+    def spy(queries, k=10):
+        calls.append(queries)
+        return echo_search(queries, k)
+
+    co = BatchCoalescer(spy, max_batch=8)
+    res = co.search([], k=5)
+    assert res.ids.shape == (0, 5)
+    assert calls == []
+
+
+def test_end_to_end_with_real_retriever():
+    from openintel_tpu.models.retrievers import HybridRetriever
+
+    docs = [
+        "the quick brown fox",
+        "lazy dogs sleep all day",
+        "market analysis of tech stocks",
+        "foxes and dogs living together",
+    ]
+    r = HybridRetriever.build(docs, dim=32)
+    co = BatchCoalescer(
+        lambda qs, k: r.search(qs, k=k, candidates_per_arm=2 * k),
+        max_batch=4, max_wait_ms=10.0,
+    )
+    res = co.search(["quick fox"], k=2)
+    assert res.ids[0, 0] == 0
