@@ -275,3 +275,44 @@ def test_int8_kernel_sharded_hybrid_and_dense(corpus):
     np.testing.assert_allclose(
         got_d.scores[m], want_d.scores[m], rtol=1e-4, atol=1e-5
     )
+
+
+def test_cli_mesh_plus_rerank_compose(tmp_path, capsys):
+    """--mesh and --rerank compose: the cross-encoder second stage runs
+    host-side over the mesh-merged candidates (closing the round-1 README
+    gap 'reranker not part of the sharded path')."""
+    import json
+
+    from openintel_tpu.cli.main import main
+
+    corpus_file = tmp_path / "corpus.txt"
+    corpus_file.write_text(
+        "the quick brown fox\n"
+        "lazy dogs sleep all day\n"
+        "market analysis of tech stocks\n"
+        "foxes and dogs living together\n"
+    )
+    assert main(
+        [
+            "train", str(corpus_file), "--out", str(tmp_path / "ck"),
+            "--steps", "2", "--dim", "32", "--depth", "1", "--heads", "2",
+            "--batch-size", "4", "--reranker",
+        ]
+    ) == 0
+    capsys.readouterr()
+    assert main(
+        ["index", str(corpus_file), "--out", str(tmp_path / "idx"), "--dim", "64"]
+    ) == 0
+    capsys.readouterr()
+    code = main(
+        [
+            "search", "quick fox", "--index", str(tmp_path / "idx"),
+            "-k", "2", "--format", "json", "--mesh", "2x4",
+            "--rerank", str(tmp_path / "ck"),
+        ]
+    )
+    out = capsys.readouterr().out
+    assert code == 0
+    doc = json.loads(out)
+    hits = doc[0]["hits"]
+    assert hits and all(0 <= h["doc_id"] < 4 for h in hits)
