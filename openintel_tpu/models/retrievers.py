@@ -117,12 +117,11 @@ class DenseRetriever:
         return cls(DenseIndex.from_embeddings(emb, dtype=dtype), embedder)
 
     def _fast_block_c(self, k: int = 128) -> int:
-        # shrink blocks until the candidate pool (128 per 4-block group)
-        # covers any reasonable k for this corpus size
-        block_c, n = 4096, max(self.index.n_docs, 1)
-        while block_c > 128 and -(-n // (4 * block_c)) * 128 < k:
-            block_c //= 2
-        return block_c
+        # turbo-style kernel: the candidate pool is 128 slots per 16,384-doc
+        # super regardless of block_c (which is just the grid-step width);
+        # 4096 is the measured sweet spot and divides the super
+        del k
+        return 4096
 
     def _topk(self, q: jax.Array, k: int):
         k = min(k, self.index.n_docs)

@@ -229,98 +229,112 @@ def dense_topk_pallas(
 
 
 # ---------------------------------------------------------------------------
-# Fast production kernel: streaming matmul -> packed per-group maxima.
+# Fast production kernel: lane-aligned streaming matmul -> packed maxima.
 #
 # The exact kernel above pays a per-block merge whenever ANY query row sees a
 # candidate; at production batch sizes (B >= 128) some row always does, so the
 # merge runs every block and dominates (~8x over the matmul roofline). The
-# fast path removes data-dependent control flow entirely — per corpus block it
-# emits a fixed, tiny set of candidates, and the per-element VPU work is pared
-# to the bone (it, not the MXU matmul, is the kernel's critical path):
+# fast path removes data-dependent control flow entirely: per corpus slice it
+# emits a fixed, tiny set of candidates.
 #
-#   1. scores (B, BC) f32 are shifted +2 (cosine in [-1,1] -> [1,3]): for
-#      strictly positive IEEE floats the raw bit pattern is already monotonic
-#      as int32, so no sign-fixup select/xor is needed — one add, one bitcast;
-#   2. the low 7 mantissa bits are traded for position: key = (bits & ~127)
-#      | (r << 2), where the block is viewed as (B, R, 128) (r = sublane
-#      group index, R = BC/128 <= 32). Scores quantise at ~2^-16 absolute —
-#      far below the bf16 input noise;
-#   3. one max-reduce over r leaves (B, 128) packed int32 per block; FOUR
-#      consecutive blocks then max-combine in VMEM scratch, tagging bits 0-1
-#      with the block parity — a (B, 128)-sized op, free next to the (B, BC)
-#      work — and one 128-lane row is written per four corpus blocks.
+# Round-2 redesign (the "turbo" scheme, shared with the int8 kernel below):
+# the round-1 version max-reduced (B, BC/128, 128) over the middle axis —
+# a STRIDED CROSS-LANE reduction that Mosaic lowers to lane rotations, and
+# at B=256 those shuffles (not the MXU or HBM) were the measured critical
+# path. Now each grid step runs unrolled (B, D) x (D, 128) sub-dots — 128
+# columns is the MXU's native output tile, so every sub-result is already a
+# lane-aligned (B, 128) tile — and packs score+position per sub-dot:
 #
-# Per element that's add, and, or, max — 4 VPU ops — overlapping the MXU
-# matmul and the HBM stream; measured at the VPU roofline. Outside the
-# kernel, one approx_max_k over the (B, n_blocks/4*128) packed output yields
-# the global top-k: bitcast back to f32, the packed ints are positive floats
-# whose order is the score order — exactly what the TPU's PartialReduce
-# top-k custom call wants. The column index recovers (superblock, lane); the
-# stolen bits recover (r, parity); together the exact doc id.
+#   1. scores +2 (cosine in [-1,1] -> [1,3]) are strictly positive floats,
+#      so their raw bits are already monotonic as int32 — one add, bitcast;
+#   2. the low 7 mantissa bits are traded for the sub-dot's position within
+#      a 128-sub-dot "super": key = (bits & ~127) | pos, with pos a SCALAR
+#      at trace time. Scores quantise at ~2^-16 absolute — far below bf16
+#      input noise;
+#   3. sub-results fold with pure elementwise maximum into a (B, 128)
+#      accumulator; one row is written per super (16,384 docs).
+#
+# Per element: add, and, or, max — 4 elementwise VPU ops, ZERO lane
+# crossing — overlapping the MXU matmul and HBM stream. Outside the kernel,
+# one approx_max_k over the (B, n_super*128) packed output yields the global
+# top-k: bitcast to f32, the packed ints are positive floats whose order is
+# the score order — exactly what the TPU's PartialReduce top-k custom call
+# wants. The column index recovers (super, lane); the stolen bits recover
+# the sub-block; together the exact doc id.
 #
 # A true top-k element is lost only if another top-k element is the max of
-# the same 512-doc packing group (P < k^2 * 256/N, negligible at retrieval
+# the same 128-doc packing group (P < k^2 * 64/N, negligible at retrieval
 # scale; measured recall@k ~ 1.0 in tests) or dropped by approx_max_k's
-# recall_target (0.99). Scores decode to ~2^-16; ids are exact. Corpus
+# recall_target (0.99). Scores decode to ~2^-16; ids are exact. Ties inside
+# the packed max resolve to the higher position (higher doc id). Corpus
 # zero-padding scores exactly 0 (packed 2.0), so it can displace only
 # negative-cosine candidates; padded ids are filtered after the final top-k.
 #
-# PERF CONTRACT: pass the corpus pre-padded to a multiple of 4*block_c
+# PERF CONTRACT: pass the corpus pre-padded to the 16,384-column super unit
 # (pad_corpus_t below) — in-jit padding would copy the whole corpus in HBM
 # every call (~2.3 ms at 1.25M docs, measured), the single biggest tax on
 # this path.
 # ---------------------------------------------------------------------------
 
-_POS_BITS = 7  # (r sublane group) << 2 | block parity (2 bits)
+_POS_BITS = 7  # sub-block position within a super
 _POS_MASK = (1 << _POS_BITS) - 1  # 127
-_FOLD = 4  # corpus blocks max-combined per output row
+_FOLD = 4  # kept for pad_corpus_t compatibility (unit = 4*4096 = the super)
 _SHIFT = 2.0  # score -> strictly positive float; bits monotonic as int32
 
 
-def _fast_kernel(q_ref, e_ref, out_ref, acc_ref, *, block_c: int):
+def _turbo_kernel_f32(q_ref, e_ref, out_ref, acc_ref, *, sub: int, steps: int):
+    """``sub`` 128-col sub-dots per grid step; ``steps`` grid steps per
+    super. bf16/f32 inputs; f32 forces exact passes for oracle parity."""
     j = pl.program_id(0)
-    scores = jax.lax.dot_general(
-        q_ref[:],
-        e_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),  # (B,D) x (D,BC) — MXU-native
-        preferred_element_type=jnp.float32,
-    )  # (B, BC)
-    b = scores.shape[0]
-    key = jax.lax.bitcast_convert_type(scores + _SHIFT, jnp.int32) & ~jnp.int32(
-        _POS_MASK
+    base = (j % steps) * sub
+    precision = (
+        None if q_ref.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
     )
-    r_groups = block_c // 128
-    r_idx = jax.lax.broadcasted_iota(jnp.int32, (b, r_groups, 128), 1)
-    # Sublane-group max only — pure VPU elementwise tree, no lane crossing.
-    m1 = jnp.max(key.reshape(b, r_groups, 128) | (r_idx << 2), axis=1) | (
-        j % _FOLD
-    )
+    acc = None
+    for i in range(sub):
+        s = jax.lax.dot_general(
+            q_ref[:],
+            e_ref[:, i * 128 : (i + 1) * 128],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )  # (B, 128) — already lane-aligned
+        key = (
+            jax.lax.bitcast_convert_type(s + _SHIFT, jnp.int32)
+            & ~jnp.int32(_POS_MASK)
+        ) | jnp.int32(base + i)
+        acc = key if acc is None else jnp.maximum(acc, key)
 
-    @pl.when(j % _FOLD == 0)
+    @pl.when(j % steps == 0)
     def _reset():
-        acc_ref[:] = m1
+        acc_ref[:] = acc
 
-    @pl.when(j % _FOLD != 0)
+    @pl.when(j % steps != 0)
     def _combine():
-        acc_ref[:] = jnp.maximum(acc_ref[:], m1)
+        acc_ref[:] = jnp.maximum(acc_ref[:], acc)
 
-    @pl.when(j % _FOLD == _FOLD - 1)
+    @pl.when(j % steps == steps - 1)
     def _write():
         out_ref[:] = acc_ref[:]
 
 
 def pad_corpus_t(doc_emb_t: jax.Array, block_c: int = 4096) -> jax.Array:
-    """Zero-pad a (D, N) transposed corpus to a 4*block_c multiple ONCE at
-    index load, so the hot query path never copies the corpus (see perf
-    contract)."""
+    """Zero-pad a (D, N) transposed corpus to the 16,384-column super unit
+    ONCE at index load, so the hot query path never copies the corpus (see
+    perf contract). ``block_c`` kept for call-site compatibility; the unit
+    is the turbo super regardless."""
+    del block_c
     dim, n = doc_emb_t.shape
-    unit = _FOLD * block_c
+    unit = _SUPER_COLS
     n_pad = _round_up(max(n, unit), unit)
     if n_pad == n:
         return doc_emb_t
     return jnp.concatenate(
         [doc_emb_t, jnp.zeros((dim, n_pad - n), doc_emb_t.dtype)], axis=1
     )
+
+
+_SUPER_COLS = 128 * 128  # corpus columns per output row (16,384)
 
 
 @functools.partial(
@@ -339,34 +353,41 @@ def dense_topk_fast(
     padded). See module comment for the candidate-emission scheme.
 
     Pass ``pad_corpus_t``-padded embeddings plus the true ``n_docs`` in
-    production; unpadded input works but pays a full corpus copy per call."""
+    production; unpadded input works but pays a full corpus copy per call.
+    ``block_c`` = corpus columns per grid step (multiple of 128, dividing
+    16,384)."""
     dim, n_stored = doc_emb_t.shape
     n_docs = n_stored if n_docs is None else n_docs
     b = queries.shape[0]
-    assert block_c % 128 == 0 and block_c <= 4096, "block_c in 128..4096, /128"
+    assert block_c % 128 == 0 and _SUPER_COLS % block_c == 0, (
+        "block_c must be a multiple of 128 dividing 16384"
+    )
 
-    unit = _FOLD * block_c
-    if n_stored % unit != 0 or n_stored < unit:
-        doc_emb_t = pad_corpus_t(doc_emb_t, block_c)
-    sub = 16 if queries.dtype == jnp.bfloat16 else 8
-    b_pad = _round_up(b, sub)
+    if n_stored % _SUPER_COLS != 0 or n_stored < _SUPER_COLS:
+        doc_emb_t = pad_corpus_t(doc_emb_t)
+    sub_batch = 16 if queries.dtype == jnp.bfloat16 else 8
+    b_pad = _round_up(b, sub_batch)
     if b_pad != b:
         queries = jnp.concatenate(
             [queries, jnp.zeros((b_pad - b, dim), queries.dtype)], axis=0
         )
 
-    n_blocks = doc_emb_t.shape[1] // block_c
-    n_super = n_blocks // _FOLD
-    assert n_super * 128 >= k, "corpus too small for k candidates; shrink block_c"
+    sub = block_c // 128
+    steps = (_SUPER_COLS // 128) // sub
+    n_steps = doc_emb_t.shape[1] // block_c
+    n_super = doc_emb_t.shape[1] // _SUPER_COLS
+    assert n_super * 128 >= k, "corpus too small for k candidates"
     packed = pl.pallas_call(
-        functools.partial(_fast_kernel, block_c=block_c),
-        grid=(n_blocks,),
+        functools.partial(_turbo_kernel_f32, sub=sub, steps=steps),
+        grid=(n_steps,),
         in_specs=[
             pl.BlockSpec((b_pad, dim), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((dim, block_c), lambda j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (b_pad, 128), lambda j: (0, j // _FOLD), memory_space=pltpu.VMEM
+            (b_pad, 128),
+            lambda j, _s=steps: (0, j // _s),
+            memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b_pad, n_super * 128), jnp.int32),
         scratch_shapes=[pltpu.VMEM((b_pad, 128), jnp.int32)],
@@ -374,28 +395,22 @@ def dense_topk_fast(
     )(queries, doc_emb_t)
 
     # As positive floats the packed ints sort identically — feed them straight
-    # to the TPU-optimised PartialReduce top-k (approx_max_k); (r, parity)
-    # ride along in the mantissa, (superblock, lane) in the column. Corpus
-    # zero-padding packs to score 0 and can occupy up to the last
-    # superblock's 128 candidate slots, shadowing NEGATIVE-scored real docs.
-    # For small corpora (where an all-negative top-k is plausible and the
-    # extra approx width is free) we over-fetch those slots and compact
-    # after the id filter; at production scale the top-k of a real workload
-    # is positive and the over-fetch measurably costs ~3 ms/batch, so the
-    # shadowing caveat is documented instead. (Either way a negative-scored
-    # real doc sharing a 512-doc packing group with padding columns is
-    # masked — strictly smaller than the documented group-collision loss.)
+    # to the TPU-optimised PartialReduce top-k (approx_max_k). Corpus
+    # zero-padding packs to score 0 and can occupy candidate slots,
+    # shadowing NEGATIVE-scored real docs. For small corpora (where an
+    # all-negative top-k is plausible and the extra approx width is free) we
+    # over-fetch those slots and compact after the id filter; at production
+    # scale the top-k of a real workload is positive and the over-fetch
+    # measurably costs ~3 ms/batch, so the shadowing caveat is documented
+    # instead.
     padded = doc_emb_t.shape[1] != n_docs
     pad_slots = 128 if (padded and n_docs <= 262_144) else 0
     k_fetch = min(k + pad_slots, n_super * 128)
     gf = jax.lax.bitcast_convert_type(packed, jnp.float32)
     fv, pcols = jax.lax.approx_max_k(gf, k_fetch, recall_target=0.99)
     pvals = jax.lax.bitcast_convert_type(fv, jnp.int32)
-    ids = (
-        ((pcols // 128) * _FOLD + (pvals & 3)) * block_c  # corpus block
-        + ((pvals >> 2) & 31) * 128  # sublane group r
-        + pcols % 128  # lane
-    ).astype(jnp.int32)
+    pos = pvals & _POS_MASK  # sub-block index within the super
+    ids = (((pcols // 128) * 128 + pos) * 128 + pcols % 128).astype(jnp.int32)
     vals = (
         jax.lax.bitcast_convert_type(pvals & ~jnp.int32(_POS_MASK), jnp.float32)
         - _SHIFT

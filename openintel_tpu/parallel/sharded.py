@@ -80,13 +80,11 @@ def _local_dense_topk(
 
 
 def _fast_block_c(n_local: int) -> int:
-    """Largest block_c (multiple of 128, <= 4096) with 4*block_c dividing the
-    local shard — so dense_topk_fast never re-pads the corpus inside the hot
-    query program (its documented perf contract). Shard sizes should be
-    512-aligned; otherwise fall back to 4096 and accept the in-jit pad."""
-    for bc in range(4096, 0, -128):
-        if n_local % (4 * bc) == 0:
-            return bc
+    """Grid-step width for the turbo-style fast kernel: must divide the
+    16,384-column super unit. 4096 is the measured sweet spot; shards not
+    super-aligned pay an in-jit pad (tests only — the serving component
+    aligns its shards)."""
+    del n_local
     return 4096
 
 
