@@ -51,7 +51,10 @@ def main() -> None:
     batch = 256 if on_tpu else 32
     n_batches = 16 if on_tpu else 2
     k, c_arm = 10, 32
-    prune_m = 1024  # + multi-term overlap docs; see build_query_plan
+    # Impact pruning: exact for top-k with k <= min(M, multi_budget) (see
+    # build_query_plan); round 1 over-provisioned at M=1024 — M=128 gives a
+    # 4x exactness margin over c_arm=32 at ~1/8 the plan width.
+    prune_m = int(os.environ.get("BENCH_PRUNE", 0)) or 128
     terms_per_query = 4
     vocab_size = 30_000 if on_tpu else 3_000
 

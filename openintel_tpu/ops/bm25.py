@@ -53,10 +53,19 @@ class QueryPlan:
 
 
 def _bucket(width: int, minimum: int = 512) -> int:
+    """Round a plan width up to the next bucket: powers of two plus their
+    1.5x midpoints (512, 768, 1024, 1536, 2048, ...). Device cost is linear
+    in the padded width, so pure power-of-two buckets waste up to 2x work
+    right above a boundary (the production config's ~4.5k-wide plans were
+    paying for 8192); midpoints cap the waste at ~33% while keeping the jit
+    cache bounded (2 classes per octave)."""
     p = minimum
-    while p < width:
+    while True:
+        if width <= p:
+            return p
+        if width <= p + p // 2:
+            return p + p // 2
         p *= 2
-    return p
 
 
 def encode_query(index: PostingsIndex, text: str) -> list[int]:

@@ -232,3 +232,56 @@ def test_impact_order_sorted_desc_with_id_ties():
     assert (np.diff(impacts) <= 1e-9).all()  # descending impact
     ids1, _ = idx.pruned_postings(fox, 1)
     assert len(ids1) == 1
+
+
+def test_pruning_exact_at_small_m():
+    """The exactness argument: pruned top-k == unpruned top-k whenever
+    k <= min(M, multi_budget) — even at tight M (the production config runs
+    M=128 for k=32; round 1 over-provisioned at M=1024)."""
+    from openintel_tpu.index.synthetic import (
+        synthetic_queries_from_docs,
+        synthetic_token_corpus,
+    )
+    from openintel_tpu.index.build import build_postings_index
+    from openintel_tpu.ops.bm25 import (
+        bm25_topk_device,
+        build_query_plan,
+        encode_query,
+    )
+
+    docs = synthetic_token_corpus(3000, vocab_size=300, seed=77)  # df >> M
+    idx = build_postings_index(docs)
+    queries = synthetic_queries_from_docs(docs, 16, seed=78)
+    term_ids = [encode_query(idx, q) for q in queries]
+    assert max(int(idx.df[t]) for ts in term_ids for t in ts) > 64
+
+    exact_plan = build_query_plan(idx, term_ids)
+    ve, ie = bm25_topk_device(
+        exact_plan.doc_ids, exact_plan.weights, idx.n_docs, 16,
+        presorted=exact_plan.presorted, max_run=exact_plan.max_terms,
+    )
+    for m in (16, 32, 64):
+        plan = build_query_plan(
+            idx, term_ids, max_postings_per_term=m, multi_budget=256
+        )
+        vp, ip = bm25_topk_device(
+            plan.doc_ids, plan.weights, idx.n_docs, 16,
+            presorted=plan.presorted, max_run=plan.max_terms,
+        )
+        vp, ip = np.asarray(vp), np.asarray(ip)
+        # Exactness under floats: the selected SCORES equal the true top-k
+        # scores everywhere, and every doc strictly above the k-th boundary
+        # is present. (Docs exactly TIED at the boundary may legitimately
+        # differ: the C++ planner's f32 multiply order wobbles scores ~1 ULP
+        # vs the numpy plan, re-cutting the tie cluster.)
+        np.testing.assert_allclose(vp, np.asarray(ve), rtol=1e-5, atol=1e-6)
+        for b in range(len(term_ids)):
+            boundary = np.asarray(ve)[b, -1]
+            tol = 1e-6 + 1e-5 * abs(boundary)
+            must = {
+                int(i)
+                for i, v in zip(np.asarray(ie)[b], np.asarray(ve)[b])
+                if v > boundary + tol
+            }
+            got = {int(i) for i in ip[b]}
+            assert must <= got, (m, b, must - got)
