@@ -32,6 +32,18 @@ class SearchResult:
     scores: np.ndarray  # (B, k) float32
 
 
+AUTO_PRUNE_DOCS = 100_000  # corpora above this default to pruned plans
+
+
+def auto_prune_m(n_docs: int, k: int) -> Optional[int]:
+    """Default impact-pruning budget for serving: above AUTO_PRUNE_DOCS a
+    stop-wordy term would otherwise blow the plan to its full df (device
+    cost is linear in plan width). M = max(128, k) keeps pruned top-k exact
+    (the argument needs k <= min(M, multi_budget); build_query_plan's
+    multi_budget default is 256, raised alongside k below)."""
+    return max(128, k) if n_docs > AUTO_PRUNE_DOCS else None
+
+
 class BM25Retriever:
     """Lexical retrieval over the CSR postings index."""
 
@@ -44,7 +56,12 @@ class BM25Retriever:
 
     def search(self, queries: Sequence[str], k: int = 10) -> SearchResult:
         term_ids = [encode_query(self.index, q) for q in queries]
-        plan = build_query_plan(self.index, term_ids)
+        plan = build_query_plan(
+            self.index,
+            term_ids,
+            max_postings_per_term=auto_prune_m(self.index.n_docs, k),
+            multi_budget=max(256, k),
+        )
         vals, ids = bm25_topk_device(
             plan.doc_ids,
             plan.weights,

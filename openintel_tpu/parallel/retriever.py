@@ -321,15 +321,22 @@ class ShardedHybridRetriever:
             else:
                 q = jnp.asarray(q_np, self._emb.dtype)
         if mode in ("hybrid", "bm25"):
+            from openintel_tpu.models.retrievers import auto_prune_m
+
             term_ids = [encode_query(self.postings, que) for que in queries]
             term_ids += [[]] * ((-b) % self.data_size)  # batch padding rows
+            prune_m = (
+                self.max_postings_per_term
+                if self.max_postings_per_term is not None
+                else auto_prune_m(self.n_docs, c)
+            )
             pdi, pw, meta = shard_query_plans(
                 self.postings,
                 term_ids,
                 self.n_shards,
                 shard_size=self.shard_size,
-                max_postings_per_term=self.max_postings_per_term,
-                multi_budget=self.multi_budget,
+                max_postings_per_term=prune_m,
+                multi_budget=max(self.multi_budget, c),
             )
 
         if mode == "dense":

@@ -182,3 +182,34 @@ def test_dense_retriever_int8_kernel_matches_xla():
     np.testing.assert_allclose(
         got.scores[match], want.scores[match], rtol=1e-5, atol=1e-6
     )
+
+
+def test_auto_pruning_preserves_topk(monkeypatch):
+    """Above the corpus-size threshold, retrievers default to impact-pruned
+    plans; results must equal the unpruned ranking (scores exact, boundary
+    ties excepted)."""
+    import numpy as np
+
+    from openintel_tpu.index.build import build_postings_index
+    from openintel_tpu.index.synthetic import (
+        synthetic_queries_from_docs,
+        synthetic_token_corpus,
+    )
+    from openintel_tpu.models import retrievers as R
+
+    docs = synthetic_token_corpus(3000, vocab_size=300, seed=88)
+    r = R.BM25Retriever(build_postings_index(docs))
+    queries = synthetic_queries_from_docs(docs, 8, seed=89)
+    want = r.search(queries, k=10)  # 3000 docs < threshold: unpruned
+    monkeypatch.setattr(R, "AUTO_PRUNE_DOCS", 100)
+    got = r.search(queries, k=10)  # now auto-pruned at M=128
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-5, atol=1e-6)
+    for b in range(8):
+        boundary = want.scores[b, -1]
+        tol = 1e-6 + 1e-5 * abs(boundary)
+        must = {
+            int(i)
+            for i, v in zip(want.ids[b], want.scores[b])
+            if i >= 0 and v > boundary + tol
+        }
+        assert must <= {int(i) for i in got.ids[b]}
