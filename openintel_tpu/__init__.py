@@ -37,4 +37,12 @@ def __getattr__(name):  # lazy convenience exports (avoid importing jax early)
         from openintel_tpu.models.reranker import CrossEncoderReranker
 
         return CrossEncoderReranker
+    if name == "ShardedHybridRetriever":
+        from openintel_tpu.parallel.retriever import ShardedHybridRetriever
+
+        return ShardedHybridRetriever
+    if name == "BatchCoalescer":
+        from openintel_tpu.serving import BatchCoalescer
+
+        return BatchCoalescer
     raise AttributeError(f"module 'openintel_tpu' has no attribute {name!r}")
