@@ -136,9 +136,9 @@ class DenseRetriever:
     def _fast_block_c(self, k: int = 128) -> int:
         # turbo-style kernel: the candidate pool is 128 slots per 16,384-doc
         # super regardless of block_c (which is just the grid-step width);
-        # 4096 is the measured sweet spot and divides the super
+        # 8192 is the measured sweet spot and divides the super
         del k
-        return 4096
+        return 8192
 
     def _topk(self, q: jax.Array, k: int):
         k = min(k, self.index.n_docs)

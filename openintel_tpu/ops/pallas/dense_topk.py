@@ -344,7 +344,7 @@ def dense_topk_fast(
     doc_emb_t: jax.Array,  # (D, N) unit-norm COLUMNS, f32 or bf16 (transposed!)
     queries: jax.Array,  # (B, D) unit-norm rows
     k: int = 10,
-    block_c: int = 4096,
+    block_c: int = 8192,  # measured optimum on v5e (1.62 vs 2.20 ms at 4096)
     interpret: bool = False,
     n_docs: int | None = None,  # true corpus size when doc_emb_t is pre-padded
 ) -> tuple[jax.Array, jax.Array]:

@@ -81,11 +81,11 @@ def _local_dense_topk(
 
 def _fast_block_c(n_local: int) -> int:
     """Grid-step width for the turbo-style fast kernel: must divide the
-    16,384-column super unit. 4096 is the measured sweet spot; shards not
+    16,384-column super unit. 8192 is the measured sweet spot; shards not
     super-aligned pay an in-jit pad (tests only — the serving component
     aligns its shards)."""
     del n_local
-    return 4096
+    return 8192
 
 
 def _emb_spec(kernel: str):
