@@ -642,8 +642,32 @@ def run_train(args) -> tuple[str, int]:
     return "\n".join(logs) + "\n", 0
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache for every CLI/MCP invocation —
+    remote-TPU compiles cost seconds-to-minutes per program; cache hits make
+    repeat invocations near-instant. Opt out with OPENINTEL_NO_COMPILE_CACHE;
+    override the location with OPENINTEL_COMPILE_CACHE."""
+    import os
+
+    if os.environ.get("OPENINTEL_NO_COMPILE_CACHE"):
+        return
+    path = os.environ.get("OPENINTEL_COMPILE_CACHE") or os.path.join(
+        os.path.expanduser("~"), ".cache", "openintel_tpu", "jax"
+    )
+    try:
+        os.makedirs(path, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception as e:  # cache is an optimisation, never fatal
+        print(f"warning: compile cache disabled: {e}", file=sys.stderr)
+
+
 def main(argv: Optional[list[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+    _enable_compile_cache()
     try:
         return _dispatch(args)
     except FileNotFoundError as e:
