@@ -50,7 +50,8 @@ def main() -> None:
     dim = 384
     batch = 256 if on_tpu else 32
     n_batches = 16 if on_tpu else 2
-    k, c_arm = 10, 32
+    k = 10
+    c_arm = int(os.environ.get("BENCH_CARM", 0)) or 32
     # Impact pruning: exact for top-k with k <= min(M, multi_budget) (see
     # build_query_plan); round 1 over-provisioned at M=1024 — M=128 gives a
     # 4x exactness margin over c_arm=32 at ~1/8 the plan width.
