@@ -165,6 +165,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="also distill the lexicon analyzer into a neural head",
     )
 
+    p = sub.add_parser(
+        "doctor", help="environment diagnostics (backend, native tier, cache)"
+    )
+    p.add_argument(
+        "--index", default=None,
+        help="also validate an index checkpoint pair (path prefix)",
+    )
+
     p = sub.add_parser("setup", help="guided credential setup with live verify")
     p.add_argument("source", choices=["reddit", "bluesky", "x"])
     p.add_argument("--forget", action="store_true", help="delete stored credentials")
@@ -665,6 +673,93 @@ def _enable_compile_cache() -> None:
         print(f"warning: compile cache disabled: {e}", file=sys.stderr)
 
 
+def run_doctor(args) -> tuple[str, int]:
+    """Environment diagnostics: what will actually run, and how."""
+    import openintel_tpu
+
+    lines = [f"openintel-tpu {openintel_tpu.__version__}"]
+    ok = True
+
+    import jax
+
+    try:
+        devices = jax.devices()
+        lines.append(
+            f"jax {jax.__version__} — backend {jax.default_backend()}, "
+            f"{len(devices)} device(s): "
+            + ", ".join(d.device_kind for d in devices[:4])
+            + (" …" if len(devices) > 4 else "")
+        )
+    except Exception as e:
+        lines.append(f"jax backend UNAVAILABLE: {e}")
+        ok = False
+
+    from openintel_tpu import native
+
+    lib = native._load()
+    if lib is not None:
+        lines.append(
+            "native tier: C++ tokenizer/postings/planner active "
+            f"({native._SO.name})"
+        )
+    else:
+        lines.append(
+            "native tier: NOT built — Python fallbacks active "
+            "(run `python -c \"from openintel_tpu import native; native.build()\"`)"
+        )
+
+    import os
+
+    cache = jax.config.jax_compilation_cache_dir
+    if cache:
+        n = len(os.listdir(cache)) if os.path.isdir(cache) else 0
+        lines.append(f"compile cache: {cache} ({n} entries)")
+    else:
+        lines.append("compile cache: disabled")
+
+    kernel = "int8 turbo (TPU)" if jax.default_backend() not in ("cpu",) else (
+        "xla (CPU host — Pallas kernels in interpreter mode for tests)"
+    )
+    lines.append(f"default dense kernel: {kernel}")
+
+    if args.index:
+        from openintel_tpu.index.checkpoint import load_dense, load_postings
+
+        try:
+            postings = load_postings(f"{args.index}.postings.npz")
+            dense = load_dense(f"{args.index}.dense.npz")
+            emb = "?"
+            meta_p = f"{args.index}.meta.json"
+            from pathlib import Path
+
+            if Path(meta_p).exists():
+                emb = json.loads(Path(meta_p).read_text()).get("embedder", "?")
+            lines.append(
+                f"index '{args.index}': {postings.n_docs} docs, "
+                f"{postings.nnz:,} postings, vocab {postings.vocab.size}, "
+                f"dense {dense.dim}d "
+                f"({np_dtype_name(dense.embeddings)}, embedder {emb}) — OK"
+            )
+            if postings.n_docs != dense.n_docs:
+                lines.append(
+                    f"  MISMATCH: postings {postings.n_docs} docs vs dense "
+                    f"{dense.n_docs}"
+                )
+                ok = False
+        except Exception as e:
+            lines.append(f"index '{args.index}': INVALID — {e}")
+            ok = False
+
+    lines.append("status: ok" if ok else "status: problems found")
+    return "\n".join(lines) + "\n", 0 if ok else 1
+
+
+def np_dtype_name(arr) -> str:
+    import numpy as np
+
+    return str(np.asarray(arr).dtype)
+
+
 def main(argv: Optional[list[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     _enable_compile_cache()
@@ -702,6 +797,8 @@ def _dispatch(args) -> int:
         out, code = run_search(args)
     elif args.command == "train":
         out, code = run_train(args)
+    elif args.command == "doctor":
+        out, code = run_doctor(args)
     elif args.command == "setup":
         from openintel_tpu.cli.setup import run_setup
 

@@ -255,3 +255,22 @@ def test_risk_batch_screen_offline(capsys):
         "--entry", "100",
     )
     assert code == 1 and "--entry only applies" in out
+
+
+def test_doctor_reports_environment(tmp_path, capsys):
+    out, code = run_cli(capsys, "doctor")
+    assert code == 0
+    assert "openintel-tpu" in out and "jax" in out
+    assert "native tier" in out and "default dense kernel" in out
+    assert "status: ok" in out
+
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("quick brown fox\nlazy dogs sleep\nfox dog fox\n")
+    run_cli(capsys, "index", str(corpus), "--out", str(tmp_path / "idx"),
+            "--dim", "32")
+    out, code = run_cli(capsys, "doctor", "--index", str(tmp_path / "idx"))
+    assert code == 0
+    assert "3 docs" in out and "32d" in out and "— OK" in out
+
+    out, code = run_cli(capsys, "doctor", "--index", str(tmp_path / "nope"))
+    assert code == 1 and "INVALID" in out
