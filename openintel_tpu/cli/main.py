@@ -166,6 +166,26 @@ def build_parser() -> argparse.ArgumentParser:
     )
 
     p = sub.add_parser(
+        "evaluate", help="retrieval quality (recall@k / MRR) against labels"
+    )
+    p.add_argument("corpus", help="text file, one document per line")
+    p.add_argument(
+        "--queries", default=None,
+        help="TSV labels: query<TAB>doc_id[<TAB>doc_id...]; omit for a "
+        "self-labeled synthetic eval",
+    )
+    p.add_argument("--n-synthetic", type=int, default=200,
+                   help="synthetic queries when --queries is omitted")
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument(
+        "--mode", choices=["all", "hybrid", "bm25", "dense"], default="all"
+    )
+    p.add_argument("--encoder", default=None,
+                   help="embed with a trained encoder checkpoint dir")
+    p.add_argument("--dim", type=int, default=384)
+    p.add_argument("--format", choices=["table", "json"], default="table")
+
+    p = sub.add_parser(
         "doctor", help="environment diagnostics (backend, native tier, cache)"
     )
     p.add_argument(
@@ -673,6 +693,61 @@ def _enable_compile_cache() -> None:
         print(f"warning: compile cache disabled: {e}", file=sys.stderr)
 
 
+def run_evaluate(args) -> tuple[str, int]:
+    from pathlib import Path
+
+    from openintel_tpu.models.eval import (
+        evaluate_corpus,
+        parse_qrels,
+        synthetic_qrels,
+    )
+
+    texts = [
+        line.strip()
+        for line in Path(args.corpus).read_text().splitlines()
+        if line.strip()
+    ]
+    if not texts:
+        return "error: corpus is empty", 1
+    if args.queries:
+        try:
+            qrels = parse_qrels(Path(args.queries).read_text())
+        except ValueError as e:
+            return f"error: {e}", 1
+        bad = {d for _, rel in qrels for d in rel if not 0 <= d < len(texts)}
+        if bad:
+            return (
+                f"error: qrels reference doc ids outside the corpus: "
+                f"{sorted(bad)[:5]}...", 1,
+            )
+    else:
+        qrels = synthetic_qrels(texts, args.n_synthetic)
+    embedder = None
+    if args.encoder:
+        from openintel_tpu.models.train import load_embedder
+
+        embedder = load_embedder(args.encoder)
+        args.dim = embedder.dim
+    modes = (
+        ("bm25", "dense", "hybrid") if args.mode == "all" else (args.mode,)
+    )
+    results = evaluate_corpus(
+        texts, qrels, k=args.k, modes=modes, embedder=embedder, dim=args.dim
+    )
+    if args.format == "json":
+        return json.dumps([r.to_dict() for r in results], indent=2), 0
+    lines = [
+        f"{len(texts)} docs · {len(qrels)} queries · k={args.k}"
+        + ("" if args.queries else " (self-labeled synthetic)")
+    ]
+    for r in results:
+        lines.append(
+            f"  {r.mode:7s} recall@{r.k} {r.recall_at_k:.3f} · "
+            f"MRR {r.mrr_at_k:.3f} · hit rate {r.hit_rate:.3f}"
+        )
+    return "\n".join(lines) + "\n", 0
+
+
 def run_doctor(args) -> tuple[str, int]:
     """Environment diagnostics: what will actually run, and how."""
     import openintel_tpu
@@ -797,6 +872,8 @@ def _dispatch(args) -> int:
         out, code = run_search(args)
     elif args.command == "train":
         out, code = run_train(args)
+    elif args.command == "evaluate":
+        out, code = run_evaluate(args)
     elif args.command == "doctor":
         out, code = run_doctor(args)
     elif args.command == "setup":
