@@ -13,7 +13,6 @@
 
 from __future__ import annotations
 
-import asyncio
 import datetime as dt
 from typing import Any, Optional, Sequence
 
