@@ -1,20 +1,32 @@
 """Benchmark: hybrid retrieval QPS per chip (BASELINE.json north star).
 
-Measures the full hybrid query step — BM25 (impact-pruned plans, sort +
-segmented-scan reduction) + dense cosine (Pallas fused matmul/top-k kernel,
-bf16) + RRF fusion — on this chip's shard of the 10M-doc target corpus
-(10M / 8 chips = 1.25M docs x 384d), query batch 256, k=10.
+Measures the SERVED component: ``HybridRetriever(kernel="int8")`` — the
+same object `openintel search` / MCP `search_corpus` construct — driving
+its fused one-dispatch device program (BM25 impact-pruned segmented-scan +
+int8 turbo dense candidates + exact f32 rescore + RRF) over this chip's
+shard of the 10M-doc target corpus (10M / 8 chips = 1.25M docs x 384d,
+bf16-stored index), query batch 256, k=10.
+
+The headline is RAW wall clock: 64 query sub-batches (16,384 queries) run
+under one jitted ``lax.scan`` per dispatch, so the host->device tunnel RTT
+is amortised INSIDE the measurement instead of subtracted from it
+(round-2 verdict items 1-2). The measured RTT is still reported, plus a
+net-of-RTT figure, for visibility.
 
 Prints ONE JSON line to stdout:
   {"metric": ..., "value": QPS, "unit": "queries/sec/chip", "vs_baseline": x}
 vs_baseline is against the 100k QPS/chip north-star target.
 Diagnostics (per-arm timings, recall parity) go to stderr.
+
+Env knobs: BENCH_DOCS, BENCH_BATCHES, BENCH_CARM, BENCH_DENSE
+(int8|fast|pallas|xla), BENCH_RECALL_DEBUG=1 (dump per-query recall-loss
+mechanism: packing-group collision vs approx_max_k vs RRF boundary).
 """
 
 from __future__ import annotations
 
-import functools
 import json
+import os
 import sys
 import time
 
@@ -39,285 +51,241 @@ def main() -> None:
     on_tpu = backend not in ("cpu",)
     log(f"backend: {backend}; devices: {jax.devices()}")
 
-    import os
-
     # Shard of the 10M-doc target: 1.25M docs/chip on TPU; small on CPU.
-    # BENCH_DOCS overrides (e.g. 10_000_000 fits one v5e chip in bf16 for a
-    # single-chip capacity run: 7.7 GB corpus + plans).
+    # BENCH_DOCS overrides (e.g. 10_000_000 fits one v5e chip for a
+    # single-chip capacity run).
     n_docs = int(os.environ.get("BENCH_DOCS", 0)) or (
         1_250_000 if on_tpu else 20_000
     )
     dim = 384
     batch = 256 if on_tpu else 32
-    n_batches = 16 if on_tpu else 2
+    n_batches = int(os.environ.get("BENCH_BATCHES", 0)) or (
+        64 if on_tpu else 2
+    )
     k = 10
     c_arm = int(os.environ.get("BENCH_CARM", 0)) or 32
-    # Impact pruning: exact for top-k with k <= min(M, multi_budget) (see
-    # build_query_plan); round 1 over-provisioned at M=1024 — M=128 gives a
-    # 4x exactness margin over c_arm=32 at ~1/8 the plan width.
-    prune_m = int(os.environ.get("BENCH_PRUNE", 0)) or 128
     terms_per_query = 4
     vocab_size = 30_000 if on_tpu else 3_000
+    dense_mode = os.environ.get("BENCH_DENSE", "int8" if on_tpu else "xla")
 
+    from openintel_tpu.index.schema import DenseIndex
     from openintel_tpu.index.synthetic import synthetic_postings_index
-    from openintel_tpu.ops.bm25 import bm25_topk_device, build_query_plan
-    from openintel_tpu.ops.fusion import rrf_fuse_device
-    from openintel_tpu.ops.dense import dense_topk_xla
+    from openintel_tpu.models.retrievers import HybridRetriever
 
     t0 = time.time()
     index = synthetic_postings_index(n_docs, vocab_size=vocab_size, seed=0)
+    index.ensure_impact_order()
     log(f"postings index: {n_docs} docs, nnz={index.nnz:,} ({time.time()-t0:.1f}s)")
 
     t0 = time.time()
     rng = np.random.default_rng(1)
     emb = rng.standard_normal((n_docs, dim), dtype=np.float32)
     emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
-    # Production dense path (BENCH_DENSE=int8, the default on TPU): int8
-    # turbo candidate kernel over the (D, N) quantised transposed corpus +
-    # exact bf16-row rescore — 11.5 GB total at 10M docs (fits one v5e).
-    # BENCH_DENSE=bf16 falls back to the bf16 fast kernel. Transpose/pad/
-    # cast on the HOST and push exactly one device copy per array — a
-    # device-side transpose would briefly hold 2x the corpus in HBM.
-    dense_mode = os.environ.get("BENCH_DENSE", "int8" if on_tpu else "bf16")
-    block_c = 4096
-    if on_tpu and dense_mode == "int8":
+    # Production index stores bf16 rows on TPU (`openintel index --bf16`);
+    # the int8 retriever quantises its candidate copy from them and keeps
+    # the bf16 rows for the exact-rescore stage.
+    store_dtype = "bfloat16" if on_tpu else np.float32
+    if on_tpu:
         import ml_dtypes
 
-        from openintel_tpu.ops.pallas.dense_topk import (
-            _TURBO_UNIT,
-            quantize_int8,
-        )
-
-        block_c = 8192 if batch >= 128 else 4096  # measured optimum on v5e
-        n_pad = -(-n_docs // _TURBO_UNIT) * _TURBO_UNIT
-        emb_t8 = np.zeros((dim, n_pad), dtype=np.int8)
-        emb_t8[:, :n_docs] = quantize_int8(emb.T)
-        emb_t_dev = jax.device_put(jnp.asarray(emb_t8))
-        del emb_t8
-        rescore_dev = jax.device_put(
-            jnp.asarray(emb.astype(ml_dtypes.bfloat16))
-        )
-        jax.block_until_ready(rescore_dev)
-    elif on_tpu:
-        import ml_dtypes
-
-        unit = 4 * block_c
-        n_pad = -(-n_docs // unit) * unit
-        emb_t = np.zeros((dim, n_pad), dtype=ml_dtypes.bfloat16)
-        emb_t[:, :n_docs] = emb.T.astype(ml_dtypes.bfloat16)
-        emb_t_dev = jax.device_put(jnp.asarray(emb_t))
-        del emb_t
-        rescore_dev = None
-    else:
-        from openintel_tpu.ops.pallas.dense_topk import pad_corpus_t
-
-        emb_t_dev = pad_corpus_t(jnp.asarray(emb.T), block_c)
-        rescore_dev = None
-    jax.block_until_ready(emb_t_dev)
+        store_dtype = ml_dtypes.bfloat16
+    dense_index = DenseIndex.from_embeddings(emb, dtype=store_dtype)
     log(
-        f"dense index [{dense_mode}]: {emb.nbytes/1e9:.2f} GB f32 host "
+        f"dense index [{dense_mode}, stored "
+        f"{np.dtype(store_dtype).name}]: {emb.nbytes/1e9:.2f} GB f32 host "
         f"({time.time()-t0:.1f}s)"
     )
+
+    # THE SERVED COMPONENT. kernel/device_batch are exactly what CLI `search`
+    # and MCP construct on this backend at this corpus size.
+    t0 = time.time()
+    retriever = HybridRetriever(
+        index, dense_index, kernel=dense_mode, device_batch=batch
+    )
+    log(f"retriever: kernel={retriever.kernel} ({time.time()-t0:.1f}s)")
 
     # Queries: mid-frequency terms (log-uniform rank 50..vocab) + embeddings
     # near random docs, so both arms have signal.
     t0 = time.time()
     total_q = batch * n_batches
     ranks = np.exp(
-        rng.uniform(np.log(50), np.log(vocab_size - 1), size=(total_q, terms_per_query))
+        rng.uniform(
+            np.log(50), np.log(vocab_size - 1), size=(total_q, terms_per_query)
+        )
     ).astype(np.int64)
     term_ids = [list(row + 1) for row in ranks]  # term id = rank + 1
     targets = rng.integers(0, n_docs, size=total_q)
     q = emb[targets] + 0.6 * rng.standard_normal((total_q, dim)).astype(np.float32)
     q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    log(f"{total_q} queries synthesised ({time.time()-t0:.1f}s)")
 
-    index.ensure_impact_order()
-    plans = [
-        build_query_plan(
-            index,
-            term_ids[i * batch : (i + 1) * batch],
-            max_postings_per_term=prune_m,
-        )
-        for i in range(n_batches)
-    ]
-    plan_w = max(p.doc_ids.shape[1] for p in plans)
-    pdi = np.full((n_batches, batch, plan_w), n_docs, np.int32)
-    pw = np.zeros((n_batches, batch, plan_w), np.float32)
-    for i, p in enumerate(plans):
-        w = p.doc_ids.shape[1]
-        pdi[i, :, :w] = p.doc_ids
-        pw[i, :, :w] = p.weights
+    # Host-side query preparation through the served surface (plan build on
+    # the C++ planner + device staging). Reported separately: planning is
+    # per-query host work that pipelines with device execution in serving.
+    t0 = time.time()
+    prep = retriever.prepare(term_ids, q, k=k, candidates_per_arm=c_arm)
+    plan_secs = time.time() - t0
     log(
-        f"plans: width {plan_w} (pruned at {prune_m}/term), "
-        f"{total_q} queries ({time.time()-t0:.1f}s)"
+        f"prepare: plan width {prep.plan_doc_ids.shape[2]}, "
+        f"{n_batches} x {batch} sub-batches ({plan_secs:.1f}s, "
+        f"{plan_secs/total_q*1e3:.2f} ms/query host planning)"
     )
 
-    q_dev = jax.device_put(
-        jnp.asarray(q.reshape(n_batches, batch, dim),
-                    jnp.bfloat16 if on_tpu else jnp.float32)
-    )
-    if dense_mode == "int8":
-        from openintel_tpu.ops.pallas.dense_topk import quantize_int8 as _qi8
-
-        q8_dev = jax.device_put(
-            jnp.asarray(_qi8(q.reshape(n_batches, batch, dim)))
-        )
-    else:  # uniform scan signature; tiny and unused
-        q8_dev = jax.device_put(
-            jnp.zeros((n_batches, batch, dim), jnp.int8)
-        )
-        rescore_dev = jax.device_put(jnp.zeros((1, dim), jnp.bfloat16))
-
-    pdi_dev = jax.device_put(jnp.asarray(pdi))
-    pw_dev = jax.device_put(jnp.asarray(pw))
-
-    def dense_arm(embs_t, rescore, qb, qb8):
-        if on_tpu and dense_mode == "int8":
-            from openintel_tpu.ops.pallas.dense_topk import (
-                dense_topk_fast_i8,
-                exact_rescore,
-            )
-
-            _, cids = dense_topk_fast_i8(
-                embs_t, qb8, k=c_arm, block_c=block_c, n_docs=n_docs
-            )
-            return exact_rescore(rescore, qb, cids, c_arm)
-        if on_tpu:
-            from openintel_tpu.ops.pallas.dense_topk import dense_topk_fast
-
-            return dense_topk_fast(
-                embs_t, qb, k=c_arm, block_c=block_c, n_docs=n_docs
-            )
-        # slice the block padding back off: zero-padded rows score 0 and
-        # would otherwise enter the top-32 on the CPU path
-        return dense_topk_xla(jnp.transpose(embs_t)[:n_docs], qb, c_arm, 4096)
-
-    @functools.partial(jax.jit, static_argnames=("mode",))
-    def run_batches(embs_t, rescore, qbs, qbs8, pdis, pws, mode="hybrid"):
-        def body(carry, xs):
-            qb, qb8, di, w = xs
-            if mode in ("hybrid", "dense"):
-                d_vals, d_ids = dense_arm(embs_t, rescore, qb, qb8)
-            if mode in ("hybrid", "bm25"):
-                b_vals, b_ids = bm25_topk_device(
-                    di, w, n_docs, c_arm, presorted=True, max_run=terms_per_query
-                )
-            if mode == "hybrid":
-                vals, ids = rrf_fuse_device(b_ids, d_ids, k)
-            elif mode == "dense":
-                vals, ids = d_vals, d_ids
-            else:
-                vals, ids = b_vals, b_ids
-            return carry + jnp.sum(ids), (vals, ids)
-
-        acc, outs = jax.lax.scan(body, jnp.int32(0), (qbs, qbs8, pdis, pws))
-        return acc, outs
-
-    # MEASURE the per-call dispatch/tunnel RTT instead of assuming it: a
-    # trivial jitted op's round trip is pure overhead, amortised across the
-    # 16-batch scan in the real programs. Reported separately in the JSON so
-    # the adjustment is visible, never baked in.
+    # Measure the per-call dispatch/tunnel RTT for VISIBILITY (the headline
+    # no longer subtracts it): a trivial jitted op's round trip.
     @jax.jit
     def _tiny(x):
         return x + 1
 
     _ = int(_tiny(jnp.int32(0)))
     rtt = min(
-        (lambda t0: (int(_tiny(jnp.int32(0))), time.time() - t0)[1])(time.time())
+        (lambda s: (int(_tiny(jnp.int32(0))), time.time() - s)[1])(time.time())
         for _ in range(20)
     )
-    log(f"measured dispatch RTT: {rtt*1e3:.1f} ms/call")
+    log(f"measured dispatch RTT: {rtt*1e3:.1f} ms/call (amortised in-scan)")
 
-    def timeit(mode, reps=8):  # min-of-N rides out tunnel/ambient jitter
-        args = (emb_t_dev, rescore_dev, q_dev, q8_dev, pdi_dev, pw_dev)
-        acc, outs = run_batches(*args, mode=mode)
-        _ = int(acc)  # device->host sync (block_until_ready alone is lazy here)
+    def timeit_prepared(p, reps=8):
+        res = retriever.run_prepared(p)  # compile + warm
         best = float("inf")
         for _ in range(reps):
-            t0 = time.time()
-            acc, outs = run_batches(*args, mode=mode)
-            _ = int(acc)
-            best = min(best, time.time() - t0)
-        per_batch_raw = best / n_batches
-        per_batch = max(best - rtt, 1e-9) / n_batches
-        return per_batch, per_batch_raw, outs
+            s = time.time()
+            res = retriever.run_prepared(p)
+            best = min(best, time.time() - s)
+        return best, res
 
-    per_dense, per_dense_raw, outs_d = timeit("dense")
-    log(f"dense arm : {per_dense*1e3:8.3f} ms/batch  {batch/per_dense:>12,.0f} QPS")
-    per_bm25, per_bm25_raw, outs_b = timeit("bm25")
-    log(f"bm25 arm  : {per_bm25*1e3:8.3f} ms/batch  {batch/per_bm25:>12,.0f} QPS")
-    outs_arms = {"dense": outs_d[1], "bm25": outs_b[1]}
-    per_hybrid, per_hybrid_raw, outs = timeit("hybrid")
-    qps = batch / per_hybrid
-    qps_raw = batch / per_hybrid_raw
+    best, res = timeit_prepared(prep)
+    nq = prep.n_queries
+    qps = nq / best  # RAW: RTT and host<->device copies included
+    qps_net = nq / max(best - rtt, 1e-9)
+    per_batch = best / n_batches
     log(
-        f"hybrid    : {per_hybrid*1e3:8.3f} ms/batch  {qps:>12,.0f} QPS "
-        f"(raw, RTT included: {qps_raw:,.0f})"
+        f"hybrid    : {per_batch*1e3:8.3f} ms/batch  {qps:>12,.0f} QPS raw "
+        f"(net of {rtt*1e3:.1f} ms RTT: {qps_net:,.0f})"
+    )
+    hyb_ids_all = res.ids
+
+    # Per-arm diagnostics through the same scanned shapes (raw wall clock,
+    # RTT included — no subtraction, so no underflow artifacts; round-2
+    # verdict item 2a). An arm faster than the RTT reports the RTT floor.
+    import functools
+
+    dense = retriever.dense
+    pdi_dev = prep.plan_doc_ids
+    pw_dev = prep.plan_weights
+
+    from openintel_tpu.ops.bm25 import bm25_topk_device
+
+    @functools.partial(jax.jit, static_argnames=("mode",))
+    def run_arms(emb_op, rescore_op, qbs, qbs8, dis, ws, mode):
+        def body(carry, xs):
+            qb, qb8, di, w = xs
+            if mode == "dense":
+                if dense_mode == "int8":
+                    from openintel_tpu.ops.pallas.dense_topk import (
+                        dense_topk_fast_i8,
+                        exact_rescore,
+                    )
+
+                    _, cids = dense_topk_fast_i8(
+                        emb_op, qb8, k=c_arm,
+                        block_c=8192 if batch >= 128 else 4096,
+                        n_docs=n_docs, interpret=not on_tpu,
+                    )
+                    vals, ids = exact_rescore(rescore_op, qb, cids, c_arm)
+                elif dense_mode == "fast":
+                    from openintel_tpu.ops.pallas.dense_topk import (
+                        dense_topk_fast,
+                    )
+
+                    vals, ids = dense_topk_fast(
+                        emb_op, qb, k=c_arm, n_docs=n_docs,
+                        interpret=not on_tpu,
+                    )
+                elif dense_mode == "pallas":
+                    from openintel_tpu.ops.pallas.dense_topk import (
+                        dense_topk_pallas,
+                    )
+
+                    vals, ids = dense_topk_pallas(
+                        emb_op, qb, k=c_arm, interpret=not on_tpu
+                    )
+                else:
+                    from openintel_tpu.ops.dense import dense_topk_xla
+
+                    vals, ids = dense_topk_xla(emb_op, qb, c_arm)
+            else:
+                vals, ids = bm25_topk_device(
+                    di, w, n_docs, c_arm,
+                    presorted=prep.presorted, max_run=prep.max_run,
+                )
+            return carry + jnp.sum(ids), (vals, ids)
+
+        acc, outs = jax.lax.scan(
+            body, jnp.int32(0), (qbs, qbs8, dis, ws)
+        )
+        return acc, outs
+
+    rescore_op = (
+        dense._rescore_emb
+        if dense_mode == "int8"
+        else jnp.zeros((1, dim), jnp.float32)
     )
 
-    qps_b64 = None
-    if on_tpu:  # batched multi-query scaling (BASELINE config 4)
-        for small in (64,):
-            nb2 = total_q // small
-            q2 = q_dev.reshape(nb2, small, dim)
-            q2_8 = q8_dev.reshape(nb2, small, dim)
-            p2 = pdi_dev.reshape(nb2, small, -1)
-            w2 = pw_dev.reshape(nb2, small, -1)
-
-            @functools.partial(jax.jit, static_argnames=())
-            def run_small(embs_t, rescore, qbs, qbs8, pdis, pws):
-                def body(carry, xs):
-                    qb, qb8, di, w = xs
-                    _, d_ids = dense_arm(embs_t, rescore, qb, qb8)
-                    _, b_ids = bm25_topk_device(
-                        di, w, n_docs, c_arm, presorted=True,
-                        max_run=terms_per_query,
-                    )
-                    _, ids = rrf_fuse_device(b_ids, d_ids, k)
-                    return carry + jnp.sum(ids), None
-
-                return jax.lax.scan(
-                    body, jnp.int32(0), (qbs, qbs8, pdis, pws)
-                )[0]
-
-            args2 = (emb_t_dev, rescore_dev, q2, q2_8, p2, w2)
-            acc = run_small(*args2)
+    def time_arm(mode, reps=6):
+        args = (
+            dense._emb_device, rescore_op, prep.queries, prep.queries_i8,
+            pdi_dev, pw_dev,
+        )
+        acc, outs = run_arms(*args, mode=mode)
+        _ = int(acc)
+        best = float("inf")
+        for _ in range(reps):
+            s = time.time()
+            acc, _o = run_arms(*args, mode=mode)
             _ = int(acc)
-            best = float("inf")
-            for _ in range(4):
-                t0 = time.time()
-                _ = int(run_small(*args2))
-                best = min(best, time.time() - t0)
-            per = max(best - rtt, 1e-9) / nb2
-            qps_b64 = small / per
-            log(
-                f"hybrid b={small:4d}: {per*1e3:8.3f} ms/batch "
-                f"{qps_b64:>12,.0f} QPS (per-query efficiency vs b={batch}: "
-                f"{qps_b64/qps:.2f}x)"
-            )
+            best = min(best, time.time() - s)
+        return best, outs
 
-    # Recall@10 parity vs the exact NumPy reference scorer on a query sample,
+    best_d, outs_d = time_arm("dense")
+    log(
+        f"dense arm : {best_d/n_batches*1e3:8.3f} ms/batch  "
+        f"{nq/best_d:>12,.0f} QPS raw"
+    )
+    best_b, outs_b = time_arm("bm25")
+    log(
+        f"bm25 arm  : {best_b/n_batches*1e3:8.3f} ms/batch  "
+        f"{nq/best_b:>12,.0f} QPS raw"
+        + ("  [RTT-floor bound]" if best_b < 2 * rtt else "")
+    )
+
+    # Batched multi-query scaling (BASELINE config 4): same prepared
+    # queries re-chunked to 64-query device batches through the same
+    # surface (prepare exposes device_batch for exactly this).
+    qps_b64 = None
+    if on_tpu:
+        prep64 = retriever.prepare(
+            term_ids, q, k=k, candidates_per_arm=c_arm, device_batch=64
+        )
+        best64, _ = timeit_prepared(prep64, reps=4)
+        qps_b64 = nq / best64
+        log(
+            f"hybrid b=64: {best64/(total_q//64)*1e3:8.3f} ms/batch "
+            f"{qps_b64:>12,.0f} QPS raw (per-query efficiency vs b={batch}: "
+            f"{qps_b64/qps:.2f}x)"
+        )
+
+    # Recall@10 parity vs the exact reference scorer on a query sample,
     # against two references: the f32 index (idealised) and the same
-    # bf16-stored index scored exactly (equal-memory parity per BASELINE.md:
-    # the production index IS bf16; this isolates kernel/pruning loss from
-    # storage-precision loss).
+    # bf16-stored index scored exactly (equal-memory parity per BASELINE.md).
     from openintel_tpu.ops import reference as ref
+    from openintel_tpu.ops.dense import dense_topk_xla
 
     sample = min(512, total_q)
-    hyb_ids = np.asarray(outs[1]).reshape(total_q, k)[:sample]
-    rec_f32, rec_stored, rec_arm_b, rec_arm_d = [], [], [], []
-    # Dense reference rankings via the chunked portable oracle: f32-HIGHEST
-    # dense_topk_xla over 256k-doc chunks, merged by global id on the host.
-    # dense_topk_xla is independently asserted bit-equal to the NumPy
-    # reference in the hermetic suite (tests/test_dense.py); a 512-query
-    # NumPy matmul over 1.25M docs takes ~15 min single-threaded. The f32
-    # corpus streams over the (slow) tunnel exactly ONCE: each chunk yields
-    # BOTH the idealised-f32 ranking and the stored-bf16 ranking (the chunk
-    # cast to bf16 on device, scored with exact f32 accumulation).
+    hyb_ids = np.asarray(hyb_ids_all)[:sample]
+
     def _merge(best, v, i):
         av = np.concatenate([best[0], v], axis=1)
         ai = np.concatenate([best[1], i], axis=1)
-        # exact merge, ties by ascending doc id (reference semantics)
         order = np.lexsort((ai, -av), axis=1)[:, :c_arm]
         return (
             np.take_along_axis(av, order, axis=1),
@@ -338,9 +306,6 @@ def main() -> None:
         best32 = _merge(
             best32, np.asarray(v, np.float32), np.asarray(i, np.int64) + lo
         )
-        # stored-index reference: docs rounded to bf16, queries f32, exact
-        # f32 accumulation (same definition as round 1; CPU stores f32,
-        # so its stored reference is the f32 chunk unrounded)
         ev16 = (
             ev.astype(jnp.bfloat16).astype(jnp.float32) if on_tpu else ev
         )
@@ -351,19 +316,23 @@ def main() -> None:
     dn_f32, dn_bf16 = best32[1], best16[1]
     log(f"reference dense rankings for {sample} queries ({time.time()-t0:.1f}s)")
     bm_exact = [ref.bm25_topk(index, term_ids[i], c_arm)[1] for i in range(sample)]
-    b_ids_dev = np.asarray(outs_arms["bm25"]).reshape(total_q, -1)[:sample]
-    d_ids_dev = np.asarray(outs_arms["dense"]).reshape(total_q, -1)[:sample]
+    b_ids_dev = np.asarray(outs_b[1]).reshape(total_q, -1)[:sample]
+    d_ids_dev = np.asarray(outs_d[1]).reshape(total_q, -1)[:sample]
+    rec_f32, rec_stored, rec_arm_b, rec_arm_d = [], [], [], []
+    failures = []
     for i in range(sample):
         got = {int(d) for d in hyb_ids[i] if d >= 0}
         _, ri = ref.rrf_fuse([bm_exact[i], dn_f32[i]], k)
         exact = {int(d) for d in ri if d >= 0}
         if exact:
-            rec_f32.append(len(exact & got) / len(exact))
+            r = len(exact & got) / len(exact)
+            rec_f32.append(r)
+            if r < 1.0:
+                failures.append((i, exact - got))
         _, ri_s = ref.rrf_fuse([bm_exact[i], dn_bf16[i]], k)
         exact_s = {int(d) for d in ri_s if d >= 0}
         if exact_s:
             rec_stored.append(len(exact_s & got) / len(exact_s))
-        # per-arm diagnostics (device top-c vs exact arm top-c)
         eb = {int(d) for d in bm_exact[i] if d >= 0}
         if eb:
             rec_arm_b.append(
@@ -379,33 +348,119 @@ def main() -> None:
     recall_stored = float(np.mean(rec_stored)) if rec_stored else 1.0
     log(
         f"recall@10 (n={sample}): {recall:.3f} mean / {recall_min:.3f} min "
-        f"vs f32 index, {recall_stored:.3f} vs stored (bf16) index; "
+        f"vs f32 index, {recall_stored:.3f} vs stored index; "
         f"arm recall@{c_arm}: bm25 {np.mean(rec_arm_b):.3f}, "
         f"dense {np.mean(rec_arm_d):.3f}"
     )
 
+    if os.environ.get("BENCH_RECALL_DEBUG") and failures:
+        _debug_recall_failures(
+            failures, hyb_ids, bm_exact, dn_f32, dn_bf16,
+            b_ids_dev, d_ids_dev, emb, q, k, c_arm,
+        )
+
     result = {
         "metric": f"hybrid_qps_per_chip_{n_docs/1e6:.2f}M_docs_d{dim}_b{batch}",
+        # RAW wall clock through the served HybridRetriever surface: RTT,
+        # host staging, and result copy-back all included (amortised across
+        # the in-scan sub-batches); net-of-RTT reported for visibility only.
         "value": round(qps, 1),
         "unit": "queries/sec/chip",
         "vs_baseline": round(qps / 100_000.0, 4),
-        # raw wall-clock (dispatch RTT included) and the measured RTT the
-        # headline subtracts — the adjustment is visible, not baked in
-        "value_raw": round(qps_raw, 1),
+        "value_net_rtt": round(qps_net, 1),
         "dispatch_rtt_ms": round(rtt * 1e3, 2),
+        "n_scan_batches": n_batches,
+        "host_plan_ms_per_query": round(plan_secs / total_q * 1e3, 3),
         "recall_at_10_vs_exact": round(recall, 4),
         "recall_at_10_min": round(recall_min, 4),
         "recall_at_10_vs_stored": round(recall_stored, 4),
         "recall_sample_queries": sample,
-        "dense_arm_qps": round(batch / per_dense, 1),
-        "bm25_arm_qps": round(batch / per_bm25, 1),
+        # arm figures are raw (RTT included) — an arm faster than the RTT
+        # is reported as RTT-bound rather than a subtracted absurdity
+        "dense_arm_qps_raw": round(nq / best_d, 1),
+        "bm25_arm_qps_raw": round(nq / best_b, 1),
+        "bm25_arm_rtt_bound": bool(best_b < 2 * rtt),
         "dense_mode": dense_mode,
+        "served_surface": "HybridRetriever.run_prepared",
         "backend": backend,
     }
     if qps_b64 is not None:
         result["qps_b64"] = round(qps_b64, 1)
         result["b64_per_query_efficiency"] = round((qps_b64 / qps), 4)
     print(json.dumps(result), flush=True)
+
+
+def _debug_recall_failures(
+    failures, hyb_ids, bm_exact, dn_f32, dn_bf16, b_ids_dev, d_ids_dev,
+    emb, q, k, c_arm,
+):
+    """Name the mechanism behind each lost top-10 doc (round-2 verdict
+    item 4): packing-group collision in the int8 turbo candidate pass,
+    approx_max_k drop, bm25-arm pruning, or an RRF boundary effect."""
+    from openintel_tpu.ops.pallas.dense_topk import quantize_int8
+
+    log(f"--- recall debug: {len(failures)} failing queries ---")
+    for qi, lost in failures:
+        got_d = {int(d) for d in d_ids_dev[qi] if d >= 0}
+        got_b = {int(d) for d in b_ids_dev[qi] if d >= 0}
+        exact_d32 = [int(d) for d in dn_f32[qi] if d >= 0]
+        exact_d16 = [int(d) for d in dn_bf16[qi] if d >= 0]
+        exact_b = [int(d) for d in bm_exact[qi] if d >= 0]
+        for doc in sorted(lost):
+            in_d32 = doc in exact_d32
+            in_d16 = doc in exact_d16
+            in_b = doc in exact_b
+            why = []
+            if in_b and doc not in got_b:
+                why.append("bm25-arm drop")
+            if in_d32 and not in_d16:
+                why.append("bf16 storage rounding (not in stored-index top-c)")
+            if in_d16 and doc not in got_d:
+                # was it even eligible to be a candidate? one slot per
+                # (16384-super, 128-doc packing group)
+                group = doc // 128
+                rivals = [
+                    d for d in exact_d16
+                    if d // 128 == group and d != doc and d in got_d
+                ]
+                q8 = quantize_int8(q[qi : qi + 1])[0].astype(np.int32)
+                lo = group * 128
+                block = quantize_int8(emb[lo : lo + 128]).astype(np.int32)
+                iscores = block @ q8
+                rank_in_group = int((iscores > iscores[doc - lo]).sum())
+                if rivals:
+                    why.append(
+                        f"packing-group collision: shares 128-doc group "
+                        f"{group} with retrieved candidate(s) {rivals} "
+                        f"(int8 in-group rank {rank_in_group})"
+                    )
+                elif rank_in_group > 0:
+                    winner = lo + int(np.argmax(iscores))
+                    why.append(
+                        f"packing-group collision: int8 group max is doc "
+                        f"{winner} (in-group rank {rank_in_group}), which "
+                        f"did not reach top-{c_arm}"
+                    )
+                else:
+                    why.append(
+                        "candidate emitted but lost in approx_max_k / "
+                        "top-c selection"
+                    )
+            if not why and (doc in got_d or doc in got_b):
+                why.append(
+                    "RRF boundary: present in a device arm but fused rank "
+                    f"fell outside top-{k} (tie/ordering at the cut)"
+                )
+            if not why:
+                why.append("outside both exact arms?! (check reference)")
+            log(
+                f"  q{qi}: lost doc {doc} "
+                f"[exact-dense-f32 rank "
+                f"{exact_d32.index(doc) if in_d32 else '-'} | "
+                f"stored rank {exact_d16.index(doc) if in_d16 else '-'} | "
+                f"bm25 rank {exact_b.index(doc) if in_b else '-'}] "
+                f"-> {'; '.join(why)}"
+            )
 
 
 if __name__ == "__main__":

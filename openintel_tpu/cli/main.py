@@ -127,6 +127,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="serve over a device mesh: corpus shards ('8') or "
         "data x corpus ('2x4'); requires that many devices",
     )
+    p.add_argument(
+        "--kernel", choices=["auto", "xla", "pallas", "fast", "int8"],
+        default="auto",
+        help="dense-arm kernel (auto = int8 turbo + exact rescore on TPU, "
+        "xla elsewhere — the benchmarked production config)",
+    )
     _distributed_flags(p)
 
     p = sub.add_parser("index", help="build a hybrid index from a corpus file")
@@ -211,6 +217,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--mesh", default=None, metavar="SPEC",
         help="serve search_corpus over a device mesh ('8' or '2x4')",
+    )
+    p.add_argument(
+        "--kernel", choices=["auto", "xla", "pallas", "fast", "int8"],
+        default="auto",
+        help="dense-arm kernel for search_corpus (auto = int8 turbo + "
+        "exact rescore on TPU)",
     )
     _distributed_flags(p)
 
@@ -507,6 +519,17 @@ def check_index_meta(
     return None
 
 
+def kernel_from_flag(flag: Optional[str]) -> Optional[str]:
+    """CLI --kernel value -> retriever kernel name (None = library auto)."""
+    return None if flag in (None, "auto") else flag
+
+
+def sharded_kernel_name(kernel: Optional[str]) -> Optional[str]:
+    """Map the single-chip kernel names onto the sharded component's
+    ("fast" is called "pallas_fast" there; the rest coincide)."""
+    return "pallas_fast" if kernel == "fast" else kernel
+
+
 def run_search(args) -> tuple[str, int]:
     from pathlib import Path
 
@@ -531,6 +554,7 @@ def run_search(args) -> tuple[str, int]:
     docs = docs_path.read_text().splitlines() if docs_path.exists() else None
 
     queries = args.query
+    kernel = kernel_from_flag(getattr(args, "kernel", "auto"))
     if getattr(args, "mesh", None):
         from openintel_tpu.parallel.retriever import (
             ShardedHybridRetriever,
@@ -540,7 +564,8 @@ def run_search(args) -> tuple[str, int]:
         try:
             data, corpus = parse_mesh_spec(args.mesh)
             sharded = ShardedHybridRetriever(
-                postings, dense, embedder, data=data, corpus=corpus
+                postings, dense, embedder, data=data, corpus=corpus,
+                kernel=sharded_kernel_name(kernel),
             )
         except ValueError as e:
             return f"error: --mesh {args.mesh}: {e}", 1
@@ -550,9 +575,11 @@ def run_search(args) -> tuple[str, int]:
     elif args.mode == "bm25":
         res = BM25Retriever(postings).search(queries, k=args.k)
     elif args.mode == "dense":
-        res = DenseRetriever(dense, embedder).search(queries, k=args.k)
+        res = DenseRetriever(dense, embedder, kernel=kernel).search(
+            queries, k=args.k
+        )
     else:
-        res = HybridRetriever(postings, dense, embedder).search(
+        res = HybridRetriever(postings, dense, embedder, kernel=kernel).search(
             queries, k=args.k, candidates_per_arm=2 * args.k
         )
 
@@ -792,8 +819,10 @@ def run_doctor(args) -> tuple[str, int]:
     else:
         lines.append("compile cache: disabled")
 
-    kernel = "int8 turbo (TPU)" if jax.default_backend() not in ("cpu",) else (
-        "xla (CPU host — Pallas kernels in interpreter mode for tests)"
+    kernel = (
+        "int8 turbo + exact rescore (TPU, >=100k docs; exact pallas below)"
+        if jax.default_backend() not in ("cpu",)
+        else "xla (CPU host — Pallas kernels in interpreter mode for tests)"
     )
     lines.append(f"default dense kernel: {kernel}")
 
@@ -888,6 +917,7 @@ def _dispatch(args) -> int:
                 offline=args.offline, index=args.index,
                 encoder=args.encoder, rerank=args.rerank,
                 mesh=getattr(args, "mesh", None),
+                kernel=kernel_from_flag(getattr(args, "kernel", "auto")),
             )
         except RuntimeError as e:  # composition errors (e.g. index/encoder mismatch)
             print(f"error: {e}", file=sys.stderr)

@@ -213,6 +213,16 @@ SEARCH_TOOL_SPEC: dict[str, Any] = {
     },
 }
 
+STATS_TOOL_SPEC: dict[str, Any] = {
+    "name": "server_stats",
+    "description": (
+        "Serving statistics for search_corpus: device batches run, queries "
+        "served, and the batch-coalescer configuration (concurrent hybrid "
+        "searches fuse into one device batch). Read-only."
+    ),
+    "inputSchema": {"type": "object", "properties": {}, "required": []},
+}
+
 SERVER_INSTRUCTIONS = (
     "OpenIntel — fuses social sentiment with market action into a speculation "
     "report (crowding, divergence, sentiment). READ-ONLY: it never places trades."
@@ -231,6 +241,7 @@ class OpenIntelServer:
         retriever=None,  # HybridRetriever over an indexed corpus (optional)
         docs: Optional[Sequence[str]] = None,
         reranker=None,  # CrossEncoderReranker second stage (optional)
+        coalescer=None,  # BatchCoalescer over the hybrid search (optional)
     ):
         self.social = list(social)
         self.market = market
@@ -239,12 +250,14 @@ class OpenIntelServer:
         self.retriever = retriever
         self.docs = list(docs) if docs is not None else None
         self.reranker = reranker
+        self.coalescer = coalescer
 
     @property
     def tool_specs(self) -> list[dict[str, Any]]:
         specs = list(TOOL_SPECS)
         if self.retriever is not None:
             specs.append(SEARCH_TOOL_SPEC)
+            specs.append(STATS_TOOL_SPEC)
         return specs
 
     async def call_tool(self, name: str, args: dict[str, Any]) -> dict[str, Any]:
@@ -253,9 +266,20 @@ class OpenIntelServer:
                 raise RuntimeError(
                     "no corpus indexed — start the server with --index PREFIX"
                 )
-            return tools.run_search_corpus(
-                args, self.retriever, self.docs, self.reranker
+            # Run the (blocking) device search in a worker thread so
+            # concurrent tools/call requests actually overlap — that
+            # concurrency is what feeds the batch coalescer.
+            return await asyncio.to_thread(
+                tools.run_search_corpus,
+                args, self.retriever, self.docs, self.reranker,
+                self.coalescer,
             )
+        if name == "server_stats":
+            if self.retriever is None:
+                raise RuntimeError(
+                    "no corpus indexed — start the server with --index PREFIX"
+                )
+            return tools.run_server_stats(self.retriever, self.coalescer)
         if name == "list_sources":
             return tools.run_list_sources(self.social, self.market)
         if name == "analyze_ticker":
@@ -340,12 +364,28 @@ class OpenIntelServer:
 
 
 async def serve_stdio(server: OpenIntelServer) -> None:
-    """Blocking stdio loop: one JSON-RPC message per line."""
+    """Blocking stdio loop: one JSON-RPC message per line.
+
+    Requests dispatch CONCURRENTLY — each message spawns a task and
+    responses are written as they complete (JSON-RPC ids make out-of-order
+    replies safe). Concurrent ``search_corpus`` calls therefore overlap and
+    coalesce into fused device batches (``serving.BatchCoalescer``); the
+    reference's serving loop gets the same property from tokio+rmcp
+    (src/mcp/server.rs:187-190)."""
     loop = asyncio.get_event_loop()
+    pending: set[asyncio.Task] = set()
+
+    async def dispatch(message: dict[str, Any]) -> None:
+        response = await server.handle(message)
+        if response is not None:
+            # print() runs without awaits in the event-loop thread, so
+            # whole-line writes never interleave across tasks
+            print(json.dumps(response), flush=True)
+
     while True:
         line = await loop.run_in_executor(None, sys.stdin.readline)
         if not line:
-            return
+            break
         line = line.strip()
         if not line:
             continue
@@ -363,15 +403,18 @@ async def serve_stdio(server: OpenIntelServer) -> None:
                 flush=True,
             )
             continue
-        response = await server.handle(message)
-        if response is not None:
-            print(json.dumps(response), flush=True)
+        task = asyncio.create_task(dispatch(message))
+        pending.add(task)
+        task.add_done_callback(pending.discard)
+    if pending:  # EOF: drain in-flight requests before exiting
+        await asyncio.gather(*pending, return_exceptions=True)
 
 
 def _load_retriever(
     index_prefix: str,
     encoder_dir: Optional[str] = None,
     mesh: Optional[str] = None,
+    kernel: Optional[str] = None,
 ):
     from pathlib import Path
 
@@ -397,14 +440,21 @@ def _load_retriever(
             parse_mesh_spec,
         )
 
-        data, corpus = parse_mesh_spec(mesh)
+        try:
+            data, corpus = parse_mesh_spec(mesh)
+        except ValueError as e:
+            # composition error, not a crash: serve()'s handler reports it
+            raise RuntimeError(f"--mesh {mesh}: {e}") from e
+        from openintel_tpu.cli.main import sharded_kernel_name
+
         return (
             ShardedHybridRetriever(
-                postings, dense, embedder, data=data, corpus=corpus
+                postings, dense, embedder, data=data, corpus=corpus,
+                kernel=sharded_kernel_name(kernel),
             ),
             docs,
         )
-    return HybridRetriever(postings, dense, embedder), docs
+    return HybridRetriever(postings, dense, embedder, kernel=kernel), docs
 
 
 def build_server(
@@ -413,11 +463,31 @@ def build_server(
     encoder: Optional[str] = None,
     rerank: Optional[str] = None,
     mesh: Optional[str] = None,
+    kernel: Optional[str] = None,
+    coalesce_max_batch: int = 256,
+    coalesce_max_wait_ms: float = 2.0,
 ) -> OpenIntelServer:
     """Composition root (reference: src/mcp/server.rs:171-192)."""
     retriever, docs = (
-        _load_retriever(index, encoder, mesh) if index else (None, None)
+        _load_retriever(index, encoder, mesh, kernel)
+        if index
+        else (None, None)
     )
+    coalescer = None
+    if retriever is not None:
+        # Production serving path: concurrent hybrid searches coalesce into
+        # full device batches (the b=64 per-query-efficiency mitigation —
+        # docs/benchmarks.md "Batch-64").
+        from openintel_tpu.serving import BatchCoalescer
+
+        def _hybrid_search(queries, k=10):
+            return retriever.search(queries, k=k, candidates_per_arm=2 * k)
+
+        coalescer = BatchCoalescer(
+            _hybrid_search,
+            max_batch=coalesce_max_batch,
+            max_wait_ms=coalesce_max_wait_ms,
+        )
     reranker = None
     if rerank and retriever is not None:
         from openintel_tpu.models.reranker import load_reranker
@@ -435,6 +505,7 @@ def build_server(
             retriever=retriever,
             docs=docs,
             reranker=reranker,
+            coalescer=coalescer,
         )
 
     from openintel_tpu.config.secrets import Credentials
@@ -455,6 +526,7 @@ def build_server(
     return OpenIntelServer(
         social=social, market=market, bars=market, pulse_feed=pulse_feed,
         retriever=retriever, docs=docs, reranker=reranker,
+        coalescer=coalescer,
     )
 
 
@@ -464,12 +536,13 @@ def serve(
     encoder: Optional[str] = None,
     rerank: Optional[str] = None,
     mesh: Optional[str] = None,
+    kernel: Optional[str] = None,
 ) -> None:
     asyncio.run(
         serve_stdio(
             build_server(
                 offline=offline, index=index, encoder=encoder, rerank=rerank,
-                mesh=mesh,
+                mesh=mesh, kernel=kernel,
             )
         )
     )

@@ -211,10 +211,14 @@ async def run_pulse(args: dict[str, Any], feed: InfluencerFeed) -> dict[str, Any
 
 
 def run_search_corpus(
-    args: dict[str, Any], retriever, docs=None, reranker=None
+    args: dict[str, Any], retriever, docs=None, reranker=None, coalescer=None
 ) -> dict[str, Any]:
     """Hybrid/bm25/dense retrieval over the server's indexed corpus, with an
-    optional cross-encoder second stage when the server holds a reranker."""
+    optional cross-encoder second stage when the server holds a reranker.
+
+    When the server wires a ``BatchCoalescer`` (production default), hybrid
+    searches route through it so concurrent callers fuse into one device
+    batch; the single-arm modes go straight to the retriever."""
     queries = list(args.get("queries") or [])
     if not queries:
         raise ValueError("queries must be a non-empty list of strings")
@@ -222,7 +226,9 @@ def run_search_corpus(
     mode = (args.get("mode") or "hybrid").lower()
     if mode not in ("hybrid", "bm25", "dense"):
         raise ValueError("mode must be hybrid, bm25, or dense")
-    if not hasattr(retriever, "bm25"):
+    if mode == "hybrid" and coalescer is not None:
+        res = coalescer.search(queries, k=k)
+    elif not hasattr(retriever, "bm25"):
         # mesh-sharded retriever: every arm serves through the one sharded
         # device program (parallel.retriever.ShardedHybridRetriever)
         res = retriever.search(queries, k=k, candidates_per_arm=2 * k, mode=mode)
@@ -261,6 +267,36 @@ def run_search_corpus(
         ),
         "results": results,
     }
+
+
+def run_server_stats(retriever, coalescer=None) -> dict[str, Any]:
+    """Serving observability: coalescer counters + retriever configuration."""
+    out: dict[str, Any] = {
+        "retriever": type(retriever).__name__,
+        "n_docs": int(getattr(retriever, "n_docs", 0)),
+        "kernel": getattr(retriever, "kernel", None),
+    }
+    if coalescer is not None:
+        batches = coalescer.batches_run
+        queries = coalescer.queries_run
+        out["coalescer"] = {
+            "batches_run": batches,
+            "queries_run": queries,
+            "avg_queries_per_batch": (
+                round(queries / batches, 2) if batches else None
+            ),
+            "max_batch": coalescer.max_batch,
+            "max_wait_ms": coalescer.max_wait * 1e3,
+        }
+    out["summary"] = (
+        f"{out['n_docs']} docs via {out['retriever']}"
+        + (
+            f"; {queries} queries in {batches} device batches"
+            if coalescer is not None
+            else ""
+        )
+    )
+    return out
 
 
 RISK_FRAMING = (

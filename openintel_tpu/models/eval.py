@@ -83,12 +83,21 @@ def evaluate_retriever(
         if hasattr(retriever, "bm25"):  # HybridRetriever
             res = retriever.search(queries, k=k, candidates_per_arm=2 * k)
         else:
+            # Detect kwarg support statically (a TypeError raised INSIDE a
+            # mode-aware search must propagate, not silently re-run with
+            # default parameters and skew the eval).
+            import inspect
+
             try:
-                res = retriever.search(
-                    queries, k=k, mode=mode, candidates_per_arm=2 * k
-                )
-            except TypeError:  # single-arm retrievers take no mode
-                res = retriever.search(queries, k=k)
+                params = inspect.signature(retriever.search).parameters
+            except (TypeError, ValueError):  # builtins / C callables
+                params = {}
+            kwargs = {}
+            if "mode" in params:
+                kwargs["mode"] = mode
+            if "candidates_per_arm" in params:
+                kwargs["candidates_per_arm"] = 2 * k
+            res = retriever.search(queries, k=k, **kwargs)
         for i, (_, rel) in enumerate(chunk):
             ranked = [int(d) for d in np.asarray(res.ids[i]) if d >= 0]
             got = set(ranked) & rel

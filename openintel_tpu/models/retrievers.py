@@ -32,6 +32,22 @@ class SearchResult:
     scores: np.ndarray  # (B, k) float32
 
 
+@dataclass
+class PreparedBatch:
+    """Device-staged operands for one fused hybrid dispatch
+    (``HybridRetriever.prepare`` -> ``run_prepared``)."""
+
+    queries: jax.Array  # (nb, db, D) rescore/emb dtype
+    queries_i8: jax.Array  # (nb, db, D) int8 (zeros unless kernel="int8")
+    plan_doc_ids: jax.Array  # (nb, db, W) int32
+    plan_weights: jax.Array  # (nb, db, W) f32
+    n_queries: int  # true query count (before sub-batch padding)
+    k: int
+    candidates_per_arm: int
+    presorted: bool
+    max_run: int
+
+
 AUTO_PRUNE_DOCS = 100_000  # corpora above this default to pruned plans
 
 
@@ -88,9 +104,24 @@ class DenseRetriever:
         self.index = index
         self.embedder = embedder or HashingEmbedder(dim=index.dim)
         if kernel is None:
-            if use_pallas is None:
-                use_pallas = jax.default_backend() not in ("cpu",)
-            kernel = "pallas" if use_pallas else "xla"
+            if use_pallas is False:
+                kernel = "xla"
+            elif use_pallas is True:
+                kernel = "pallas"
+            elif jax.default_backend() in ("cpu",):
+                kernel = "xla"
+            elif index.n_docs >= AUTO_PRUNE_DOCS:
+                # Production default on TPU at serving scale: the int8 turbo
+                # candidate kernel + exact rescore — the config bench.py
+                # certifies (round-2 verdict: the served config must be the
+                # benchmarked config).
+                kernel = "int8"
+            else:
+                # Small corpora: the turbo kernels keep one candidate per
+                # 128-doc packing group, so few-thousand-doc indexes would
+                # feed the dense arm a handful of candidates; serve the
+                # exact Pallas kernel instead.
+                kernel = "pallas"
         assert kernel in ("xla", "pallas", "fast", "int8"), kernel
         self.kernel = kernel
         self.use_pallas = kernel != "xla"
@@ -187,7 +218,16 @@ class DenseRetriever:
 
 
 class HybridRetriever:
-    """Flagship: BM25 + dense cosine fused with reciprocal-rank fusion."""
+    """Flagship: BM25 + dense cosine fused with reciprocal-rank fusion.
+
+    ``search`` runs ONE device dispatch regardless of query count: the
+    query list is chunked into ``device_batch``-query sub-batches and the
+    full hybrid step (BM25 segmented-scan reduction + dense candidate
+    kernel [+ exact rescore] + RRF) runs under a single jitted
+    ``lax.scan`` over the chunks. This is both the serving path and the
+    benchmarked path (bench.py drives this exact surface), and it
+    amortises the host->device dispatch round-trip across the whole
+    request instead of paying it per sub-batch."""
 
     def __init__(
         self,
@@ -197,10 +237,16 @@ class HybridRetriever:
         *,
         rrf_k: float = RRF_K,
         use_pallas: Optional[bool] = None,
+        kernel: Optional[str] = None,  # "xla" | "pallas" | "fast" | "int8" | None=auto
+        device_batch: int = 256,
     ):
         self.bm25 = BM25Retriever(postings)
-        self.dense = DenseRetriever(dense, embedder, use_pallas=use_pallas)
+        self.dense = DenseRetriever(
+            dense, embedder, use_pallas=use_pallas, kernel=kernel
+        )
         self.rrf_k = rrf_k
+        self.device_batch = max(1, device_batch)
+        self._fused = self._make_fused()
 
     @classmethod
     def build(
@@ -212,15 +258,94 @@ class HybridRetriever:
         dim: int = 384,
         dtype=np.float32,
         rrf_k: float = RRF_K,
+        use_pallas: Optional[bool] = None,
+        kernel: Optional[str] = None,
+        device_batch: int = 256,
     ):
         embedder = embedder or HashingEmbedder(dim=dim)
         postings = build_postings_index(texts, config=config)
         dense = DenseIndex.from_embeddings(embedder(list(texts)), dtype=dtype)
-        return cls(postings, dense, embedder, rrf_k=rrf_k)
+        return cls(
+            postings, dense, embedder, rrf_k=rrf_k, use_pallas=use_pallas,
+            kernel=kernel, device_batch=device_batch,
+        )
 
     @property
     def n_docs(self) -> int:
         return self.bm25.index.n_docs
+
+    @property
+    def kernel(self) -> str:
+        """The dense-arm kernel this instance serves ("int8" on TPU)."""
+        return self.dense.kernel
+
+    def _make_fused(self):
+        """One jitted program: scan the hybrid step over query sub-batches.
+
+        Closes over the instance's kernel/interpret config; jax's jit cache
+        keys the remaining variation (shapes + static ints)."""
+        kernel = self.dense.kernel
+        interpret = self.dense._interpret
+        rrf_k = self.rrf_k
+
+        import functools
+
+        @functools.partial(
+            jax.jit,
+            static_argnames=(
+                "k", "c", "n_docs", "presorted", "max_run", "block_c"
+            ),
+        )
+        def fused(emb_op, rescore_op, qbs, qbs8, dis, ws, *, k, c, n_docs,
+                  presorted, max_run, block_c):
+            def body(carry, xs):
+                qb, qb8, di, w = xs
+                if kernel == "int8":
+                    from openintel_tpu.ops.pallas.dense_topk import (
+                        dense_topk_fast_i8,
+                        exact_rescore,
+                    )
+
+                    _, cids = dense_topk_fast_i8(
+                        emb_op, qb8, k=c, block_c=block_c, n_docs=n_docs,
+                        interpret=interpret,
+                    )
+                    d_vals, d_ids = exact_rescore(rescore_op, qb, cids, c)
+                elif kernel == "fast":
+                    from openintel_tpu.ops.pallas.dense_topk import (
+                        dense_topk_fast,
+                    )
+
+                    d_vals, d_ids = dense_topk_fast(
+                        emb_op, qb, k=c, block_c=block_c, n_docs=n_docs,
+                        interpret=interpret,
+                    )
+                elif kernel == "pallas":
+                    from openintel_tpu.ops.pallas.dense_topk import (
+                        dense_topk_pallas,
+                    )
+
+                    d_vals, d_ids = dense_topk_pallas(
+                        emb_op, qb, k=c, interpret=interpret
+                    )
+                else:
+                    d_vals, d_ids = dense_topk_xla(emb_op, qb, c)
+                b_vals, b_ids = bm25_topk_device(
+                    di, w, n_docs, c, presorted=presorted, max_run=max_run
+                )
+                vals, ids = rrf_fuse_device(b_ids, d_ids, k, rrf_k)
+                return carry, (vals, ids)
+
+            _, (vals, ids) = jax.lax.scan(
+                body, jnp.int32(0), (qbs, qbs8, dis, ws)
+            )
+            return vals, ids
+
+        return fused
+
+    def _dense_block_c(self, db: int) -> int:
+        # measured optimum on v5e: 8192 at production batch, 4096 below
+        return 8192 if db >= 128 else 4096
 
     def search(
         self,
@@ -230,13 +355,126 @@ class HybridRetriever:
         query_embeddings: Optional[np.ndarray] = None,
         candidates_per_arm: Optional[int] = None,
     ) -> SearchResult:
-        c = min(candidates_per_arm or k, self.n_docs)
-        k = min(k, self.n_docs)
-        lex = self.bm25.search(queries, k=c)
+        b = len(queries)
+        if b == 0:
+            return SearchResult(
+                ids=np.zeros((0, k), np.int32),
+                scores=np.zeros((0, k), np.float32),
+            )
+        term_ids = [encode_query(self.bm25.index, q) for q in queries]
         if query_embeddings is None:
             query_embeddings = self.dense.embedder(list(queries))
-        dn = self.dense.search_embeddings(query_embeddings, k=c)
-        vals, ids = rrf_fuse_device(
-            jnp.asarray(lex.ids), jnp.asarray(dn.ids), k, self.rrf_k
+        return self.search_prepared(
+            term_ids, query_embeddings, k=k,
+            candidates_per_arm=candidates_per_arm,
         )
-        return SearchResult(ids=np.asarray(ids), scores=np.asarray(vals))
+
+    def prepare(
+        self,
+        term_ids: Sequence[Sequence[int]],
+        query_embeddings: np.ndarray,
+        k: int = 10,
+        *,
+        candidates_per_arm: Optional[int] = None,
+        device_batch: Optional[int] = None,
+    ) -> "PreparedBatch":
+        """Host-side query preparation: build the (pruned, presorted) BM25
+        plan over ALL queries, chunk everything into device sub-batches,
+        and stage the device operands. ``run_prepared`` then executes the
+        fused program; ``search`` == ``run_prepared(prepare(...))``.
+        ``device_batch`` overrides the instance sub-batch size (bench uses
+        this to measure small-batch scaling through the same surface)."""
+        index = self.bm25.index
+        n_docs = index.n_docs
+        b = len(term_ids)
+        c = min(candidates_per_arm or k, n_docs)
+        k = min(k, n_docs)
+
+        db = min(device_batch or self.device_batch, b)
+        pad = (-b) % db
+        term_ids = list(term_ids) + [[]] * pad
+        plan = build_query_plan(
+            index,
+            term_ids,
+            max_postings_per_term=auto_prune_m(n_docs, c),
+            multi_budget=max(256, c),
+        )
+        nb = (b + pad) // db
+        w = plan.doc_ids.shape[1]
+        q = np.asarray(query_embeddings, np.float32)
+        if pad:
+            q = np.concatenate(
+                [q, np.zeros((pad, q.shape[1]), np.float32)], axis=0
+            )
+        dim = q.shape[1]
+
+        dense = self.dense
+        if dense.kernel == "int8":
+            from openintel_tpu.ops.pallas.dense_topk import quantize_int8
+
+            qbs8 = jnp.asarray(quantize_int8(q).reshape(nb, db, dim))
+            qbs = jnp.asarray(
+                q.reshape(nb, db, dim), dense._rescore_emb.dtype
+            )
+        else:
+            qbs8 = jnp.zeros((nb, db, dim), jnp.int8)  # uniform signature
+            qbs = jnp.asarray(q.reshape(nb, db, dim), dense._emb_device.dtype)
+        return PreparedBatch(
+            queries=qbs,
+            queries_i8=qbs8,
+            plan_doc_ids=jnp.asarray(plan.doc_ids.reshape(nb, db, w)),
+            plan_weights=jnp.asarray(plan.weights.reshape(nb, db, w)),
+            n_queries=b,
+            k=k,
+            candidates_per_arm=c,
+            presorted=plan.presorted,
+            max_run=plan.max_terms,
+        )
+
+    def run_prepared(self, prep: "PreparedBatch") -> SearchResult:
+        """ONE device dispatch: the fused hybrid program over every
+        sub-batch in ``prep`` (a jitted ``lax.scan``). This is the exact
+        program bench.py times and serving runs."""
+        dense = self.dense
+        nb, db = prep.queries.shape[:2]
+        rescore_op = (
+            dense._rescore_emb
+            if dense.kernel == "int8"
+            else jnp.zeros((1, prep.queries.shape[2]), jnp.float32)
+        )
+        vals, ids = self._fused(
+            dense._emb_device,
+            rescore_op,
+            prep.queries,
+            prep.queries_i8,
+            prep.plan_doc_ids,
+            prep.plan_weights,
+            k=prep.k,
+            c=prep.candidates_per_arm,
+            n_docs=self.n_docs,
+            presorted=prep.presorted,
+            max_run=prep.max_run,
+            block_c=self._dense_block_c(db),
+        )
+        b, k = prep.n_queries, prep.k
+        return SearchResult(
+            ids=np.asarray(ids).reshape(nb * db, k)[:b],
+            scores=np.asarray(vals).reshape(nb * db, k)[:b],
+        )
+
+    def search_prepared(
+        self,
+        term_ids: Sequence[Sequence[int]],
+        query_embeddings: np.ndarray,
+        k: int = 10,
+        *,
+        candidates_per_arm: Optional[int] = None,
+    ) -> SearchResult:
+        """The fused search step on pre-encoded queries (term ids +
+        embeddings)."""
+        return self.run_prepared(
+            self.prepare(
+                term_ids, query_embeddings, k=k,
+                candidates_per_arm=candidates_per_arm,
+            )
+        )

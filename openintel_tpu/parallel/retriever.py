@@ -198,7 +198,18 @@ class ShardedHybridRetriever:
         )
         self.embedder = embedder or HashingEmbedder(dim=dense.dim)
         if kernel is None:
-            kernel = "int8" if jax.default_backend() not in ("cpu",) else "xla"
+            # same size-aware auto rule as models.retrievers.DenseRetriever:
+            # int8 turbo + rescore at serving scale, exact pallas below it
+            # (the turbo candidate structure — one slot per 128-doc packing
+            # group — starves the dense arm on small corpora)
+            from openintel_tpu.models.retrievers import AUTO_PRUNE_DOCS
+
+            if jax.default_backend() in ("cpu",):
+                kernel = "xla"
+            elif dense.n_docs >= AUTO_PRUNE_DOCS:
+                kernel = "int8"
+            else:
+                kernel = "pallas"
         assert kernel in ("xla", "pallas", "pallas_fast", "int8"), kernel
         self.kernel = kernel
         self.rrf_k = rrf_k
@@ -215,7 +226,12 @@ class ShardedHybridRetriever:
 
             align = self.n_shards * _TURBO_UNIT
         elif kernel == "pallas_fast":
-            align = self.n_shards * 512
+            # dense_topk_fast consumes whole 16,384-column supers; a shard
+            # that is not super-aligned would re-pad (= copy) the corpus
+            # shard inside the jitted hot path on every query batch
+            from openintel_tpu.ops.pallas.dense_topk import _SUPER_COLS
+
+            align = self.n_shards * _SUPER_COLS
         else:
             align = self.n_shards
         emb = np.asarray(dense.embeddings)

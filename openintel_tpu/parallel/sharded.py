@@ -16,6 +16,7 @@ index-build time so every shard scores against corpus-wide idf.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -82,8 +83,8 @@ def _local_dense_topk(
 def _fast_block_c(n_local: int) -> int:
     """Grid-step width for the turbo-style fast kernel: must divide the
     16,384-column super unit. 8192 is the measured sweet spot; shards not
-    super-aligned pay an in-jit pad (tests only — the serving component
-    aligns its shards)."""
+    super-aligned pay an in-jit pad (the serving component aligns its
+    shards to n_shards * _SUPER_COLS so this never fires in production)."""
     del n_local
     return 8192
 
@@ -127,6 +128,19 @@ def sharded_dense_topk(
         # uniform shard_map signature: tiny unused operands
         rescore = jnp.zeros((n_shards, queries.shape[1]), queries.dtype)
         queries_i8 = jnp.zeros(queries.shape, jnp.int8)
+    f = _dense_program(
+        mesh, shard_size, k, kernel, block_size, interpret
+    )
+    return f(doc_emb, queries, rescore, queries_i8)
+
+
+@functools.lru_cache(maxsize=None)
+def _dense_program(mesh, shard_size, k, kernel, block_size, interpret):
+    """Build + JIT the sharded dense program ONCE per static config.
+
+    Serving calls this per query batch; without the cache every call would
+    re-trace the shard_map and execute it un-fused (measured ~20x slower
+    than the jitted program on the virtual mesh)."""
 
     def local(emb_local, q_local, rs_local, q8_local):
         vals, ids = _local_dense_topk(
@@ -143,19 +157,20 @@ def sharded_dense_topk(
         mvals, mids = _merge_gathered(vals_g, ids_g, k)
         return jnp.where(mids < 0, 0.0, mvals), mids
 
-    f = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(
-            _emb_spec(kernel),
-            P(DATA_AXIS, None),
-            P(CORPUS_AXIS, None),
-            P(DATA_AXIS, None),
-        ),
-        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
-        check_vma=False,
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                _emb_spec(kernel),
+                P(DATA_AXIS, None),
+                P(CORPUS_AXIS, None),
+                P(DATA_AXIS, None),
+            ),
+            out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+            check_vma=False,
+        )
     )
-    return f(doc_emb, queries, rescore, queries_i8)
 
 
 def sharded_bm25_topk(
@@ -169,6 +184,13 @@ def sharded_bm25_topk(
     max_run: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """BM25 top-k over sharded postings (host builds per-shard query plans)."""
+    f = _bm25_program(mesh, shard_size, k, presorted, max_run)
+    return f(plan_doc_ids, plan_weights)
+
+
+@functools.lru_cache(maxsize=None)
+def _bm25_program(mesh, shard_size, k, presorted, max_run):
+    """Build + JIT the sharded BM25 program once per static config."""
     from openintel_tpu.ops.bm25 import bm25_topk_device
 
     def local(ids_local, w_local):
@@ -186,14 +208,18 @@ def sharded_bm25_topk(
         pad = mids < 0
         return jnp.where(pad, 0.0, mvals), mids
 
-    f = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(CORPUS_AXIS, DATA_AXIS, None), P(CORPUS_AXIS, DATA_AXIS, None)),
-        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
-        check_vma=False,
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(CORPUS_AXIS, DATA_AXIS, None),
+                P(CORPUS_AXIS, DATA_AXIS, None),
+            ),
+            out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+            check_vma=False,
+        )
     )
-    return f(plan_doc_ids, plan_weights)
 
 
 def sharded_hybrid_topk(
@@ -216,8 +242,6 @@ def sharded_hybrid_topk(
 ) -> tuple[jax.Array, jax.Array]:
     """Full hybrid query step, one device program: per-shard BM25 + dense
     local top-c, ICI all-gather, global merges, RRF fusion, final top-k."""
-    from openintel_tpu.ops.bm25 import bm25_topk_device
-
     c = candidates_per_arm or k
     n_docs = _dense_n_docs(doc_emb, kernel)
     n_shards = mesh.shape[CORPUS_AXIS]
@@ -228,6 +252,21 @@ def sharded_hybrid_topk(
     else:
         rescore = jnp.zeros((n_shards, queries.shape[1]), queries.dtype)
         queries_i8 = jnp.zeros(queries.shape, jnp.int8)
+    f = _hybrid_program(
+        mesh, shard_size, k, c, float(rrf_k), block_size, kernel,
+        presorted, max_run, interpret,
+    )
+    return f(doc_emb, queries, plan_doc_ids, plan_weights, rescore, queries_i8)
+
+
+@functools.lru_cache(maxsize=None)
+def _hybrid_program(
+    mesh, shard_size, k, c, rrf_k, block_size, kernel, presorted, max_run,
+    interpret,
+):
+    """Build + JIT the full sharded hybrid program once per static config
+    (per-batch re-tracing measured ~20x slower on the virtual mesh)."""
+    from openintel_tpu.ops.bm25 import bm25_topk_device
 
     def local(emb_local, q_local, ids_local, w_local, rs_local, q8_local):
         shard = jax.lax.axis_index(CORPUS_AXIS)
@@ -254,21 +293,22 @@ def sharded_hybrid_topk(
         _, b_top = _merge_gathered(b_vals_g, b_ids_g, c)
         return rrf_fuse_device(b_top, d_top, k, rrf_k)
 
-    f = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(
-            _emb_spec(kernel),
-            P(DATA_AXIS, None),
-            P(CORPUS_AXIS, DATA_AXIS, None),
-            P(CORPUS_AXIS, DATA_AXIS, None),
-            P(CORPUS_AXIS, None),
-            P(DATA_AXIS, None),
-        ),
-        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
-        check_vma=False,
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                _emb_spec(kernel),
+                P(DATA_AXIS, None),
+                P(CORPUS_AXIS, DATA_AXIS, None),
+                P(CORPUS_AXIS, DATA_AXIS, None),
+                P(CORPUS_AXIS, None),
+                P(DATA_AXIS, None),
+            ),
+            out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+            check_vma=False,
+        )
     )
-    return f(doc_emb, queries, plan_doc_ids, plan_weights, rescore, queries_i8)
 
 
 def global_bm25_stats(mesh: Mesh, local_df: jax.Array, local_len_sum: jax.Array,

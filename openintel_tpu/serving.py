@@ -10,8 +10,9 @@ full device batches can. This module is that layer.
 ``BatchCoalescer`` wraps any batched ``search(queries, k, ...) ->
 SearchResult`` callable (HybridRetriever, ShardedHybridRetriever, ...) with
 a thread-safe request queue: concurrent callers' queries coalesce into one
-device batch of up to ``max_batch`` queries, flushed when full or after
-``max_wait_ms`` of quiet. Callers block until their slice of the fused
+device batch of up to ``max_batch`` queries, flushed when full or
+``max_wait_ms`` after the wave opened (a hard latency bound — the timer is
+NOT re-armed by latecomers). Callers block until their slice of the fused
 result returns. Latency cost is bounded by the wait window; throughput
 approaches the full-batch rate as concurrency rises.
 """
@@ -42,7 +43,9 @@ class BatchCoalescer:
 
     ``search_fn(queries, k=...) -> SearchResult`` must accept a list of
     query strings. Requests with different ``k`` coalesce too: the fused
-    call runs at the wave's max k and each caller's rows are trimmed."""
+    call runs at the wave's max k and each caller's rows are trimmed.
+    Waves flush when ``max_batch`` queries are queued or ``max_wait_ms``
+    after the wave opened, whichever comes first."""
 
     def __init__(
         self,

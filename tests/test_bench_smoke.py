@@ -34,10 +34,15 @@ def test_bench_emits_contracted_json():
     lines = [ln for ln in res.stdout.strip().splitlines() if ln.strip()]
     assert len(lines) == 1, lines  # exactly ONE JSON line on stdout
     doc = json.loads(lines[0])
-    for key in ("metric", "value", "unit", "vs_baseline", "value_raw",
+    for key in ("metric", "value", "unit", "vs_baseline", "value_net_rtt",
                 "dispatch_rtt_ms", "recall_at_10_vs_exact",
-                "recall_at_10_min", "recall_sample_queries"):
+                "recall_at_10_min", "recall_sample_queries",
+                "served_surface", "bm25_arm_rtt_bound"):
         assert key in doc, key
     assert doc["unit"] == "queries/sec/chip"
     assert doc["value"] > 0
+    # the headline is RAW wall clock through the served surface — it can
+    # only be <= the net-of-RTT figure
+    assert doc["value"] <= doc["value_net_rtt"] + 1e-6
+    assert doc["served_surface"] == "HybridRetriever.run_prepared"
     assert 0.9 <= doc["recall_at_10_vs_exact"] <= 1.0

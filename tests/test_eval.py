@@ -107,3 +107,36 @@ def test_cli_evaluate(tmp_path, capsys):
     )
     out = capsys.readouterr().out
     assert code == 1 and "outside the corpus" in out
+
+
+def test_internal_typeerror_propagates():
+    """A TypeError raised INSIDE a mode-aware search must propagate — the
+    old `except TypeError` fallback silently re-ran with default params and
+    skewed the eval (round-2 advisor finding)."""
+    import pytest
+
+    from openintel_tpu.models.eval import evaluate_retriever
+
+    class BuggyRetriever:
+        def search(self, queries, k=10, mode="hybrid", candidates_per_arm=None):
+            raise TypeError("bug inside a mode-aware search")
+
+    with pytest.raises(TypeError, match="bug inside"):
+        evaluate_retriever(BuggyRetriever(), [("q", {0})], k=2, mode="dense")
+
+
+def test_kwarg_detection_for_plain_retriever():
+    """A retriever without mode/candidates kwargs is called without them."""
+    import numpy as np
+
+    from openintel_tpu.models.eval import evaluate_retriever
+    from openintel_tpu.models.retrievers import SearchResult
+
+    class Plain:
+        def search(self, queries, k=10):
+            ids = np.zeros((len(queries), k), np.int32) - 1
+            ids[:, 0] = 0
+            return SearchResult(ids=ids, scores=np.zeros((len(queries), k), np.float32))
+
+    res = evaluate_retriever(Plain(), [("q", {0})], k=3, mode="dense")
+    assert res.recall_at_k == 1.0

@@ -43,3 +43,114 @@ def test_mcp_stdio_roundtrip():
     body = json.loads(responses[3]["result"]["content"][0]["text"])
     assert body["report"]["fusion"]["alignment"] == "confirming_bullish"
     assert responses[4]["error"]["code"] == -32600
+
+
+def _read_responses(proc, want_ids, timeout_lines=200):
+    """Collect responses by id (concurrent dispatch replies out of order)."""
+    got = {}
+    want = set(want_ids)
+    for _ in range(timeout_lines):
+        line = proc.stdout.readline()
+        if not line:
+            break
+        d = json.loads(line)
+        if d.get("id") in want:
+            got[d["id"]] = d
+            want.discard(d["id"])
+        if not want:
+            break
+    assert not want, f"missing responses for ids {want}"
+    return got
+
+
+def test_mcp_concurrent_search_coalesces(tmp_path):
+    """N concurrent search_corpus calls through the REAL stdio loop must
+    fuse into fewer device batches than requests (serving.BatchCoalescer
+    wired at the composition root; concurrent per-message dispatch)."""
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text(
+        "\n".join(
+            f"document {i} about topic{i % 7} and theme{i % 5}"
+            for i in range(40)
+        )
+        + "\n"
+    )
+    idx = tmp_path / "idx"
+    build = subprocess.run(
+        [
+            sys.executable, "-m", "openintel_tpu.cli.main",
+            "index", str(corpus), "--out", str(idx), "--dim", "32",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert build.returncode == 0, build.stderr
+
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "openintel_tpu.cli.main",
+            "mcp", "--offline", "--index", str(idx),
+        ],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True,
+    )
+    try:
+        proc.stdin.write(
+            json.dumps(
+                {"jsonrpc": "2.0", "id": 1, "method": "initialize", "params": {}}
+            )
+            + "\n"
+        )
+        proc.stdin.flush()
+        _read_responses(proc, [1])
+
+        n_req = 6
+        reqs = [
+            json.dumps(
+                {
+                    "jsonrpc": "2.0",
+                    "id": 10 + i,
+                    "method": "tools/call",
+                    "params": {
+                        "name": "search_corpus",
+                        "arguments": {
+                            "queries": [f"topic{i % 7}", f"theme{i % 5}"],
+                            "k": 3,
+                        },
+                    },
+                }
+            )
+            for i in range(n_req)
+        ]
+        proc.stdin.write("\n".join(reqs) + "\n")
+        proc.stdin.flush()
+        resps = _read_responses(proc, [10 + i for i in range(n_req)])
+        for i in range(n_req):
+            body = json.loads(resps[10 + i]["result"]["content"][0]["text"])
+            assert not resps[10 + i]["result"].get("isError")
+            assert len(body["results"]) == 2
+            assert body["results"][0]["hits"], body
+
+        proc.stdin.write(
+            json.dumps(
+                {
+                    "jsonrpc": "2.0",
+                    "id": 99,
+                    "method": "tools/call",
+                    "params": {"name": "server_stats", "arguments": {}},
+                }
+            )
+            + "\n"
+        )
+        proc.stdin.flush()
+        stats_resp = _read_responses(proc, [99])[99]
+        stats = json.loads(stats_resp["result"]["content"][0]["text"])
+        co = stats["coalescer"]
+        assert co["queries_run"] == 2 * n_req
+        # the whole point: far fewer fused device batches than requests
+        assert co["batches_run"] < n_req, co
+        assert stats["retriever"] == "HybridRetriever"
+    finally:
+        proc.stdin.close()
+        proc.wait(timeout=30)
+        proc.stdout.close()
+        proc.stderr.close()
