@@ -117,39 +117,47 @@ class DenseRetriever:
                 # benchmarked config).
                 kernel = "int8"
             else:
-                # Small corpora: the turbo kernels keep one candidate per
-                # 128-doc packing group, so few-thousand-doc indexes would
-                # feed the dense arm a handful of candidates; serve the
-                # exact Pallas kernel instead.
+                # Small corpora: the turbo kernels emit at most 128
+                # candidates per 16,384-doc super (one per lane — docs
+                # with equal id mod 128 compete), so few-super indexes cap
+                # the dense arm's candidate diversity; serve the exact
+                # Pallas kernel instead.
                 kernel = "pallas"
         assert kernel in ("xla", "pallas", "fast", "int8"), kernel
         self.kernel = kernel
         self.use_pallas = kernel != "xla"
         # Pallas kernels run in interpreter mode on CPU hosts (hermetic tests)
         self._interpret = jax.default_backend() in ("cpu",)
-        emb = jnp.asarray(index.embeddings)
         # The fast kernels stream the transposed (D, N) layout (MXU-native
         # stationary operand), block-padded so the hot path never copies the
-        # corpus; transpose + pad once at load. The int8 kernel additionally
-        # keeps the full-precision rows for the exact-rescore second stage.
+        # corpus. ALL transform work (quantise/transpose/pad) happens on the
+        # HOST numpy array with exactly ONE device upload per operand — a
+        # device-side quantise/transpose would round-trip the multi-GB
+        # corpus over the transfer path and briefly hold 2x the corpus in
+        # HBM. The int8 kernel additionally keeps the full-precision rows
+        # for the exact-rescore second stage.
+        emb_host = np.asarray(index.embeddings)
+        n, dim = emb_host.shape
         if kernel == "fast":
-            from openintel_tpu.ops.pallas.dense_topk import pad_corpus_t
+            from openintel_tpu.ops.pallas.dense_topk import _SUPER_COLS
 
-            self._emb_device = jax.device_put(
-                pad_corpus_t(emb.T, self._fast_block_c())
-            )
+            n_pad = -(-max(n, _SUPER_COLS) // _SUPER_COLS) * _SUPER_COLS
+            padded = np.zeros((dim, n_pad), emb_host.dtype)
+            padded[:, :n] = emb_host.T
+            self._emb_device = jax.device_put(jnp.asarray(padded))
         elif kernel == "int8":
             from openintel_tpu.ops.pallas.dense_topk import (
-                pad_corpus_t_i8,
+                _TURBO_UNIT,
                 quantize_int8,
             )
 
-            self._emb_device = jax.device_put(
-                pad_corpus_t_i8(jnp.asarray(quantize_int8(emb).T))
-            )
-            self._rescore_emb = jax.device_put(emb)
+            n_pad = -(-max(n, _TURBO_UNIT) // _TURBO_UNIT) * _TURBO_UNIT
+            padded = np.zeros((dim, n_pad), np.int8)
+            padded[:, :n] = quantize_int8(emb_host).T
+            self._emb_device = jax.device_put(jnp.asarray(padded))
+            self._rescore_emb = jax.device_put(jnp.asarray(emb_host))
         else:
-            self._emb_device = jax.device_put(emb)
+            self._emb_device = jax.device_put(jnp.asarray(emb_host))
 
     @classmethod
     def build(
@@ -204,10 +212,10 @@ class DenseRetriever:
         return dense_topk_xla(self._emb_device, q, k)
 
     def search_embeddings(self, query_emb: np.ndarray, k: int = 10) -> SearchResult:
+        # int8: f32 queries into the exact rescore (bf16-rounding the query
+        # shifts near-ties — see HybridRetriever.prepare)
         dtype = (
-            self._rescore_emb.dtype
-            if self.kernel == "int8"
-            else self._emb_device.dtype
+            jnp.float32 if self.kernel == "int8" else self._emb_device.dtype
         )
         q = jnp.asarray(query_emb, dtype)
         vals, ids = self._topk(q, k)
@@ -413,9 +421,13 @@ class HybridRetriever:
             from openintel_tpu.ops.pallas.dense_topk import quantize_int8
 
             qbs8 = jnp.asarray(quantize_int8(q).reshape(nb, db, dim))
-            qbs = jnp.asarray(
-                q.reshape(nb, db, dim), dense._rescore_emb.dtype
-            )
+            # rescore queries stay f32: rounding them to the (bf16) stored
+            # dtype shifts near-ties in the exact-rescore ordering — the
+            # measured dominant recall-loss mechanism at the top-10
+            # boundary (bench BENCH_RECALL_DEBUG, round 3). Score
+            # definition is bf16(doc) x f32(query), f32 accumulate —
+            # identical to the stored-index reference oracle.
+            qbs = jnp.asarray(q.reshape(nb, db, dim), jnp.float32)
         else:
             qbs8 = jnp.zeros((nb, db, dim), jnp.int8)  # uniform signature
             qbs = jnp.asarray(q.reshape(nb, db, dim), dense._emb_device.dtype)
@@ -431,18 +443,47 @@ class HybridRetriever:
             max_run=plan.max_terms,
         )
 
-    def run_prepared(self, prep: "PreparedBatch") -> SearchResult:
-        """ONE device dispatch: the fused hybrid program over every
-        sub-batch in ``prep`` (a jitted ``lax.scan``). This is the exact
-        program bench.py times and serving runs."""
-        dense = self.dense
+    def rebatch(self, prep: "PreparedBatch", device_batch: int) -> "PreparedBatch":
+        """Re-chunk a PreparedBatch to a different device sub-batch size
+        without rebuilding the (expensive) query plan — the total padded
+        query count must divide evenly. bench uses this to measure
+        small-batch scaling on the identical plan."""
         nb, db = prep.queries.shape[:2]
+        total = nb * db
+        assert total % device_batch == 0, (total, device_batch)
+        n2 = total // device_batch
+
+        def chunk(a):
+            return a.reshape((n2, device_batch) + a.shape[2:])
+
+        return PreparedBatch(
+            queries=chunk(prep.queries),
+            queries_i8=chunk(prep.queries_i8),
+            plan_doc_ids=chunk(prep.plan_doc_ids),
+            plan_weights=chunk(prep.plan_weights),
+            n_queries=prep.n_queries,
+            k=prep.k,
+            candidates_per_arm=prep.candidates_per_arm,
+            presorted=prep.presorted,
+            max_run=prep.max_run,
+        )
+
+    def run_prepared_device(
+        self, prep: "PreparedBatch"
+    ) -> tuple[jax.Array, jax.Array]:
+        """ONE device dispatch: the fused hybrid program over every
+        sub-batch in ``prep`` (a jitted ``lax.scan``). Returns DEVICE
+        arrays ((nb, db, k) vals, ids) — for pipelined serving that keeps
+        results on-device or overlaps the host copy; ``run_prepared``
+        wraps this with the copy-back."""
+        dense = self.dense
+        db = prep.queries.shape[1]
         rescore_op = (
             dense._rescore_emb
             if dense.kernel == "int8"
             else jnp.zeros((1, prep.queries.shape[2]), jnp.float32)
         )
-        vals, ids = self._fused(
+        return self._fused(
             dense._emb_device,
             rescore_op,
             prep.queries,
@@ -456,6 +497,11 @@ class HybridRetriever:
             max_run=prep.max_run,
             block_c=self._dense_block_c(db),
         )
+
+    def run_prepared(self, prep: "PreparedBatch") -> SearchResult:
+        """``run_prepared_device`` + host copy-back of the (b, k) result."""
+        vals, ids = self.run_prepared_device(prep)
+        nb, db = prep.queries.shape[:2]
         b, k = prep.n_queries, prep.k
         return SearchResult(
             ids=np.asarray(ids).reshape(nb * db, k)[:b],

@@ -200,8 +200,9 @@ class ShardedHybridRetriever:
         if kernel is None:
             # same size-aware auto rule as models.retrievers.DenseRetriever:
             # int8 turbo + rescore at serving scale, exact pallas below it
-            # (the turbo candidate structure — one slot per 128-doc packing
-            # group — starves the dense arm on small corpora)
+            # (the turbo candidate structure — one slot per (super, lane),
+            # 128 candidates per 16,384-doc super — caps candidate
+            # diversity on small corpora)
             from openintel_tpu.models.retrievers import AUTO_PRUNE_DOCS
 
             if jax.default_backend() in ("cpu",):
@@ -333,7 +334,9 @@ class ShardedHybridRetriever:
                 from openintel_tpu.ops.pallas.dense_topk import quantize_int8
 
                 q8 = jnp.asarray(quantize_int8(q_np))
-                q = jnp.asarray(q_np, self._rescore.dtype)
+                # f32 rescore queries: bf16-rounding the query shifts
+                # near-ties in the exact rescore (models/retrievers.py)
+                q = jnp.asarray(q_np, jnp.float32)
             else:
                 q = jnp.asarray(q_np, self._emb.dtype)
         if mode in ("hybrid", "bm25"):

@@ -109,3 +109,58 @@ def test_empty_query_list(corpus):
     _, postings, dense, embedder = corpus
     res = HybridRetriever(postings, dense, embedder).search([], k=7)
     assert res.ids.shape == (0, 7)
+
+
+def test_turbo_lane_collision_mechanism():
+    """Pin the turbo kernel's candidate-slot structure
+    (docs/specs/turbo-kernel.md "Exactness limits"): each 16,384-doc super
+    emits 128 candidate slots, one per LANE — docs with equal id mod 128
+    inside the same super compete, and only the lane's int8 max survives
+    candidate generation. This is the measured source of the bench's rare
+    sub-1.0 recall@10 queries. Docs on different lanes never collide."""
+    import jax.numpy as jnp
+
+    from openintel_tpu.ops.pallas.dense_topk import (
+        dense_topk_fast_i8,
+        pad_corpus_t_i8,
+        quantize_int8,
+    )
+
+    rng = np.random.default_rng(5)
+    n, dim = 512, 64
+    emb = rng.standard_normal((n, dim)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = rng.standard_normal((1, dim)).astype(np.float32)
+    q /= np.linalg.norm(q)
+    # plant three near-query docs: ids 10 and 138 share lane 10 of super 0
+    # (138 = 10 + 128); id 200 lives on lane 72 — no competition
+    for doc, strength in ((10, 0.985), (138, 0.99), (200, 0.98)):
+        v = strength * q[0] + np.sqrt(1 - strength**2) * emb[doc]
+        emb[doc] = v / np.linalg.norm(v)
+
+    emb_t8 = pad_corpus_t_i8(jnp.asarray(quantize_int8(emb).T))
+    _, ids = dense_topk_fast_i8(
+        emb_t8, jnp.asarray(quantize_int8(q)), k=8, n_docs=n, interpret=True
+    )
+    got = {int(d) for d in np.asarray(ids)[0] if d >= 0}
+    # the lane-10 winner and the lane-72 doc are candidates...
+    assert 138 in got and 200 in got
+    # ...but doc 10 — a true top-3 doc — was eclipsed by doc 138 on its
+    # own lane and CANNOT be a candidate
+    assert 10 not in got
+
+
+def test_rebatch_preserves_results(corpus):
+    """rebatch() re-chunks a PreparedBatch without rebuilding the plan;
+    results must be identical to the original chunking."""
+    docs, postings, dense, embedder = corpus
+    from openintel_tpu.ops.bm25 import encode_query
+
+    queries = synthetic_queries_from_docs(docs, 16, seed=16)
+    h = HybridRetriever(postings, dense, embedder, kernel="xla", device_batch=16)
+    term_ids = [encode_query(postings, q) for q in queries]
+    prep = h.prepare(term_ids, embedder(list(queries)), k=10, candidates_per_arm=20)
+    want = h.run_prepared(prep)
+    got = h.run_prepared(h.rebatch(prep, 4))
+    np.testing.assert_array_equal(got.ids, want.ids)
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-6)
