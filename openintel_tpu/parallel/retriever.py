@@ -181,6 +181,7 @@ class ShardedHybridRetriever:
         max_postings_per_term: Optional[int] = None,
         multi_budget: int = 256,
         interpret: bool = False,
+        device_batch: int = 256,
     ):
         if mesh is None:
             devices = (
@@ -218,6 +219,7 @@ class ShardedHybridRetriever:
         self.max_postings_per_term = max_postings_per_term
         self.multi_budget = multi_budget
         self.interpret = interpret
+        self.device_batch = max(1, device_batch)
 
         # Shard-even corpus padding. The fast kernels prefer aligned shards
         # so their block/super size divides the shard (no in-jit re-pad):
@@ -283,13 +285,6 @@ class ShardedHybridRetriever:
         dense = load_dense(f"{index_prefix}.dense.npz")
         return cls(postings, dense, embedder, **kwargs)
 
-    def _pad_batch(self, arr: np.ndarray, fill=0) -> np.ndarray:
-        pad = (-arr.shape[0]) % self.data_size
-        if pad == 0:
-            return arr
-        tail = np.full((pad,) + arr.shape[1:], fill, dtype=arr.dtype)
-        return np.concatenate([arr, tail], axis=0)
-
     def _postprocess(self, vals, ids, b: int, k: int) -> SearchResult:
         """Strip batch padding, mask corpus-padding ids, stable-compact."""
         vals = np.asarray(vals)[:b]
@@ -325,11 +320,24 @@ class ShardedHybridRetriever:
         k = min(k, self.n_docs)
         c = min(candidates_per_arm or k, self.n_docs)
 
+        # Sub-batching: requests beyond ``device_batch`` queries scan
+        # inside ONE device dispatch (sharded analogue of
+        # HybridRetriever.run_prepared). db is a data-axis multiple; the
+        # batch pads to nb * db.
+        db = min(self.device_batch, max(b, 1))
+        db = -(-db // self.data_size) * self.data_size
+        pad = (-b) % db
+        nb = (b + pad) // db
+
         q8 = None
         if mode in ("hybrid", "dense"):
             if query_embeddings is None:
                 query_embeddings = self.embedder(list(queries))
-            q_np = self._pad_batch(np.asarray(query_embeddings, np.float32))
+            q_np = np.asarray(query_embeddings, np.float32)
+            if pad:
+                q_np = np.concatenate(
+                    [q_np, np.zeros((pad, q_np.shape[1]), np.float32)]
+                )
             if self.kernel == "int8":
                 from openintel_tpu.ops.pallas.dense_topk import quantize_int8
 
@@ -343,7 +351,7 @@ class ShardedHybridRetriever:
             from openintel_tpu.models.retrievers import auto_prune_m
 
             term_ids = [encode_query(self.postings, que) for que in queries]
-            term_ids += [[]] * ((-b) % self.data_size)  # batch padding rows
+            term_ids += [[]] * pad  # batch padding rows
             prune_m = (
                 self.max_postings_per_term
                 if self.max_postings_per_term is not None
@@ -356,6 +364,31 @@ class ShardedHybridRetriever:
                 shard_size=self.shard_size,
                 max_postings_per_term=prune_m,
                 multi_budget=max(self.multi_budget, c),
+            )
+
+        if mode == "hybrid" and nb > 1:
+            from openintel_tpu.parallel.sharded import sharded_hybrid_topk_scan
+
+            dim = q.shape[1]
+            qbs = q.reshape(nb, db, dim)
+            q8s = q8.reshape(nb, db, dim) if q8 is not None else None
+            # (S, nb*db, W) -> (nb, S, db, W)
+            pdis = jnp.asarray(
+                np.stack(np.split(pdi, nb, axis=1))
+            )
+            pws = jnp.asarray(np.stack(np.split(pw, nb, axis=1)))
+            vals, ids = sharded_hybrid_topk_scan(
+                self.mesh, self._emb, qbs, pdis, pws, k,
+                candidates_per_arm=c, rrf_k=self.rrf_k,
+                block_size=self.block_size, kernel=self.kernel,
+                presorted=meta.presorted, max_run=meta.max_terms,
+                interpret=self.interpret,
+                rescore=self._rescore, queries_i8=q8s,
+            )
+            return self._postprocess(
+                np.asarray(vals).reshape(nb * db, k),
+                np.asarray(ids).reshape(nb * db, k),
+                b, k,
             )
 
         if mode == "dense":

@@ -311,6 +311,70 @@ def _hybrid_program(
     )
 
 
+def sharded_hybrid_topk_scan(
+    mesh: Mesh,
+    doc_emb: jax.Array,
+    queries: jax.Array,  # (nb, B, D) sub-batched query embeddings
+    plan_doc_ids: jax.Array,  # (nb, S, B, Pw)
+    plan_weights: jax.Array,  # (nb, S, B, Pw)
+    k: int,
+    *,
+    candidates_per_arm: Optional[int] = None,
+    rrf_k: float = RRF_K,
+    block_size: int = 4096,
+    kernel: str = "xla",
+    presorted: bool = False,
+    max_run: int = 0,
+    interpret: bool = False,
+    rescore: Optional[jax.Array] = None,
+    queries_i8: Optional[jax.Array] = None,  # (nb, B, D) int8
+) -> tuple[jax.Array, jax.Array]:
+    """Multi-sub-batch sharded hybrid: ONE device dispatch scans the full
+    sharded program over the leading sub-batch axis (the multi-chip
+    analogue of ``HybridRetriever.run_prepared`` — large requests pay one
+    dispatch round-trip, not one per sub-batch). Returns (nb, B, k)."""
+    c = candidates_per_arm or k
+    n_docs = _dense_n_docs(doc_emb, kernel)
+    n_shards = mesh.shape[CORPUS_AXIS]
+    assert n_docs % n_shards == 0
+    shard_size = n_docs // n_shards
+    if kernel == "int8":
+        assert rescore is not None and queries_i8 is not None
+    else:
+        rescore = jnp.zeros((n_shards, queries.shape[2]), queries.dtype)
+        queries_i8 = jnp.zeros(queries.shape, jnp.int8)
+    f = _hybrid_scan_program(
+        mesh, shard_size, k, c, float(rrf_k), block_size, kernel,
+        presorted, max_run, interpret,
+    )
+    return f(doc_emb, queries, plan_doc_ids, plan_weights, rescore, queries_i8)
+
+
+@functools.lru_cache(maxsize=None)
+def _hybrid_scan_program(
+    mesh, shard_size, k, c, rrf_k, block_size, kernel, presorted, max_run,
+    interpret,
+):
+    """jit(scan(shard_map-hybrid)) — built once per static config."""
+    inner = _hybrid_program(
+        mesh, shard_size, k, c, rrf_k, block_size, kernel, presorted,
+        max_run, interpret,
+    )
+
+    def run(doc_emb, qbs, pdis, pws, rescore, q8s):
+        def body(carry, xs):
+            q, di, w, q8 = xs
+            vals, ids = inner(doc_emb, q, di, w, rescore, q8)
+            return carry, (vals, ids)
+
+        _, (vals, ids) = jax.lax.scan(
+            body, jnp.int32(0), (qbs, pdis, pws, q8s)
+        )
+        return vals, ids
+
+    return jax.jit(run)
+
+
 def global_bm25_stats(mesh: Mesh, local_df: jax.Array, local_len_sum: jax.Array,
                       local_n_docs: jax.Array):
     """psum-reduce per-shard df / doc-length sums into corpus-wide stats

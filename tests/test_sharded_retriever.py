@@ -316,3 +316,23 @@ def test_cli_mesh_plus_rerank_compose(tmp_path, capsys):
     doc = json.loads(out)
     hits = doc[0]["hits"]
     assert hits and all(0 <= h["doc_id"] < 4 for h in hits)
+
+
+def test_scan_path_matches_per_batch(corpus):
+    """Requests beyond device_batch queries run the scanned one-dispatch
+    sharded program; results must be identical to the single-dispatch
+    path on the same queries."""
+    docs, postings, dense, embedder = corpus
+    queries = synthetic_queries_from_docs(docs, 11, seed=31)  # 11 % 2 != 0
+    big = ShardedHybridRetriever(
+        postings, dense, embedder, data=2, corpus=4, kernel="xla",
+        block_size=128, device_batch=256,
+    )
+    small = ShardedHybridRetriever(
+        postings, dense, embedder, data=2, corpus=4, kernel="xla",
+        block_size=128, device_batch=4,
+    )
+    want = big.search(queries, k=10, candidates_per_arm=20)
+    got = small.search(queries, k=10, candidates_per_arm=20)
+    np.testing.assert_array_equal(got.ids, want.ids)
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-5, atol=1e-6)
