@@ -131,7 +131,9 @@ def main() -> None:
     log(
         f"prepare: plan width {prep.plan_doc_ids.shape[2]}, "
         f"{n_batches} x {batch} sub-batches ({plan_secs:.1f}s, "
-        f"{plan_secs/total_q*1e3:.2f} ms/query host planning)"
+        f"{plan_secs/total_q*1e3:.2f} ms/query — C++ plan build PLUS "
+        f"device staging of the ~{prep.plan_doc_ids.size*8/1e6:.0f} MB "
+        f"plan arrays, which dominates over this tunnel)"
     )
 
     # Measure the per-call dispatch/tunnel RTT for VISIBILITY (the headline

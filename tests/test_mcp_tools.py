@@ -246,3 +246,42 @@ def test_server_tool_specs_gated_on_retriever():
     assert all(t["name"] != "search_corpus" for t in s.tool_specs)
     s2 = OpenIntelServer(social=[], market=None, retriever=object())
     assert any(t["name"] == "search_corpus" for t in s2.tool_specs)
+
+
+def test_search_corpus_routes_hybrid_through_coalescer():
+    from openintel_tpu.mcp.tools import run_search_corpus
+    from openintel_tpu.models.retrievers import HybridRetriever
+    from openintel_tpu.serving import BatchCoalescer
+
+    docs = ["the quick brown fox", "lazy dogs sleep", "fox dog fox", "markets"]
+    r = HybridRetriever.build(docs, dim=32)
+    co = BatchCoalescer(
+        lambda queries, k=10: r.search(queries, k=k, candidates_per_arm=2 * k),
+        max_batch=8, max_wait_ms=1.0,
+    )
+    out = run_search_corpus({"queries": ["quick fox"], "k": 2}, r, docs, None, co)
+    assert out["results"][0]["hits"]
+    assert co.queries_run == 1 and co.batches_run == 1
+    # single-arm modes bypass the coalescer
+    run_search_corpus({"queries": ["lazy dogs"], "mode": "bm25"}, r, docs, None, co)
+    assert co.queries_run == 1
+
+
+def test_run_server_stats():
+    from openintel_tpu.mcp.tools import run_server_stats
+    from openintel_tpu.models.retrievers import HybridRetriever
+    from openintel_tpu.serving import BatchCoalescer
+
+    docs = ["a b c", "b c d", "c d e"]
+    r = HybridRetriever.build(docs, dim=16)
+    out = run_server_stats(r)
+    assert out["retriever"] == "HybridRetriever" and out["n_docs"] == 3
+    assert "coalescer" not in out
+
+    co = BatchCoalescer(lambda q, k=10: r.search(q, k=k), max_batch=4)
+    co.search(["b c"], k=2)
+    out = run_server_stats(r, co)
+    assert out["coalescer"]["queries_run"] == 1
+    assert out["coalescer"]["batches_run"] == 1
+    assert out["coalescer"]["max_batch"] == 4
+    assert "3 docs" in out["summary"]
