@@ -376,7 +376,16 @@ async def serve_stdio(server: OpenIntelServer) -> None:
     pending: set[asyncio.Task] = set()
 
     async def dispatch(message: dict[str, Any]) -> None:
-        response = await server.handle(message)
+        try:
+            response = await server.handle(message)
+        except Exception as e:  # noqa: BLE001 — a dead task would leave the
+            # caller blocked forever on its id; answer with an RPC error
+            msg_id = message.get("id") if isinstance(message, dict) else None
+            response = {
+                "jsonrpc": "2.0",
+                "id": msg_id,
+                "error": {"code": -32603, "message": f"internal error: {e}"},
+            }
         if response is not None:
             # print() runs without awaits in the event-loop thread, so
             # whole-line writes never interleave across tasks
@@ -398,6 +407,21 @@ async def serve_stdio(server: OpenIntelServer) -> None:
                         "jsonrpc": "2.0",
                         "id": None,
                         "error": {"code": -32700, "message": f"parse error: {e}"},
+                    }
+                ),
+                flush=True,
+            )
+            continue
+        if not isinstance(message, dict):  # e.g. a bare number or array
+            print(
+                json.dumps(
+                    {
+                        "jsonrpc": "2.0",
+                        "id": None,
+                        "error": {
+                            "code": -32600,
+                            "message": "invalid request: not an object",
+                        },
                     }
                 ),
                 flush=True,

@@ -222,7 +222,9 @@ def run_search_corpus(
     queries = list(args.get("queries") or [])
     if not queries:
         raise ValueError("queries must be a non-empty list of strings")
-    k = int(args.get("k") or 10)
+    # clamp k: it feeds jitted-program cache keys (a distinct program per
+    # distinct k), so unbounded client values would grow compile caches
+    k = max(1, min(int(args.get("k") or 10), 1000))
     mode = (args.get("mode") or "hybrid").lower()
     if mode not in ("hybrid", "bm25", "dense"):
         raise ValueError("mode must be hybrid, bm25, or dense")

@@ -90,12 +90,16 @@ def evaluate_retriever(
 
             try:
                 params = inspect.signature(retriever.search).parameters
+                has_var_kw = any(
+                    p.kind is inspect.Parameter.VAR_KEYWORD
+                    for p in params.values()
+                )
             except (TypeError, ValueError):  # builtins / C callables
-                params = {}
+                params, has_var_kw = {}, False
             kwargs = {}
-            if "mode" in params:
+            if "mode" in params or has_var_kw:
                 kwargs["mode"] = mode
-            if "candidates_per_arm" in params:
+            if "candidates_per_arm" in params or has_var_kw:
                 kwargs["candidates_per_arm"] = 2 * k
             res = retriever.search(queries, k=k, **kwargs)
         for i, (_, rel) in enumerate(chunk):

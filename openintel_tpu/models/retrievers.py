@@ -51,6 +51,48 @@ class PreparedBatch:
 AUTO_PRUNE_DOCS = 100_000  # corpora above this default to pruned plans
 
 
+def dense_arm_topk(
+    kernel: str,
+    emb_op: jax.Array,
+    q: jax.Array,
+    k: int,
+    *,
+    n_docs: int,
+    interpret: bool,
+    block_c: int = 8192,
+    candidates: Optional[int] = None,  # int8 candidate count (default 2k>=32)
+    rescore_op: Optional[jax.Array] = None,  # (N, D) rows, kernel="int8"
+    q8: Optional[jax.Array] = None,  # (B, D) int8 queries, kernel="int8"
+) -> tuple[jax.Array, jax.Array]:
+    """THE single-chip dense-arm dispatch — shared by ``DenseRetriever``
+    and the fused hybrid program so kernel/interpret/block_c handling
+    cannot drift between the serving paths. Jit-traceable."""
+    if kernel == "int8":
+        from openintel_tpu.ops.pallas.dense_topk import (
+            dense_topk_fast_i8,
+            exact_rescore,
+        )
+
+        c = candidates if candidates is not None else min(max(2 * k, 32), n_docs)
+        _, cids = dense_topk_fast_i8(
+            emb_op, q8, k=c, block_c=block_c, n_docs=n_docs,
+            interpret=interpret,
+        )
+        return exact_rescore(rescore_op, q, cids, k)
+    if kernel == "fast":
+        from openintel_tpu.ops.pallas.dense_topk import dense_topk_fast
+
+        return dense_topk_fast(
+            emb_op, q, k=k, block_c=block_c, n_docs=n_docs,
+            interpret=interpret,
+        )
+    if kernel == "pallas":
+        from openintel_tpu.ops.pallas.dense_topk import dense_topk_pallas
+
+        return dense_topk_pallas(emb_op, q, k=k, interpret=interpret)
+    return dense_topk_xla(emb_op, q, k)
+
+
 def auto_prune_m(n_docs: int, k: int) -> Optional[int]:
     """Default impact-pruning budget for serving: above AUTO_PRUNE_DOCS a
     stop-wordy term would otherwise blow the plan to its full df (device
@@ -181,35 +223,22 @@ class DenseRetriever:
 
     def _topk(self, q: jax.Array, k: int):
         k = min(k, self.index.n_docs)
+        q8 = None
         if self.kernel == "int8":
-            from openintel_tpu.ops.pallas.dense_topk import (
-                dense_topk_fast_i8,
-                exact_rescore,
-                quantize_int8,
-            )
+            from openintel_tpu.ops.pallas.dense_topk import quantize_int8
 
-            c = min(max(2 * k, 32), self.index.n_docs)
             q8 = jnp.asarray(quantize_int8(np.asarray(q, np.float32)))
-            _, cids = dense_topk_fast_i8(
-                self._emb_device, q8, k=c, n_docs=self.index.n_docs,
-                interpret=self._interpret,
-            )
-            return exact_rescore(self._rescore_emb, q, cids, k)
-        if self.kernel == "fast":
-            from openintel_tpu.ops.pallas.dense_topk import dense_topk_fast
-
-            return dense_topk_fast(
-                self._emb_device,
-                q,
-                k=k,
-                block_c=self._fast_block_c(),
-                n_docs=self.index.n_docs,
-            )
-        if self.kernel == "pallas":
-            from openintel_tpu.ops.pallas.dense_topk import dense_topk_pallas
-
-            return dense_topk_pallas(self._emb_device, q, k=k)
-        return dense_topk_xla(self._emb_device, q, k)
+        return dense_arm_topk(
+            self.kernel,
+            self._emb_device,
+            q,
+            k,
+            n_docs=self.index.n_docs,
+            interpret=self._interpret,
+            block_c=self._fast_block_c(),
+            rescore_op=self._rescore_emb if self.kernel == "int8" else None,
+            q8=q8,
+        )
 
     def search_embeddings(self, query_emb: np.ndarray, k: int = 10) -> SearchResult:
         # int8: f32 queries into the exact rescore (bf16-rounding the query
@@ -308,36 +337,11 @@ class HybridRetriever:
                   presorted, max_run, block_c):
             def body(carry, xs):
                 qb, qb8, di, w = xs
-                if kernel == "int8":
-                    from openintel_tpu.ops.pallas.dense_topk import (
-                        dense_topk_fast_i8,
-                        exact_rescore,
-                    )
-
-                    _, cids = dense_topk_fast_i8(
-                        emb_op, qb8, k=c, block_c=block_c, n_docs=n_docs,
-                        interpret=interpret,
-                    )
-                    d_vals, d_ids = exact_rescore(rescore_op, qb, cids, c)
-                elif kernel == "fast":
-                    from openintel_tpu.ops.pallas.dense_topk import (
-                        dense_topk_fast,
-                    )
-
-                    d_vals, d_ids = dense_topk_fast(
-                        emb_op, qb, k=c, block_c=block_c, n_docs=n_docs,
-                        interpret=interpret,
-                    )
-                elif kernel == "pallas":
-                    from openintel_tpu.ops.pallas.dense_topk import (
-                        dense_topk_pallas,
-                    )
-
-                    d_vals, d_ids = dense_topk_pallas(
-                        emb_op, qb, k=c, interpret=interpret
-                    )
-                else:
-                    d_vals, d_ids = dense_topk_xla(emb_op, qb, c)
+                d_vals, d_ids = dense_arm_topk(
+                    kernel, emb_op, qb, c,
+                    n_docs=n_docs, interpret=interpret, block_c=block_c,
+                    candidates=c, rescore_op=rescore_op, q8=qb8,
+                )
                 b_vals, b_ids = bm25_topk_device(
                     di, w, n_docs, c, presorted=presorted, max_run=max_run
                 )
@@ -397,6 +401,16 @@ class HybridRetriever:
         b = len(term_ids)
         c = min(candidates_per_arm or k, n_docs)
         k = min(k, n_docs)
+        if b == 0:
+            dim = self.dense.index.dim
+            return PreparedBatch(
+                queries=jnp.zeros((0, 1, dim), jnp.float32),
+                queries_i8=jnp.zeros((0, 1, 1), jnp.int8),
+                plan_doc_ids=jnp.zeros((0, 1, 1), jnp.int32),
+                plan_weights=jnp.zeros((0, 1, 1), jnp.float32),
+                n_queries=0, k=k, candidates_per_arm=c,
+                presorted=True, max_run=1,
+            )
 
         db = min(device_batch or self.device_batch, b)
         pad = (-b) % db
@@ -429,7 +443,9 @@ class HybridRetriever:
             # identical to the stored-index reference oracle.
             qbs = jnp.asarray(q.reshape(nb, db, dim), jnp.float32)
         else:
-            qbs8 = jnp.zeros((nb, db, dim), jnp.int8)  # uniform signature
+            # tiny placeholder, never read by the non-int8 fused body (a
+            # full-size zeros array would stage b*dim dead bytes per search)
+            qbs8 = jnp.zeros((nb, db, 1), jnp.int8)
             qbs = jnp.asarray(q.reshape(nb, db, dim), dense._emb_device.dtype)
         return PreparedBatch(
             queries=qbs,
@@ -500,6 +516,11 @@ class HybridRetriever:
 
     def run_prepared(self, prep: "PreparedBatch") -> SearchResult:
         """``run_prepared_device`` + host copy-back of the (b, k) result."""
+        if prep.n_queries == 0:
+            return SearchResult(
+                ids=np.zeros((0, prep.k), np.int32),
+                scores=np.zeros((0, prep.k), np.float32),
+            )
         vals, ids = self.run_prepared_device(prep)
         nb, db = prep.queries.shape[:2]
         b, k = prep.n_queries, prep.k

@@ -180,7 +180,7 @@ class ShardedHybridRetriever:
         block_size: int = 4096,
         max_postings_per_term: Optional[int] = None,
         multi_budget: int = 256,
-        interpret: bool = False,
+        interpret: Optional[bool] = None,  # None = auto (CPU hosts -> True)
         device_batch: int = 256,
     ):
         if mesh is None:
@@ -218,7 +218,12 @@ class ShardedHybridRetriever:
         self.block_size = block_size
         self.max_postings_per_term = max_postings_per_term
         self.multi_budget = multi_budget
-        self.interpret = interpret
+        # Pallas kernels need interpreter mode on CPU hosts; an explicit
+        # --kernel int8/pallas_fast on a CPU box would otherwise crash in
+        # Mosaic lowering instead of serving (round-3 review finding)
+        self.interpret = (
+            jax.default_backend() in ("cpu",) if interpret is None else interpret
+        )
         self.device_batch = max(1, device_batch)
 
         # Shard-even corpus padding. The fast kernels prefer aligned shards

@@ -134,7 +134,7 @@ def sharded_dense_topk(
     return f(doc_emb, queries, rescore, queries_i8)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=64)
 def _dense_program(mesh, shard_size, k, kernel, block_size, interpret):
     """Build + JIT the sharded dense program ONCE per static config.
 
@@ -188,7 +188,7 @@ def sharded_bm25_topk(
     return f(plan_doc_ids, plan_weights)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=64)
 def _bm25_program(mesh, shard_size, k, presorted, max_run):
     """Build + JIT the sharded BM25 program once per static config."""
     from openintel_tpu.ops.bm25 import bm25_topk_device
@@ -259,7 +259,7 @@ def sharded_hybrid_topk(
     return f(doc_emb, queries, plan_doc_ids, plan_weights, rescore, queries_i8)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=64)
 def _hybrid_program(
     mesh, shard_size, k, c, rrf_k, block_size, kernel, presorted, max_run,
     interpret,
@@ -350,7 +350,7 @@ def sharded_hybrid_topk_scan(
     return f(doc_emb, queries, plan_doc_ids, plan_weights, rescore, queries_i8)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=64)
 def _hybrid_scan_program(
     mesh, shard_size, k, c, rrf_k, block_size, kernel, presorted, max_run,
     interpret,

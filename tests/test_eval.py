@@ -140,3 +140,27 @@ def test_kwarg_detection_for_plain_retriever():
 
     res = evaluate_retriever(Plain(), [("q", {0})], k=3, mode="dense")
     assert res.recall_at_k == 1.0
+
+
+def test_var_kwargs_retriever_receives_mode():
+    """A search(self, queries, k=10, **kw) adapter must still receive
+    mode/candidates_per_arm (round-3 review finding)."""
+    import numpy as np
+
+    from openintel_tpu.models.eval import evaluate_retriever
+    from openintel_tpu.models.retrievers import SearchResult
+
+    seen = {}
+
+    class Wrapper:
+        def search(self, queries, k=10, **kw):
+            seen.update(kw)
+            ids = np.zeros((len(queries), k), np.int32) - 1
+            ids[:, 0] = 0
+            return SearchResult(
+                ids=ids, scores=np.zeros((len(queries), k), np.float32)
+            )
+
+    evaluate_retriever(Wrapper(), [("q", {0})], k=3, mode="dense")
+    assert seen.get("mode") == "dense"
+    assert seen.get("candidates_per_arm") == 6

@@ -154,3 +154,29 @@ def test_mcp_concurrent_search_coalesces(tmp_path):
         proc.wait(timeout=30)
         proc.stdout.close()
         proc.stderr.close()
+
+
+def test_mcp_non_object_messages_get_error_responses():
+    """Valid-JSON non-object lines (a bare number, an array) must produce
+    -32600 errors, not silently-dead dispatch tasks (round-3 review)."""
+    lines = "\n".join(
+        [
+            json.dumps({"jsonrpc": "2.0", "id": 1, "method": "ping"}),
+            "5",
+            "[{}]",
+            json.dumps({"jsonrpc": "2.0", "id": 2, "method": "ping"}),
+        ]
+    )
+    proc = subprocess.run(
+        [sys.executable, "-m", "openintel_tpu.cli.main", "mcp", "--offline"],
+        input=lines + "\n",
+        capture_output=True,
+        text=True,
+        timeout=110,
+    )
+    docs = [json.loads(ln) for ln in proc.stdout.strip().splitlines()]
+    by_id = {d.get("id"): d for d in docs if d.get("id") is not None}
+    assert by_id[1]["result"] == {} and by_id[2]["result"] == {}
+    errs = [d for d in docs if d.get("id") is None and "error" in d]
+    assert len(errs) == 2
+    assert all(e["error"]["code"] == -32600 for e in errs)

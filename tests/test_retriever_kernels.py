@@ -164,3 +164,26 @@ def test_rebatch_preserves_results(corpus):
     got = h.run_prepared(h.rebatch(prep, 4))
     np.testing.assert_array_equal(got.ids, want.ids)
     np.testing.assert_allclose(got.scores, want.scores, rtol=1e-6)
+
+
+def test_fast_and_pallas_kernels_interpret_on_cpu(corpus):
+    """Explicit --kernel fast/pallas must serve on CPU hosts (interpret
+    mode threaded through the shared dense_arm_topk dispatch — round-3
+    review finding)."""
+    docs, postings, dense, embedder = corpus
+    queries = synthetic_queries_from_docs(docs, 3, seed=17)
+    for kern in ("fast", "pallas"):
+        res = DenseRetriever(dense, embedder, kernel=kern).search(queries, k=5)
+        assert res.ids.shape == (3, 5)
+        res_h = HybridRetriever(postings, dense, embedder, kernel=kern).search(
+            queries, k=5, candidates_per_arm=10
+        )
+        assert res_h.ids.shape == (3, 5)
+
+
+def test_prepare_empty_batch(corpus):
+    _, postings, dense, embedder = corpus
+    h = HybridRetriever(postings, dense, embedder, kernel="xla")
+    prep = h.prepare([], np.zeros((0, D), np.float32), k=5)
+    res = h.run_prepared(prep)
+    assert res.ids.shape == (0, 5)

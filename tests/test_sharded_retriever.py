@@ -336,3 +336,16 @@ def test_scan_path_matches_per_batch(corpus):
     got = small.search(queries, k=10, candidates_per_arm=20)
     np.testing.assert_array_equal(got.ids, want.ids)
     np.testing.assert_allclose(got.scores, want.scores, rtol=1e-5, atol=1e-6)
+
+
+def test_explicit_int8_kernel_auto_interprets_on_cpu(corpus):
+    """kernel='int8' WITHOUT interpret= must auto-detect the CPU host and
+    run the Pallas kernels in interpreter mode instead of crashing in
+    Mosaic lowering (round-3 review finding)."""
+    docs, postings, dense, embedder = corpus
+    sr = ShardedHybridRetriever(
+        postings, dense, embedder, data=1, corpus=4, kernel="int8"
+    )
+    assert sr.interpret is True
+    res = sr.search(synthetic_queries_from_docs(docs, 3, seed=41), k=5)
+    assert res.ids.shape == (3, 5)
