@@ -349,3 +349,23 @@ def test_explicit_int8_kernel_auto_interprets_on_cpu(corpus):
     assert sr.interpret is True
     res = sr.search(synthetic_queries_from_docs(docs, 3, seed=41), k=5)
     assert res.ids.shape == (3, 5)
+
+
+def test_scan_path_int8_interpret(corpus):
+    """The scanned one-dispatch sharded program composed with the
+    production int8 kernel (interpret mode): shapes/ids sane and
+    consistent with the per-batch int8 path."""
+    docs, postings, dense, embedder = corpus
+    queries = synthetic_queries_from_docs(docs, 9, seed=51)
+    per_batch = ShardedHybridRetriever(
+        postings, dense, embedder, data=1, corpus=4, kernel="int8",
+        device_batch=256,
+    )
+    scanned = ShardedHybridRetriever(
+        postings, dense, embedder, data=1, corpus=4, kernel="int8",
+        device_batch=4,
+    )
+    want = per_batch.search(queries, k=8, candidates_per_arm=16)
+    got = scanned.search(queries, k=8, candidates_per_arm=16)
+    np.testing.assert_array_equal(got.ids, want.ids)
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-5, atol=1e-6)
