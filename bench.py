@@ -86,9 +86,12 @@ def main() -> None:
     emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
     # Production index stores bf16 rows on TPU (`openintel index --bf16`);
     # the int8 retriever quantises its candidate copy from them and keeps
-    # the bf16 rows for the exact-rescore stage.
-    store_dtype = "bfloat16" if on_tpu else np.float32
-    if on_tpu:
+    # the bf16 rows for the exact-rescore stage. BENCH_STORE=f32 stores
+    # full precision instead (2x memory) — used to verify that the
+    # residual recall-vs-f32 gap is storage precision and nothing else.
+    store = os.environ.get("BENCH_STORE", "bf16" if on_tpu else "f32")
+    store_dtype = np.float32
+    if store == "bf16":
         import ml_dtypes
 
         store_dtype = ml_dtypes.bfloat16
@@ -327,7 +330,9 @@ def main() -> None:
             best32, np.asarray(v, np.float32), np.asarray(i, np.int64) + lo
         )
         ev16 = (
-            ev.astype(jnp.bfloat16).astype(jnp.float32) if on_tpu else ev
+            ev.astype(jnp.bfloat16).astype(jnp.float32)
+            if store == "bf16"
+            else ev
         )
         v, i = dense_topk_xla(ev16, qs, c_arm, 4096)
         best16 = _merge(
