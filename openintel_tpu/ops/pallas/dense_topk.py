@@ -512,8 +512,64 @@ def _turbo_kernel_i8(q_ref, e_ref, out_ref, acc_ref, *, sub: int, steps: int):
         out_ref[:] = acc_ref[:]
 
 
+def _turbo_kernel_i8_top2(
+    q_ref, e_ref, out1_ref, out2_ref, acc_ref, *, sub: int, steps: int
+):
+    """Top-2 variant: TWO candidate slots per (super, lane) — a branchless
+    streaming 2-max fold (new x: a2 = max(a2, min(a1, x)); a1 = max(a1, x))
+    plus the exact disjoint-set merge across grid steps
+    (union 2nd-best = max(min(p1, q1), max(p2, q2))). Doubles candidate
+    capacity so a lane collision now needs THREE top docs on one lane —
+    the measured residual recall-loss mechanism. Sentinel 0 keys (lanes
+    with < 2 contributions) sort below every real key (real keys are
+    >= _I8_FLAG128 + s*128 > 0) and are masked at decode.
+
+    A1 and A2 write to SEPARATE output buffers: the downstream
+    approx_max_k reduces contiguous column buckets a few hundred wide
+    (measured), so a lane's two keys must not sit 128 columns apart —
+    and regrouping one interleaved output after the fact costs ~0.33
+    ms/batch in strided copies (measured), while two contiguous outputs
+    concat for ~nothing."""
+    j = pl.program_id(0)
+    base = (j % steps) * sub
+    a1 = a2 = None
+    for i in range(sub):
+        s = jax.lax.dot_general(
+            q_ref[:],
+            e_ref[:, i * 128 : (i + 1) * 128],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        key = s * 128 + jnp.int32(_I8_FLAG128 + base + i)
+        if a1 is None:
+            a1 = key
+            a2 = jnp.zeros_like(key)  # sentinel: below every real key
+        else:
+            a2 = jnp.maximum(a2, jnp.minimum(a1, key))
+            a1 = jnp.maximum(a1, key)
+
+    @pl.when(j % steps == 0)
+    def _reset():
+        acc_ref[:, :128] = a1
+        acc_ref[:, 128:] = a2
+
+    @pl.when(j % steps != 0)
+    def _combine():
+        p1 = acc_ref[:, :128]
+        p2 = acc_ref[:, 128:]
+        acc_ref[:, :128] = jnp.maximum(p1, a1)
+        acc_ref[:, 128:] = jnp.maximum(
+            jnp.minimum(p1, a1), jnp.maximum(p2, a2)
+        )
+
+    @pl.when(j % steps == steps - 1)
+    def _write():
+        out1_ref[:] = acc_ref[:, :128]
+        out2_ref[:] = acc_ref[:, 128:]
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "block_c", "interpret", "n_docs")
+    jax.jit, static_argnames=("k", "block_c", "interpret", "n_docs", "slots")
 )
 def dense_topk_fast_i8(
     doc_emb_t: jax.Array,  # (D, N) int8 quantised unit-norm COLUMNS
@@ -522,14 +578,19 @@ def dense_topk_fast_i8(
     block_c: int = 8192,  # best measured on v5e at production batch sizes
     interpret: bool = False,
     n_docs: int | None = None,
+    slots: int = 2,  # candidate slots per (super, lane): 1 or 2
 ) -> tuple[jax.Array, jax.Array]:
     """int8 approximate cosine top-k (candidate generation; turbo kernel).
     Returns (vals (B, k) f32 [~1.5e-2 cosine precision], ids (B, k) i32, -1
     padded). Pass ``pad_corpus_t_i8``-padded embeddings plus the true
     ``n_docs`` in production; unpadded input pays a corpus copy per call.
     ``block_c`` = corpus columns per grid step (multiple of 128, must divide
-    16,384)."""
+    16,384). ``slots=2`` (default) keeps the top-2 keys per (super, lane)
+    — two docs with equal id mod 128 in one super no longer eclipse each
+    other, removing the measured residual recall-loss mechanism for ~2
+    extra VPU ops/element."""
     assert doc_emb_t.dtype == jnp.int8 and queries.dtype == jnp.int8
+    assert slots in (1, 2), slots
     dim, n_stored = doc_emb_t.shape
     n_docs = n_stored if n_docs is None else n_docs
     b = queries.shape[0]
@@ -550,38 +611,72 @@ def dense_topk_fast_i8(
     steps = _SUPER // sub  # grid steps per super
     n_steps = doc_emb_t.shape[1] // block_c
     n_super = doc_emb_t.shape[1] // _TURBO_UNIT
-    assert n_super * 128 >= k, "corpus too small for k candidates"
-    packed = pl.pallas_call(
-        functools.partial(_turbo_kernel_i8, sub=sub, steps=steps),
-        grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec((b_pad, dim), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dim, block_c), lambda j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (b_pad, 128), lambda j: (0, j // (_SUPER // (block_c // 128))),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b_pad, n_super * 128), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((b_pad, 128), jnp.int32)],
-        interpret=interpret,
-    )(queries, doc_emb_t)
+    lanes = 128 * slots  # packed output columns per super
+    assert n_super * lanes >= k, "corpus too small for k candidates"
+    half = n_super * 128
+    out_block = pl.BlockSpec(
+        (b_pad, 128), lambda j: (0, j // (_SUPER // (block_c // 128))),
+        memory_space=pltpu.VMEM,
+    )
+    if slots == 1:
+        packed = pl.pallas_call(
+            functools.partial(_turbo_kernel_i8, sub=sub, steps=steps),
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec((b_pad, dim), lambda j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((dim, block_c), lambda j: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_block,
+            out_shape=jax.ShapeDtypeStruct((b_pad, half), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((b_pad, 128), jnp.int32)],
+            interpret=interpret,
+        )(queries, doc_emb_t)
+    else:
+        # TWO contiguous outputs ([all A1 supers], [all A2 supers]): the
+        # TPU approx_max_k reduces CONTIGUOUS column buckets a few hundred
+        # wide (measured), so a lane's A1/A2 pair must not sit 128 columns
+        # apart — concatenated this way the pair is `half` columns apart
+        p1, p2 = pl.pallas_call(
+            functools.partial(_turbo_kernel_i8_top2, sub=sub, steps=steps),
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec((b_pad, dim), lambda j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((dim, block_c), lambda j: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[out_block, out_block],
+            out_shape=[
+                jax.ShapeDtypeStruct((b_pad, half), jnp.int32),
+                jax.ShapeDtypeStruct((b_pad, half), jnp.int32),
+            ],
+            scratch_shapes=[pltpu.VMEM((b_pad, 256), jnp.int32)],
+            interpret=interpret,
+        )(queries, doc_emb_t)
+        packed = jnp.concatenate([p1, p2], axis=1)
 
     # keys are strictly positive normal floats under bitcast: bit order ==
-    # value order — feed straight to the TPU PartialReduce top-k
+    # value order — feed straight to the TPU PartialReduce top-k.
     padded = doc_emb_t.shape[1] != n_docs
-    pad_slots = 128 if (padded and n_docs <= 262_144) else 0
-    k_fetch = min(k + pad_slots, n_super * 128)
+    pad_slots = lanes if (padded and n_docs <= 262_144) else 0
+    # over-fetch beyond k and exact-select: approx_max_k keeps per-bucket
+    # maxima over CONTIGUOUS column buckets a few hundred wide (measured),
+    # so at k_fetch == k a true top-k key sharing a bucket with one higher
+    # key is silently lost (~1/512 queries measured at c=32); a 32-slot
+    # margin requires several colliding higher keys instead. The trailing
+    # exact top_k runs over k_fetch columns — noise.
+    k_fetch = min(k + max(pad_slots, 32), n_super * lanes)
     gf = jax.lax.bitcast_convert_type(packed, jnp.float32)
     fv, pcols = jax.lax.approx_max_k(gf, k_fetch, recall_target=0.99)
     pvals = jax.lax.bitcast_convert_type(fv, jnp.int32)
     pos = pvals & 127  # sub-block index within the super
-    ids = (((pcols // 128) * 128 + pos) * 128 + pcols % 128).astype(jnp.int32)
+    col = pcols % half  # both slot halves decode identically
+    ids = (((col // 128) * 128 + pos) * 128 + col % 128).astype(jnp.int32)
     vals = (
         ((pvals - pos - jnp.int32(_I8_FLAG128)) // 128).astype(jnp.float32)
         / _I8_SCALE
     )
-    valid = ids < n_docs
+    # sentinel-0 keys (slots=2 lanes with < 2 contributions) decode to
+    # garbage ids; they sort below every real key and mask out here
+    valid = (ids < n_docs) & (pvals > 0)
     if k_fetch > k:
         key = jnp.where(valid, pvals, jnp.int32(-(2**31)))
         _, sel = jax.lax.top_k(key, k)
