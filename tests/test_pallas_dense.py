@@ -201,3 +201,44 @@ def test_exact_rescore_handles_padding_ids():
     ids = np.asarray(ids)
     assert set(ids[0]) <= {3, 7, -1}
     assert ids[0][2] == -1 and ids[1][1] == -1
+
+
+def test_int8_multi_super_decode_and_slots():
+    """Multi-super corpus (3 supers after padding): exercises the slots=2
+    two-half packed layout — ids in BOTH concatenated output halves must
+    decode through `col % half`, the cross-grid-step disjoint-set merge
+    must keep per-lane top-2 semantics, and no duplicates or
+    padding-doc ids may leak. Production pipeline (candidates + exact
+    rescore) must recover the exact top-10 at high recall."""
+    import jax.numpy as jnp
+
+    from openintel_tpu.ops.pallas.dense_topk import (
+        dense_topk_fast_i8,
+        exact_rescore,
+        pad_corpus_t_i8,
+        quantize_int8,
+    )
+
+    n, d, b = 40_000, 64, 4  # pads to 49,152 cols = 3 supers
+    emb = synthetic_embeddings(n, dim=d, seed=30)
+    q, _ = synthetic_query_embeddings(emb, b, seed=31)
+    emb_t8 = pad_corpus_t_i8(jnp.asarray(quantize_int8(emb).T))
+    q8 = jnp.asarray(quantize_int8(q))
+    ref_vals, ref_ids = ref.cosine_topk(emb, q, 10)
+
+    recalls = {}
+    for slots in (1, 2):
+        _, cids = dense_topk_fast_i8(
+            emb_t8, q8, k=64, block_c=4096, n_docs=n, interpret=True,
+            slots=slots,
+        )
+        cand = np.asarray(cids)
+        for row in cand:
+            real = [int(x) for x in row if x >= 0]
+            assert len(real) == len(set(real)), "duplicate candidates"
+            assert max(real) < n, "padding-doc id leaked"
+        rvals, rids = exact_rescore(jnp.asarray(emb), jnp.asarray(q), cids, 10)
+        recalls[slots] = _recall(np.asarray(rids), ref_ids)
+    assert recalls[2] >= 0.9, recalls
+    # doubling candidate slots never hurts candidate coverage
+    assert recalls[2] >= recalls[1], recalls
