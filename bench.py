@@ -422,10 +422,21 @@ def _debug_recall_failures(
 ):
     """Name the mechanism behind each lost top-10 doc (round-2 verdict
     item 4): lane collision in the int8 turbo candidate pass (each
-    16,384-doc super emits one candidate slot per lane — docs with equal
-    id mod 128 compete; tests/test_retriever_kernels.py pins this),
-    approx_max_k drop, bm25-arm pruning, or an RRF boundary effect."""
-    from openintel_tpu.ops.pallas.dense_topk import _TURBO_UNIT, quantize_int8
+    16,384-doc super emits 128*slots candidate slots, top-`slots` per
+    lane — docs with equal id mod 128 compete;
+    tests/test_retriever_kernels.py pins this), approx_max_k drop,
+    bm25-arm pruning, or an RRF boundary effect. The in-lane-rank
+    threshold tracks the kernel's production default (slots=2: only
+    rank >= 2 means the doc was never emitted)."""
+    import inspect
+
+    from openintel_tpu.ops.pallas.dense_topk import (
+        _TURBO_UNIT,
+        dense_topk_fast_i8,
+        quantize_int8,
+    )
+
+    slots = inspect.signature(dense_topk_fast_i8).parameters["slots"].default
 
     log(f"--- recall debug: {len(failures)} failing queries ---")
     for qi, lost in failures:
@@ -444,8 +455,8 @@ def _debug_recall_failures(
             if in_d32 and not in_d16:
                 why.append("bf16 storage rounding (not in stored-index top-c)")
             if in_d16 and doc not in got_d:
-                # eligibility: one candidate slot per (super, lane); docs
-                # with equal id mod 128 inside one super compete
+                # eligibility: `slots` candidate slots per (super, lane);
+                # docs with equal id mod 128 inside one super compete
                 super_i, lane = doc // _TURBO_UNIT, doc % 128
                 rivals = [
                     d for d in exact_d16
@@ -461,23 +472,27 @@ def _debug_recall_failures(
                 iscores = quantize_int8(emb[members]).astype(np.int32) @ q8
                 my = int(iscores[np.searchsorted(members, doc)])
                 rank_in_lane = int((iscores > my).sum())
-                if rivals:
+                if rank_in_lane >= slots and rivals:
                     why.append(
                         f"lane collision: shares (super {super_i}, lane "
                         f"{lane}) with retrieved candidate(s) {rivals} "
-                        f"(int8 in-lane rank {rank_in_lane})"
+                        f"(int8 in-lane rank {rank_in_lane} >= "
+                        f"slots={slots}: never emitted)"
                     )
-                elif rank_in_lane > 0:
+                elif rank_in_lane >= slots:
                     winner = int(members[np.argmax(iscores)])
                     why.append(
-                        f"lane collision: int8 lane max is doc {winner} "
-                        f"(in-lane rank {rank_in_lane}), which did not "
-                        f"reach top-{c_arm}"
+                        f"lane collision: int8 in-lane rank "
+                        f"{rank_in_lane} >= slots={slots} (lane max is doc "
+                        f"{winner}): never emitted"
                     )
                 else:
+                    # rank_in_lane < slots: the top-`slots` fold DID emit
+                    # this doc's key — the loss is downstream
                     why.append(
-                        "candidate emitted but lost in approx_max_k / "
-                        "top-c selection"
+                        f"candidate emitted (in-lane rank {rank_in_lane} < "
+                        f"slots={slots}) but lost in approx_max_k / top-c "
+                        "selection or the rescore cut"
                     )
             if not why and (doc in got_d or doc in got_b):
                 why.append(

@@ -379,11 +379,15 @@ async def serve_stdio(server: OpenIntelServer) -> None:
         try:
             response = await server.handle(message)
         except Exception as e:  # noqa: BLE001 — a dead task would leave the
-            # caller blocked forever on its id; answer with an RPC error
-            msg_id = message.get("id") if isinstance(message, dict) else None
+            # caller blocked forever on its id; answer with an RPC error.
+            # Notifications (no id) never get a response, even on failure
+            # (JSON-RPC 2.0 §4.1) — a strict client treats an id:null error
+            # as a broken-request report.
+            if not isinstance(message, dict) or "id" not in message:
+                return
             response = {
                 "jsonrpc": "2.0",
-                "id": msg_id,
+                "id": message.get("id"),
                 "error": {"code": -32603, "message": f"internal error: {e}"},
             }
         if response is not None:

@@ -159,11 +159,12 @@ class DenseRetriever:
                 # benchmarked config).
                 kernel = "int8"
             else:
-                # Small corpora: the turbo kernels emit at most 128
-                # candidates per 16,384-doc super (one per lane — docs
-                # with equal id mod 128 compete), so few-super indexes cap
-                # the dense arm's candidate diversity; serve the exact
-                # Pallas kernel instead.
+                # Small corpora: the turbo kernels emit at most 128*slots
+                # candidates per 16,384-doc super (256 under the default
+                # slots=2 top-2 fold — docs with equal id mod 128 compete
+                # for a lane's slots), so few-super indexes cap the dense
+                # arm's candidate diversity; serve the exact Pallas kernel
+                # instead.
                 kernel = "pallas"
         assert kernel in ("xla", "pallas", "fast", "int8"), kernel
         self.kernel = kernel

@@ -376,7 +376,10 @@ def dense_topk_fast(
     steps = (_SUPER_COLS // 128) // sub
     n_steps = doc_emb_t.shape[1] // block_c
     n_super = doc_emb_t.shape[1] // _SUPER_COLS
-    assert n_super * 128 >= k, "corpus too small for k candidates"
+    # clamp k to candidate capacity (128 per super) and pad the output
+    # columns back to the requested width — see dense_topk_fast_i8
+    k_req = k
+    k = min(k, n_super * 128)
     packed = pl.pallas_call(
         functools.partial(_turbo_kernel_f32, sub=sub, steps=steps),
         grid=(n_steps,),
@@ -422,7 +425,13 @@ def dense_topk_fast(
         ids = jnp.take_along_axis(ids, sel, axis=1)
         vals = jnp.take_along_axis(vals, sel, axis=1)
         valid = jnp.take_along_axis(valid, sel, axis=1)
-    return jnp.where(valid, vals, 0.0)[:b], jnp.where(valid, ids, -1)[:b]
+    out_vals = jnp.where(valid, vals, 0.0)[:b]
+    out_ids = jnp.where(valid, ids, -1)[:b]
+    if k < k_req:  # capacity-clamped: pad columns back to the requested k
+        pad_w = k_req - k
+        out_vals = jnp.pad(out_vals, ((0, 0), (0, pad_w)))
+        out_ids = jnp.pad(out_ids, ((0, 0), (0, pad_w)), constant_values=-1)
+    return out_vals, out_ids
 
 
 # ---------------------------------------------------------------------------
@@ -612,7 +621,12 @@ def dense_topk_fast_i8(
     n_steps = doc_emb_t.shape[1] // block_c
     n_super = doc_emb_t.shape[1] // _TURBO_UNIT
     lanes = 128 * slots  # packed output columns per super
-    assert n_super * lanes >= k, "corpus too small for k candidates"
+    # Candidate capacity is 128*slots per 16,384-doc super. A k beyond it
+    # (legal through the served surface: MCP clamps k at 1000, small
+    # corpora have few supers) clamps to capacity and pads the output
+    # columns with (0.0, -1) instead of crashing the serving path.
+    k_req = k
+    k = min(k, n_super * lanes)
     half = n_super * 128
     out_block = pl.BlockSpec(
         (b_pad, 128), lambda j: (0, j // (_SUPER // (block_c // 128))),
@@ -683,7 +697,13 @@ def dense_topk_fast_i8(
         ids = jnp.take_along_axis(ids, sel, axis=1)
         vals = jnp.take_along_axis(vals, sel, axis=1)
         valid = jnp.take_along_axis(valid, sel, axis=1)
-    return jnp.where(valid, vals, 0.0)[:b], jnp.where(valid, ids, -1)[:b]
+    out_vals = jnp.where(valid, vals, 0.0)[:b]
+    out_ids = jnp.where(valid, ids, -1)[:b]
+    if k < k_req:  # capacity-clamped: pad columns back to the requested k
+        pad_w = k_req - k
+        out_vals = jnp.pad(out_vals, ((0, 0), (0, pad_w)))
+        out_ids = jnp.pad(out_ids, ((0, 0), (0, pad_w)), constant_values=-1)
+    return out_vals, out_ids
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

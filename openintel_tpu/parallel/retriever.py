@@ -201,8 +201,8 @@ class ShardedHybridRetriever:
         if kernel is None:
             # same size-aware auto rule as models.retrievers.DenseRetriever:
             # int8 turbo + rescore at serving scale, exact pallas below it
-            # (the turbo candidate structure — one slot per (super, lane),
-            # 128 candidates per 16,384-doc super — caps candidate
+            # (the turbo candidate structure — 128*slots candidates per
+            # 16,384-doc super, top-`slots` per lane — caps candidate
             # diversity on small corpora)
             from openintel_tpu.models.retrievers import AUTO_PRUNE_DOCS
 

@@ -51,33 +51,29 @@ def _local_dense_topk(
     per-shard f32 rescore over ``rescore_local`` rows; also takes
     ``q_i8_local`` quantised queries). ``interpret`` runs the Pallas kernels
     in interpreter mode (hermetic CPU-mesh tests)."""
-    if kernel == "int8":
-        from openintel_tpu.ops.pallas.dense_topk import (
-            dense_topk_fast_i8,
-            exact_rescore,
-        )
+    if kernel == "xla":
+        return dense_topk_xla(emb_local, q_local, k, block_size)
+    # Delegate to THE single-chip dense-arm dispatch (models.retrievers.
+    # dense_arm_topk) so kernel/interpret/capacity handling cannot drift
+    # between the single-chip and sharded serving paths. For "int8" the
+    # rescore runs LOCALLY (ids are shard-local; rows are the local shard)
+    # so the all-gathered candidates already carry exact f32 scores.
+    from openintel_tpu.models.retrievers import dense_arm_topk
 
-        _, cids = dense_topk_fast_i8(
-            emb_local, q_i8_local, k=k, interpret=interpret,
-        )
-        # rescore LOCALLY (ids are shard-local; rows are the local shard) so
-        # the all-gathered candidates already carry exact f32 scores
-        return exact_rescore(rescore_local, q_local, cids, k)
-    if kernel == "pallas":
-        from openintel_tpu.ops.pallas.dense_topk import dense_topk_pallas
-
-        return dense_topk_pallas(emb_local, q_local, k=k, interpret=interpret)
-    if kernel == "pallas_fast":
-        from openintel_tpu.ops.pallas.dense_topk import dense_topk_fast
-
-        return dense_topk_fast(
-            emb_local,
-            q_local,
-            k=k,
-            block_c=_fast_block_c(emb_local.shape[1]),
-            interpret=interpret,
-        )
-    return dense_topk_xla(emb_local, q_local, k, block_size)
+    transposed = kernel in ("pallas_fast", "int8")
+    n_local = emb_local.shape[1] if transposed else emb_local.shape[0]
+    return dense_arm_topk(
+        "fast" if kernel == "pallas_fast" else kernel,
+        emb_local,
+        q_local,
+        k,
+        n_docs=n_local,
+        interpret=interpret,
+        block_c=_fast_block_c(n_local),
+        candidates=k if kernel == "int8" else None,
+        rescore_op=rescore_local,
+        q8=q_i8_local,
+    )
 
 
 def _fast_block_c(n_local: int) -> int:

@@ -242,3 +242,56 @@ def test_int8_multi_super_decode_and_slots():
     assert recalls[2] >= 0.9, recalls
     # doubling candidate slots never hurts candidate coverage
     assert recalls[2] >= recalls[1], recalls
+
+
+def test_turbo_kernels_clamp_k_beyond_candidate_capacity():
+    """k beyond the candidate capacity (128*slots per super) must serve —
+    clamped to capacity with (0.0, -1)-padded columns — not crash with an
+    AssertionError (review finding: reachable through MCP search_corpus at
+    legal k on few-super corpora)."""
+    import jax.numpy as jnp
+
+    from openintel_tpu.ops.pallas.dense_topk import (
+        dense_topk_fast,
+        dense_topk_fast_i8,
+        quantize_int8,
+    )
+
+    n, d, b = 600, 32, 3  # one 16,384-col super: cap 128 (f32) / 256 (i8x2)
+    emb = synthetic_embeddings(n, dim=d, seed=40)
+    q, _ = synthetic_query_embeddings(emb, b, seed=41)
+
+    vals, ids = dense_topk_fast(
+        jnp.asarray(emb.T), jnp.asarray(q), k=300, block_c=4096,
+        interpret=True,
+    )
+    ids = np.asarray(ids)
+    assert ids.shape == (b, 300)
+    assert (ids[:, 128:] == -1).all()  # beyond capacity: padded
+    real = ids[0][ids[0] >= 0]
+    assert len(real) == len(set(real)) and real.max() < n
+
+    vals8, ids8 = dense_topk_fast_i8(
+        jnp.asarray(quantize_int8(emb.T)), jnp.asarray(quantize_int8(q)),
+        k=300, block_c=4096, n_docs=n, interpret=True,
+    )
+    ids8 = np.asarray(ids8)
+    assert ids8.shape == (b, 300)
+    assert (ids8[:, 256:] == -1).all()
+    real8 = ids8[0][ids8[0] >= 0]
+    assert len(real8) == len(set(real8)) and real8.max() < n
+
+
+def test_hybrid_int8_serves_k_beyond_capacity():
+    """The served surface end-to-end: an int8 HybridRetriever on a
+    few-super corpus must answer k/candidates_per_arm beyond the turbo
+    slot capacity (the pre-fix crash repro)."""
+    from openintel_tpu.models.retrievers import HybridRetriever
+
+    texts = [f"alpha beta doc{i} gamma{i % 7}" for i in range(600)]
+    r = HybridRetriever.build(texts, kernel="int8", dim=64)
+    res = r.search(["alpha gamma3"], k=150, candidates_per_arm=300)
+    assert res.ids.shape == (1, 150)
+    real = res.ids[0][res.ids[0] >= 0]
+    assert len(real) == len(set(real))
+    assert (real < 600).all()
