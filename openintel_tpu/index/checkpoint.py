@@ -45,11 +45,20 @@ def _atomic_savez(target: Path, **arrays) -> None:
 def save_postings(index: PostingsIndex, path: str | Path) -> None:
     base = _base(path)
     base.parent.mkdir(parents=True, exist_ok=True)
-    # vocab sidecar FIRST, then the arrays atomically: a crash in between
-    # leaves the old npz paired with a new-but-consistent vocab rejected by
-    # the load-time size check below, never a silent mismatch
+    # A random pair token written into BOTH files makes the crash window
+    # detectable even when the stale pairing happens to agree on sizes: a
+    # crash between the two renames leaves the old npz (old/no token)
+    # beside the new sidecar (new token), rejected at load. Vocab sidecar
+    # FIRST, then the arrays atomically.
+    import secrets
+
+    pair_token = secrets.randbits(63)
     tmp_vocab = base.parent / (base.name + ".vocab.json.tmp")
-    tmp_vocab.write_text(json.dumps(index.vocab.token_to_id))
+    tmp_vocab.write_text(
+        json.dumps(
+            {"pair_token": pair_token, "token_to_id": index.vocab.token_to_id}
+        )
+    )
     tmp_vocab.rename(base.parent / (base.name + ".vocab.json"))
     _atomic_savez(
         base.parent / (base.name + ".npz"),
@@ -62,24 +71,36 @@ def save_postings(index: PostingsIndex, path: str | Path) -> None:
         doc_len=index.doc_len,
         meta=np.array([FORMAT_VERSION, index.n_docs], dtype=np.int64),
         stats=np.array([index.avgdl, index.config.k1, index.config.b], np.float64),
+        pair_token=np.array([pair_token], dtype=np.int64),
     )
 
 
-def load_postings(path: str | Path, *, mmap: bool = True) -> PostingsIndex:
+def load_postings(path: str | Path) -> PostingsIndex:
     base = _base(path)
     data = np.load(base.parent / (base.name + ".npz"))
     version, n_docs = (int(x) for x in np.asarray(data["meta"]))
     if version not in (1, FORMAT_VERSION):
         raise ValueError(f"unsupported index format version {version}")
     avgdl, k1, b = (float(x) for x in np.asarray(data["stats"]))
-    vocab = Vocab(
-        token_to_id={
-            k: int(v)
-            for k, v in json.loads(
-                (base.parent / (base.name + ".vocab.json")).read_text()
-            ).items()
-        }
+    sidecar = json.loads(
+        (base.parent / (base.name + ".vocab.json")).read_text()
     )
+    if "token_to_id" in sidecar:  # paired format (tokens are alnum-only, so
+        # the wrapper key can never collide with a real vocabulary term)
+        npz_token = (
+            int(np.asarray(data["pair_token"])[0])
+            if "pair_token" in data
+            else None
+        )
+        if npz_token != int(sidecar["pair_token"]):
+            raise ValueError(
+                "vocab sidecar and postings arrays carry different pair "
+                "tokens — interrupted save left a stale checkpoint pair"
+            )
+        raw_vocab = sidecar["token_to_id"]
+    else:  # legacy flat sidecar (pre-pair-token): size check only
+        raw_vocab = sidecar
+    vocab = Vocab(token_to_id={k: int(v) for k, v in raw_vocab.items()})
     if vocab.size != int(data["df"].shape[0]):
         raise ValueError(
             f"vocab sidecar ({vocab.size} slots) does not match the postings "

@@ -83,11 +83,23 @@ def build_index_checkpointed(
             "checkpoint dir belongs to a different corpus/chunking"
         )
         # a resume with a different embedder would silently mix embedding
-        # spaces across chunks — refuse
-        assert meta.get("embedder", emb_id) == emb_id, (
-            f"checkpoint dir was built with embedder {meta.get('embedder')!r}, "
-            f"resume requested {emb_id!r}"
-        )
+        # spaces across chunks — refuse. A legacy meta.json without the
+        # key predates embedder tracking: its chunks' embedding state is
+        # unverifiable, so only an embedder-less resume may proceed (a
+        # defaulted comparison would pass vacuously and mix chunks with
+        # and without embeddings).
+        stored = meta.get("embedder")
+        if stored is None and emb_id != "none":
+            raise RuntimeError(
+                f"checkpoint dir {ckpt_dir} predates embedder tracking; "
+                f"cannot verify its chunks against embedder {emb_id!r} — "
+                "rebuild into a fresh directory"
+            )
+        if stored is not None and stored != emb_id:
+            raise RuntimeError(
+                f"checkpoint dir was built with embedder {stored!r}, "
+                f"resume requested {emb_id!r}"
+            )
     else:
         meta_p.write_text(
             json.dumps(
@@ -236,7 +248,14 @@ def merge_chunks(
         config=config,
     )
     dense = None
-    if n_chunks and "embeddings" in chunks[0]:
+    have_emb = [bool("embeddings" in c) for c in chunks]
+    if any(have_emb) and not all(have_emb):
+        missing = [i for i, h in enumerate(have_emb) if not h]
+        raise RuntimeError(
+            "checkpoint chunks disagree on embeddings (missing in chunks "
+            f"{missing}) — mixed-resume artifact; rebuild those chunks"
+        )
+    if n_chunks and all(have_emb):
         emb = np.concatenate([c["embeddings"] for c in chunks])
         dense = DenseIndex.from_embeddings(emb)
     return postings, dense

@@ -44,15 +44,14 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     if not _SO.exists():
         return None
-    # A stale prebuilt .so (compiled before a source file was added) would
-    # miss symbols and crash every caller at bind time — rebuild it when any
-    # source is newer; if the toolchain is unavailable, fall back to Python.
-    stale = any(_SO.stat().st_mtime < s.stat().st_mtime for s in _SRCS)
-    if stale:
-        try:
-            build()
-        except (OSError, subprocess.CalledProcessError):
-            return None
+    # NEVER compile here: _load() runs from import side effects and lazy
+    # serving paths, and a surprise multi-second g++ run (or a crash on
+    # toolchain-less hosts) inside a serving request is worse than the
+    # Python fallback. A stale .so missing newly-added symbols fails the
+    # _bind below and degrades to Python; a stale .so whose symbols all
+    # resolve keeps serving its (older) semantics until an explicit
+    # build() — tests assert native/Python parity, so a semantic drift
+    # shows up there.
     try:
         lib = _bind(ctypes.CDLL(str(_SO)))
     except (AttributeError, OSError):
@@ -114,7 +113,9 @@ def native_build_postings(texts: Sequence[str]):
         return None
     n = len(texts)
     offs = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum([len(t.encode("ascii")) for t in texts], out=offs[1:])
+    # the joined encode above proved every text pure-ASCII, so char length
+    # == byte length — no second full-corpus encode pass on the hot path
+    np.cumsum([len(t) for t in texts], out=offs[1:])
     handle = lib.postings_build(
         joined, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n
     )

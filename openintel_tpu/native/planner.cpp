@@ -85,10 +85,15 @@ int64_t plan_build_range(const int64_t* term_offsets, const int32_t* doc_ids,
     row.clear();
     multi_sorted.clear();
 
+    // Per-query prune flag, matching the NumPy reference exactly: any term
+    // whose df exceeds max_m trips pruning for the whole query. max_m == 0
+    // is a LEGAL budget (each term contributes only forced multi-term
+    // docs), not a disable switch — the native path is only taken when
+    // pruning is requested (ops/bm25.py routes None elsewhere).
     bool prune = false;
     for (size_t j = 0; j < nt; ++j) {
       int64_t df = term_offsets[terms[j] + 1] - term_offsets[terms[j]];
-      if (max_m > 0 && df > max_m) prune = true;
+      if (df > max_m) prune = true;
     }
 
     if (prune && nt > 1 && multi_budget > 0) {
@@ -164,7 +169,7 @@ int64_t plan_build_range(const int64_t* term_offsets, const int32_t* doc_ids,
       const int64_t lo = term_offsets[t], hi = term_offsets[t + 1];
       const float w = idf[t] * static_cast<float>(qtf[j]);
       const int64_t df = hi - lo;
-      if (!prune || max_m <= 0 || df <= max_m) {
+      if (!prune || df <= max_m) {
         for (int64_t p = lo; p < hi; ++p)
           row.emplace_back(doc_ids[p], impact[p] * w);
         continue;

@@ -98,21 +98,41 @@ class BatchCoalescer:
         return req.result  # type: ignore[return-value]
 
     def _take_wave_locked(self) -> list[_Pending]:
-        wave, self._queue = self._queue, []
-        self._queued = 0
-        self._flusher = None
+        """Pop queued requests up to ``max_batch`` queries — never more
+        (the device batch bound the serving config provisioned; an
+        oversize fused wave would hit a fresh jit bucket). Requests are
+        never split; each queued request is < max_batch by construction.
+        A remainder stays queued for the armed flusher."""
+        wave: list[_Pending] = []
+        n = 0
+        while self._queue:
+            nxt = len(self._queue[0].queries)
+            if wave and n + nxt > self.max_batch:
+                break
+            r = self._queue.pop(0)
+            wave.append(r)
+            n += nxt
+        self._queued -= n
+        if not self._queue:
+            self._flusher = None  # nothing left: cancel any armed flusher
         return wave
 
     def _flush_after_wait(self) -> None:
         import time
 
         time.sleep(self.max_wait)
-        with self._lock:
-            if threading.current_thread() is not self._flusher:
-                return  # a full wave already flushed and replaced us
-            wave = self._take_wave_locked()
-        if wave:
-            self._run_wave(wave)
+        while True:
+            with self._lock:
+                if threading.current_thread() is not self._flusher:
+                    return  # a full wave already flushed and replaced us
+                wave = self._take_wave_locked()
+                more = bool(self._queue)
+                if not more:
+                    self._flusher = None
+            if wave:
+                self._run_wave(wave)
+            if not more:
+                return
 
     def _run_wave(self, wave: list[_Pending]) -> None:
         all_q = [q for r in wave for q in r.queries]

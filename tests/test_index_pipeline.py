@@ -131,3 +131,68 @@ def test_consumer_exception_unblocks_producer(tmp_path):
             break
         time.sleep(0.1)
     assert threading.active_count() <= before
+
+
+def test_embedder_resume_guards(tmp_path):
+    """Resuming with a different embedder config must refuse loudly — a
+    defaulted meta comparison would pass vacuously and silently mix chunks
+    with and without embeddings (review finding)."""
+    import json
+
+    import numpy as np
+    import pytest
+
+    from openintel_tpu.index.pipeline import build_index_checkpointed
+
+    texts = [f"alpha doc{i}" for i in range(30)]
+
+    def embedder(ts):
+        return np.ones((len(ts), 8), np.float32)
+
+    embedder.dim = 8
+
+    # built WITHOUT an embedder -> resume WITH one refuses
+    d1 = tmp_path / "no_emb"
+    build_index_checkpointed(texts, d1, chunk_docs=10)
+    with pytest.raises(RuntimeError, match="embedder"):
+        build_index_checkpointed(texts, d1, chunk_docs=10, embedder=embedder)
+
+    # legacy meta.json without the embedder key: unverifiable -> refuse
+    # when an embedder is requested, allow embedder-less resume
+    d2 = tmp_path / "legacy"
+    build_index_checkpointed(texts, d2, chunk_docs=10)
+    meta = json.loads((d2 / "meta.json").read_text())
+    del meta["embedder"]
+    (d2 / "meta.json").write_text(json.dumps(meta))
+    with pytest.raises(RuntimeError, match="predates embedder tracking"):
+        build_index_checkpointed(texts, d2, chunk_docs=10, embedder=embedder)
+    build_index_checkpointed(texts, d2, chunk_docs=10)  # no embedder: fine
+
+
+def test_merge_rejects_mixed_embedding_chunks(tmp_path):
+    """merge_chunks must not silently drop (or crash on) a mix of chunks
+    with and without embeddings."""
+    import numpy as np
+    import pytest
+
+    from openintel_tpu.index.pipeline import (
+        _chunk_path,
+        build_index_checkpointed,
+        merge_chunks,
+    )
+
+    texts = [f"beta doc{i}" for i in range(30)]
+
+    def embedder(ts):
+        return np.ones((len(ts), 8), np.float32)
+
+    embedder.dim = 8
+    d = tmp_path / "mixed"
+    build_index_checkpointed(texts, d, chunk_docs=10, embedder=embedder)
+    # strip embeddings from chunk 1 (simulating a legacy/mixed dir)
+    p = _chunk_path(d, 1)
+    old = dict(np.load(p, allow_pickle=False))
+    del old["embeddings"]
+    np.savez(p, **old)
+    with pytest.raises(RuntimeError, match="disagree on embeddings"):
+        merge_chunks(d, 3)

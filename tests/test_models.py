@@ -213,3 +213,35 @@ def test_auto_pruning_preserves_topk(monkeypatch):
             if i >= 0 and v > boundary + tol
         }
         assert must <= {int(i) for i in got.ids[b]}
+
+
+def test_postings_checkpoint_pair_token_detects_stale_pair(tmp_path):
+    """A crash between the vocab-sidecar rename and the npz rename leaves a
+    new sidecar beside old arrays; when term counts happen to match, the
+    size check alone passes — the pair token must reject it (review
+    finding). Legacy flat sidecars (no token) still load."""
+    import json
+    import shutil
+
+    import pytest
+
+    from openintel_tpu.index.build import build_postings_index
+    from openintel_tpu.index.checkpoint import load_postings, save_postings
+
+    # two corpora with the SAME unique-term count but different postings
+    a = build_postings_index([f"alpha{i} beta{i}" for i in range(20)])
+    b = build_postings_index([f"gamma{i} delta{i}" for i in range(20)])
+    save_postings(a, tmp_path / "a.npz")
+    save_postings(b, tmp_path / "b.npz")
+    assert a.vocab.size == b.vocab.size
+    # crash window: b's (new) sidecar beside a's (old) arrays
+    shutil.copy(tmp_path / "b.vocab.json", tmp_path / "a.vocab.json")
+    with pytest.raises(ValueError, match="pair token"):
+        load_postings(tmp_path / "a.npz")
+
+    # legacy flat sidecar still loads (pre-pair-token checkpoints)
+    save_postings(a, tmp_path / "c.npz")
+    side = json.loads((tmp_path / "c.vocab.json").read_text())
+    (tmp_path / "c.vocab.json").write_text(json.dumps(side["token_to_id"]))
+    loaded = load_postings(tmp_path / "c.npz")
+    assert loaded.vocab.size == a.vocab.size

@@ -124,3 +124,30 @@ def test_stale_or_broken_library_degrades_to_python(monkeypatch):
     assert native._load() is None
     # and the query-plan builder falls back to the NumPy path
     assert native.native_build_query_plan(None, [], 8, 8) is None
+
+
+def test_native_plan_zero_budget_matches_reference():
+    """max_postings_per_term=0 is a legal budget (terms contribute only
+    forced multi-term docs), not a disable switch — the native planner must
+    produce the identical candidate set to the NumPy reference (review
+    finding: the C++ path previously emitted FULL postings at max_m=0)."""
+    from openintel_tpu.index.build import build_postings_index
+    from openintel_tpu.ops.bm25 import build_query_plan, encode_query
+
+    texts = [
+        f"alpha beta gamma doc{i} " + ("common " * 3) for i in range(40)
+    ]
+    idx = build_postings_index(texts)
+    qs = [encode_query(idx, "alpha common gamma"), encode_query(idx, "beta")]
+    plans = {}
+    for use_native in (True, False):
+        p = build_query_plan(
+            idx, qs, max_postings_per_term=0, multi_budget=8,
+            use_native=use_native,
+        )
+        rows = []
+        for r_ids, r_w in zip(p.doc_ids, p.weights):
+            real = r_ids < idx.n_docs
+            rows.append(sorted(zip(r_ids[real].tolist(), r_w[real].tolist())))
+        plans[use_native] = rows
+    assert plans[True] == plans[False]

@@ -121,3 +121,40 @@ def test_end_to_end_with_real_retriever():
     )
     res = co.search(["quick fox"], k=2)
     assert res.ids[0, 0] == 0
+
+
+def test_fused_waves_never_exceed_max_batch():
+    """Two concurrent 200-query callers at max_batch=256 must fuse into
+    waves of <= 256 queries — an oversize wave would hit a jit batch
+    bucket the serving config never provisioned (review finding: the old
+    take-the-whole-queue flush could run up to ~2x max_batch)."""
+    import threading
+
+    import numpy as np
+
+    from openintel_tpu.models.retrievers import SearchResult
+    from openintel_tpu.serving import BatchCoalescer
+
+    sizes = []
+
+    def fake_search(queries, k=10):
+        sizes.append(len(queries))
+        n = len(queries)
+        return SearchResult(
+            ids=np.zeros((n, k), np.int32), scores=np.zeros((n, k), np.float32)
+        )
+
+    co = BatchCoalescer(fake_search, max_batch=256, max_wait_ms=30.0)
+    results = [None, None]
+
+    def call(i):
+        results[i] = co.search([f"q{i}-{j}" for j in range(200)], k=5)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r is not None and r.ids.shape == (200, 5) for r in results)
+    assert sum(sizes) == 400
+    assert max(sizes) <= 256, sizes
