@@ -225,16 +225,19 @@ class NeuralEmbedder:
         rows = []
         for t in texts:
             toks = tokenize(t)[: self.cfg.max_len]
-            # stable hash (Python's hash() is per-process salted)
+            # stable hash (Python's hash() is per-process salted) into
+            # [2, vocab_size-1]: id 0 is padding, id 1 is the reranker's
+            # reserved [SEP] — a real token hashing to 1 would present
+            # phantom segment boundaries in concatenated pairs
             rows.append(
                 [
-                    (zlib.crc32(w.encode()) % (self.cfg.vocab_size - 1)) + 1
+                    (zlib.crc32(w.encode()) % (self.cfg.vocab_size - 2)) + 2
                     for w in toks
                 ]
                 or [0]
             )
         width = 8
-        while width < max(len(r) for r in rows):
+        while width < max((len(r) for r in rows), default=1):
             width *= 2
         width = min(width, self.cfg.max_len)
         ids = np.zeros((len(rows), width), np.int32)

@@ -80,8 +80,17 @@ def evaluate_retriever(
     for lo in range(0, len(qrels), batch):
         chunk = qrels[lo : lo + batch]
         queries = [q for q, _ in chunk]
-        if hasattr(retriever, "bm25"):  # HybridRetriever
-            res = retriever.search(queries, k=k, candidates_per_arm=2 * k)
+        if hasattr(retriever, "bm25"):  # HybridRetriever: dispatch by mode
+            # (its search() has no mode kwarg — running hybrid and labeling
+            # it with the requested mode would silently misreport metrics)
+            if mode == "bm25":
+                res = retriever.bm25.search(queries, k=k)
+            elif mode == "dense":
+                res = retriever.dense.search(queries, k=k)
+            else:
+                res = retriever.search(
+                    queries, k=k, candidates_per_arm=2 * k
+                )
         else:
             # Detect kwarg support statically (a TypeError raised INSIDE a
             # mode-aware search must propagate, not silently re-run with
@@ -132,16 +141,15 @@ def evaluate_corpus(
     dim: int = 384,
 ) -> list[EvalResult]:
     """Build in-memory retrievers over ``texts`` and evaluate each mode."""
-    from openintel_tpu.models.retrievers import (
-        BM25Retriever,
-        DenseRetriever,
-        HybridRetriever,
-    )
+    from openintel_tpu.models.retrievers import HybridRetriever
 
     hybrid = HybridRetriever.build(texts, embedder=embedder, dim=dim)
+    # reuse the hybrid's own arms: constructing fresh retrievers over the
+    # same indexes would repeat the corpus quantise/transpose/upload and
+    # hold a second full device copy for the whole eval
     by_mode = {
-        "bm25": BM25Retriever(hybrid.bm25.index),
-        "dense": DenseRetriever(hybrid.dense.index, hybrid.dense.embedder),
+        "bm25": hybrid.bm25,
+        "dense": hybrid.dense,
         "hybrid": hybrid,
     }
     return [

@@ -30,6 +30,8 @@ from openintel_tpu.models.encoder import (
 )
 
 SEP_ID = 1  # reserved separator token between query and doc segments
+# (NeuralEmbedder.tokenize hashes real tokens into [2, vocab-1], so id 1
+# can only ever mean the segment boundary)
 
 
 def init_rerank_head(key: jax.Array, cfg: EncoderConfig) -> dict:
@@ -89,7 +91,7 @@ class CrossEncoderReranker:
                 d_row = list(d_ids[0][d_mask[0]][: max_len - len(q_row) - 1])
                 rows.append(q_row + [SEP_ID] + d_row)
         width = 8
-        while width < max(len(r) for r in rows):
+        while width < max((len(r) for r in rows), default=1):
             width *= 2
         width = min(width, max_len)
         ids = np.zeros((len(rows), width), np.int32)
@@ -111,9 +113,32 @@ class CrossEncoderReranker:
         descending; -1-padded slots stay at the tail."""
         b = len(queries)
         k = candidate_ids.shape[1]
+        counts = [len(c) for c in candidate_texts]
         ids_m, mask_m = self.encode_pairs(queries, candidate_texts)
-        s = np.asarray(self._score(self.params, self.head, ids_m, mask_m))
-        s = s.reshape(b, k)
+        flat = np.asarray(self._score(self.params, self.head, ids_m, mask_m))
+        if all(c == k for c in counts):
+            s = flat.reshape(b, k)
+        else:
+            # ragged rows: each row's texts must correspond one-to-one to
+            # its leading real (non -1) candidates — a silent reshape here
+            # would misassign scores across queries (review finding)
+            real = (np.asarray(candidate_ids) >= 0).sum(axis=1)
+            bad = [
+                i for i, (c, r) in enumerate(zip(counts, real)) if c != r
+            ]
+            if bad:
+                raise ValueError(
+                    f"candidate_texts rows {bad} have "
+                    f"{[counts[i] for i in bad]} texts but "
+                    f"{[int(real[i]) for i in bad]} real candidate ids — "
+                    f"pass either k={k} texts per row or exactly one per "
+                    "real id"
+                )
+            s = np.full((b, k), -np.inf, flat.dtype)
+            lo = 0
+            for i, c in enumerate(counts):
+                s[i, :c] = flat[lo : lo + c]
+                lo += c
         s = np.where(candidate_ids >= 0, s, -np.inf)  # padding stays last
         order = np.argsort(-s, axis=1, kind="stable")
         out_ids = np.take_along_axis(candidate_ids, order, axis=1)

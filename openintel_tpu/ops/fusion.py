@@ -54,6 +54,15 @@ def rrf_fuse_device(
     # Deterministic sort: primary key -fused, secondary key doc id (ascending).
     neg, ids_sorted = jax.lax.sort((-fused, cand), num_keys=2, dimension=1)
     fused_sorted = -neg
+    if c < k:  # fewer candidates than requested: pad columns to the
+        # reference's (B, k) contract instead of returning a short array
+        # (a short array crashes run_prepared's reshape downstream)
+        fused_sorted = jnp.pad(
+            fused_sorted, ((0, 0), (0, k - c)), constant_values=-jnp.inf
+        )
+        ids_sorted = jnp.pad(
+            ids_sorted, ((0, 0), (0, k - c)), constant_values=-1
+        )
     vals = fused_sorted[:, :k]
     ids = ids_sorted[:, :k]
     invalid = vals == NEG_INF

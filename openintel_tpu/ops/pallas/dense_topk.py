@@ -225,7 +225,12 @@ def dense_topk_pallas(
         ],
         interpret=interpret,
     )(queries, doc_emb)
-    return out_vals[:b], out_ids[:b]
+    # k > n_docs leaves unfilled slots holding the kernel's -inf seeds;
+    # mask them to the (0.0, -1) padding contract every sibling kernel
+    # returns (a leaked -inf poisons downstream arithmetic/serialization)
+    vals, ids = out_vals[:b], out_ids[:b]
+    unfilled = ids < 0
+    return jnp.where(unfilled, 0.0, vals), jnp.where(unfilled, -1, ids)
 
 
 # ---------------------------------------------------------------------------
@@ -402,13 +407,19 @@ def dense_topk_fast(
     # zero-padding packs to score 0 and can occupy candidate slots,
     # shadowing NEGATIVE-scored real docs. For small corpora (where an
     # all-negative top-k is plausible and the extra approx width is free) we
-    # over-fetch those slots and compact after the id filter; at production
-    # scale the top-k of a real workload is positive and the over-fetch
-    # measurably costs ~3 ms/batch, so the shadowing caveat is documented
-    # instead.
+    # over-fetch those 128 slots and compact after the id filter; at
+    # production scale the top-k of a real workload is positive and a
+    # 128-slot over-fetch measurably costs ~3 ms/batch, so the shadowing
+    # caveat is documented instead — only the cheap 32-slot bucket-loss
+    # margin below stays always-on.
     padded = doc_emb_t.shape[1] != n_docs
     pad_slots = 128 if (padded and n_docs <= 262_144) else 0
-    k_fetch = min(k + pad_slots, n_super * 128)
+    # over-fetch 32 slots beyond k and exact-select, mirroring the int8
+    # kernel: approx_max_k keeps per-bucket maxima over CONTIGUOUS column
+    # buckets a few hundred wide, so at k_fetch == k a true top-k key
+    # sharing a bucket with one higher key is silently lost (~1/512
+    # queries measured at c=32 on the i8 path)
+    k_fetch = min(k + max(pad_slots, 32), n_super * 128)
     gf = jax.lax.bitcast_convert_type(packed, jnp.float32)
     fv, pcols = jax.lax.approx_max_k(gf, k_fetch, recall_target=0.99)
     pvals = jax.lax.bitcast_convert_type(fv, jnp.int32)

@@ -53,3 +53,36 @@ def test_device_handles_padding_ids():
     vals = np.asarray(vals)[0]
     assert ids[0] == 4 and vals[0] > 0
     assert (ids[1:] == -1).all() and (vals[1:] == 0).all()
+
+
+def test_rrf_pads_when_k_exceeds_candidate_pool():
+    """k > Ka+Kb must return the reference's -1-padded (B, k) contract — a
+    short array crashes run_prepared's reshape downstream (review
+    finding)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from openintel_tpu.ops.fusion import rrf_fuse_device
+
+    a = jnp.asarray([[3, 1], [0, -1]], jnp.int32)
+    b = jnp.asarray([[1, 2], [-1, -1]], jnp.int32)
+    vals, ids = rrf_fuse_device(a, b, k=7)
+    assert np.asarray(ids).shape == (2, 7)
+    row0 = list(np.asarray(ids)[0])
+    assert row0[:3] and set(row0[:3]) == {1, 2, 3}
+    assert row0[3:] == [-1] * 4
+    assert list(np.asarray(ids)[1][1:]) == [-1] * 6
+    assert (np.asarray(vals)[np.asarray(ids) == -1] == 0.0).all()
+
+
+def test_hybrid_serves_candidates_smaller_than_half_k():
+    """End-to-end: candidates_per_arm with 2*c < k must serve, -1 padded
+    (the pre-fix crash repro: reshape of a short fused array)."""
+    from openintel_tpu.models.retrievers import HybridRetriever
+
+    texts = [f"word{i} alpha common" for i in range(50)]
+    r = HybridRetriever.build(texts)
+    res = r.search(["alpha common"], k=10, candidates_per_arm=4)
+    assert res.ids.shape == (1, 10)
+    real = res.ids[0][res.ids[0] >= 0]
+    assert 1 <= len(real) <= 8
