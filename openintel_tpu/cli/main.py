@@ -353,10 +353,23 @@ def run_pulse(args) -> tuple[str, int]:
     return render.render_pulse_table(report, now), 0
 
 
+def _wire_bars(offline: bool):
+    """Bar source only — the risk calculator is purely market-data driven,
+    so it must not pay for (or degrade on) keychain/credential loading and
+    social-source construction it never uses."""
+    if offline:
+        from openintel_tpu.sources.yahoo import FixtureBars
+
+        return FixtureBars()
+    from openintel_tpu.sources.yahoo import YahooMarketSource
+
+    return YahooMarketSource()
+
+
 def run_risk(args) -> tuple[str, int]:
     from openintel_tpu.application.risk import risk_frame, risk_screen
 
-    _, _, bars, _ = _wire(args.offline)
+    bars = _wire_bars(args.offline)
     now = dt.datetime.now(dt.timezone.utc)
     if len(args.ticker) == 1:
         try:
@@ -545,11 +558,19 @@ def run_search(args) -> tuple[str, int]:
         from openintel_tpu.models.train import load_embedder
 
         embedder = load_embedder(args.encoder)
-    err = check_index_meta(args.index, getattr(args, "encoder", None), embedder)
-    if err:
-        return err, 1
+    # BM25-only single-chip search never touches the dense arm: skip the
+    # encoder requirement and the (potentially multi-GB) dense checkpoint
+    # load entirely. The --mesh path still needs both (the sharded
+    # component serves all modes from one composition).
+    bm25_only = args.mode == "bm25" and not getattr(args, "mesh", None)
+    if not bm25_only:
+        err = check_index_meta(
+            args.index, getattr(args, "encoder", None), embedder
+        )
+        if err:
+            return err, 1
     postings = load_postings(f"{args.index}.postings.npz")
-    dense = load_dense(f"{args.index}.dense.npz")
+    dense = load_dense(f"{args.index}.dense.npz") if not bm25_only else None
     docs_path = Path(f"{args.index}.docs.txt")
     docs = docs_path.read_text().splitlines() if docs_path.exists() else None
 
@@ -586,20 +607,12 @@ def run_search(args) -> tuple[str, int]:
     if getattr(args, "rerank", None):
         if docs is None:
             return "error: --rerank needs the index's .docs.txt sidecar", 1
-        from openintel_tpu.models.reranker import load_reranker
+        from openintel_tpu.models.reranker import (
+            load_reranker,
+            rerank_search_result,
+        )
 
-        rr = load_reranker(args.rerank)
-        cand_texts = [
-            [
-                docs[int(d)] if 0 <= d < len(docs) else ""
-                for d in res.ids[i]
-            ]
-            for i in range(len(queries))
-        ]
-        scores, ids = rr.rerank(queries, cand_texts, res.ids)
-        from openintel_tpu.models.retrievers import SearchResult
-
-        res = SearchResult(ids=ids, scores=scores)
+        res = rerank_search_result(load_reranker(args.rerank), queries, res, docs)
 
     if args.format == "json":
         payload = [
@@ -919,7 +932,9 @@ def _dispatch(args) -> int:
                 mesh=getattr(args, "mesh", None),
                 kernel=kernel_from_flag(getattr(args, "kernel", "auto")),
             )
-        except RuntimeError as e:  # composition errors (e.g. index/encoder mismatch)
+        except (RuntimeError, ValueError) as e:
+            # composition errors: index/encoder mismatch (RuntimeError),
+            # --mesh device-count / checkpoint-pair mismatch (ValueError)
             print(f"error: {e}", file=sys.stderr)
             return 1
         return 0

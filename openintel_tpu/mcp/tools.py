@@ -242,14 +242,9 @@ def run_search_corpus(
         res = retriever.search(queries, k=k, candidates_per_arm=2 * k)
     reranked = False
     if reranker is not None and docs is not None:
-        cand_texts = [
-            [docs[int(d)] if 0 <= d < len(docs) else "" for d in res.ids[i]]
-            for i in range(len(queries))
-        ]
-        scores, ids = reranker.rerank(queries, cand_texts, res.ids)
-        from openintel_tpu.models.retrievers import SearchResult
+        from openintel_tpu.models.reranker import rerank_search_result
 
-        res = SearchResult(ids=ids, scores=scores)
+        res = rerank_search_result(reranker, queries, res, docs)
         reranked = True
     results = []
     for i, q in enumerate(queries):

@@ -146,6 +146,21 @@ class CrossEncoderReranker:
         return np.where(np.isfinite(out_s), out_s, 0.0), out_ids
 
 
+def rerank_search_result(rr, queries: Sequence[str], res, docs: Sequence[str]):
+    """Second-stage rerank of a first-stage SearchResult against the docs
+    sidecar — the one shared implementation behind CLI ``search --rerank``
+    and MCP ``search_corpus`` (duplicating the candidate-text gathering in
+    each surface let them drift)."""
+    from openintel_tpu.models.retrievers import SearchResult
+
+    cand_texts = [
+        [docs[int(d)] if 0 <= d < len(docs) else "" for d in res.ids[i]]
+        for i in range(len(queries))
+    ]
+    scores, ids = rr.rerank(queries, cand_texts, res.ids)
+    return SearchResult(ids=ids, scores=scores)
+
+
 def save_reranker(rr: CrossEncoderReranker, ckpt_dir) -> None:
     from pathlib import Path
 

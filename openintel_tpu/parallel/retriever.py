@@ -193,10 +193,13 @@ class ShardedHybridRetriever:
         self.data_size = int(self.mesh.shape[DATA_AXIS])
         self.postings = postings
         self.n_docs = int(dense.n_docs)
-        assert postings.n_docs == dense.n_docs, (
-            f"postings ({postings.n_docs} docs) and dense index "
-            f"({dense.n_docs} docs) disagree — mismatched checkpoint pair"
-        )
+        # ValueError (not assert): this is a user-input failure surfaced
+        # through CLI/MCP error handlers, and must not vanish under -O
+        if postings.n_docs != dense.n_docs:
+            raise ValueError(
+                f"postings ({postings.n_docs} docs) and dense index "
+                f"({dense.n_docs} docs) disagree — mismatched checkpoint pair"
+            )
         self.embedder = embedder or HashingEmbedder(dim=dense.dim)
         if kernel is None:
             # same size-aware auto rule as models.retrievers.DenseRetriever:
@@ -212,7 +215,11 @@ class ShardedHybridRetriever:
                 kernel = "int8"
             else:
                 kernel = "pallas"
-        assert kernel in ("xla", "pallas", "pallas_fast", "int8"), kernel
+        if kernel not in ("xla", "pallas", "pallas_fast", "int8"):
+            raise ValueError(
+                f"unknown kernel {kernel!r} (expected xla | pallas | "
+                "pallas_fast | int8)"
+            )
         self.kernel = kernel
         self.rrf_k = rrf_k
         self.block_size = block_size
@@ -389,6 +396,7 @@ class ShardedHybridRetriever:
                 presorted=meta.presorted, max_run=meta.max_terms,
                 interpret=self.interpret,
                 rescore=self._rescore, queries_i8=q8s,
+                n_docs_true=self.n_docs,
             )
             return self._postprocess(
                 np.asarray(vals).reshape(nb * db, k),
@@ -397,18 +405,35 @@ class ShardedHybridRetriever:
             )
 
         if mode == "dense":
-            vals, ids = sharded_dense_topk(
-                self.mesh, self._emb, q, k,
-                block_size=self.block_size, kernel=self.kernel,
-                interpret=self.interpret,
-                rescore=self._rescore, queries_i8=q8,
-            )
+            # bounded sub-batches: one jitted program per db-sized chunk
+            # (a single giant dispatch would spike the b x shard_size score
+            # working set and compile a fresh program per total batch size)
+            outs = [
+                sharded_dense_topk(
+                    self.mesh, self._emb, q[lo : lo + db], k,
+                    block_size=self.block_size, kernel=self.kernel,
+                    interpret=self.interpret,
+                    rescore=self._rescore,
+                    queries_i8=q8[lo : lo + db] if q8 is not None else None,
+                    n_docs_true=self.n_docs,
+                )
+                for lo in range(0, nb * db, db)
+            ]
+            vals = np.concatenate([np.asarray(v) for v, _ in outs])
+            ids = np.concatenate([np.asarray(i) for _, i in outs])
         elif mode == "bm25":
-            vals, ids = sharded_bm25_topk(
-                self.mesh, jnp.asarray(pdi), jnp.asarray(pw),
-                self.shard_size, k,
-                presorted=meta.presorted, max_run=meta.max_terms,
-            )
+            pdi_d, pw_d = jnp.asarray(pdi), jnp.asarray(pw)
+            outs = [
+                sharded_bm25_topk(
+                    self.mesh,
+                    pdi_d[:, lo : lo + db], pw_d[:, lo : lo + db],
+                    self.shard_size, k,
+                    presorted=meta.presorted, max_run=meta.max_terms,
+                )
+                for lo in range(0, nb * db, db)
+            ]
+            vals = np.concatenate([np.asarray(v) for v, _ in outs])
+            ids = np.concatenate([np.asarray(i) for _, i in outs])
         else:
             vals, ids = sharded_hybrid_topk(
                 self.mesh, self._emb, q, jnp.asarray(pdi), jnp.asarray(pw), k,
@@ -417,5 +442,6 @@ class ShardedHybridRetriever:
                 presorted=meta.presorted, max_run=meta.max_terms,
                 interpret=self.interpret,
                 rescore=self._rescore, queries_i8=q8,
+                n_docs_true=self.n_docs,
             )
         return self._postprocess(vals, ids, b, k)

@@ -43,7 +43,7 @@ def _merge_gathered(vals_g: jax.Array, ids_g: jax.Array, k: int):
 
 def _local_dense_topk(
     emb_local, q_local, k, kernel, block_size, interpret=False,
-    rescore_local=None, q_i8_local=None,
+    rescore_local=None, q_i8_local=None, candidates=None,
 ):
     """Per-shard dense arm. ``kernel``: "xla" (portable), "pallas" (exact
     fused top-k), "pallas_fast" (bf16 candidate-emission kernel; takes the
@@ -70,7 +70,10 @@ def _local_dense_topk(
         n_docs=n_local,
         interpret=interpret,
         block_c=_fast_block_c(n_local),
-        candidates=k if kernel == "int8" else None,
+        # None -> single-chip default int8 over-fetch (min(max(2k,32),n));
+        # the hybrid program passes candidates=c to match the single-chip
+        # fused hybrid exactly
+        candidates=candidates if kernel == "int8" else None,
         rescore_op=rescore_local,
         q8=q_i8_local,
     )
@@ -112,8 +115,15 @@ def sharded_dense_topk(
     interpret: bool = False,
     rescore: Optional[jax.Array] = None,  # (N, D) rows, kernel="int8"
     queries_i8: Optional[jax.Array] = None,  # (B, D) int8, kernel="int8"
+    n_docs_true: Optional[int] = None,  # pre-padding corpus size
 ) -> tuple[jax.Array, jax.Array]:
-    """Dense cosine top-k over a corpus sharded across the mesh."""
+    """Dense cosine top-k over a corpus sharded across the mesh.
+
+    ``n_docs_true`` is the PRE-padding corpus size: shard-even padding rows
+    (zero embeddings, cosine 0.0) would otherwise outrank real docs with
+    negative scores and displace them from the per-shard top-k — the
+    single-chip kernels mask these via their own ``n_docs`` argument, and
+    the sharded program must match (single-chip parity)."""
     n_docs = _dense_n_docs(doc_emb, kernel)
     n_shards = mesh.shape[CORPUS_AXIS]
     assert n_docs % n_shards == 0, "pad the corpus to shard evenly"
@@ -125,13 +135,16 @@ def sharded_dense_topk(
         rescore = jnp.zeros((n_shards, queries.shape[1]), queries.dtype)
         queries_i8 = jnp.zeros(queries.shape, jnp.int8)
     f = _dense_program(
-        mesh, shard_size, k, kernel, block_size, interpret
+        mesh, shard_size, k, kernel, block_size, interpret,
+        n_docs if n_docs_true is None else n_docs_true,
     )
     return f(doc_emb, queries, rescore, queries_i8)
 
 
 @functools.lru_cache(maxsize=64)
-def _dense_program(mesh, shard_size, k, kernel, block_size, interpret):
+def _dense_program(
+    mesh, shard_size, k, kernel, block_size, interpret, n_docs_true
+):
     """Build + JIT the sharded dense program ONCE per static config.
 
     Serving calls this per query batch; without the cache every call would
@@ -141,13 +154,14 @@ def _dense_program(mesh, shard_size, k, kernel, block_size, interpret):
     def local(emb_local, q_local, rs_local, q8_local):
         vals, ids = _local_dense_topk(
             emb_local, q_local, k, kernel, block_size, interpret,
-            rescore_local=rs_local, q_i8_local=q8_local,
+            rescore_local=rs_local, q_i8_local=q8_local, candidates=None,
         )
         shard = jax.lax.axis_index(CORPUS_AXIS)
-        gids = jnp.where(ids >= 0, ids + shard * shard_size, -1)
-        # padded slots carry score 0.0; push below every real score so they
-        # can never outrank another shard's negative-scored real docs
-        vals = jnp.where(ids >= 0, vals, -jnp.inf)
+        # mask unfilled slots AND shard-even corpus-padding docs (zero
+        # rows scoring 0.0 would displace negative-scored real docs)
+        valid = (ids >= 0) & (ids + shard * shard_size < n_docs_true)
+        gids = jnp.where(valid, ids + shard * shard_size, -1)
+        vals = jnp.where(valid, vals, -jnp.inf)
         vals_g = jax.lax.all_gather(vals, CORPUS_AXIS)  # (S, B_local, k)
         ids_g = jax.lax.all_gather(gids, CORPUS_AXIS)
         mvals, mids = _merge_gathered(vals_g, ids_g, k)
@@ -235,6 +249,7 @@ def sharded_hybrid_topk(
     interpret: bool = False,
     rescore: Optional[jax.Array] = None,  # (N, D) rows, kernel="int8"
     queries_i8: Optional[jax.Array] = None,  # (B, D) int8, kernel="int8"
+    n_docs_true: Optional[int] = None,  # pre-padding corpus size
 ) -> tuple[jax.Array, jax.Array]:
     """Full hybrid query step, one device program: per-shard BM25 + dense
     local top-c, ICI all-gather, global merges, RRF fusion, final top-k."""
@@ -251,6 +266,7 @@ def sharded_hybrid_topk(
     f = _hybrid_program(
         mesh, shard_size, k, c, float(rrf_k), block_size, kernel,
         presorted, max_run, interpret,
+        n_docs if n_docs_true is None else n_docs_true,
     )
     return f(doc_emb, queries, plan_doc_ids, plan_weights, rescore, queries_i8)
 
@@ -258,7 +274,7 @@ def sharded_hybrid_topk(
 @functools.lru_cache(maxsize=64)
 def _hybrid_program(
     mesh, shard_size, k, c, rrf_k, block_size, kernel, presorted, max_run,
-    interpret,
+    interpret, n_docs_true,
 ):
     """Build + JIT the full sharded hybrid program once per static config
     (per-batch re-tracing measured ~20x slower on the virtual mesh)."""
@@ -266,13 +282,16 @@ def _hybrid_program(
 
     def local(emb_local, q_local, ids_local, w_local, rs_local, q8_local):
         shard = jax.lax.axis_index(CORPUS_AXIS)
-        # dense arm
+        # dense arm (candidates=c: exactly the single-chip fused hybrid)
         d_vals, d_ids = _local_dense_topk(
             emb_local, q_local, c, kernel, block_size, interpret,
-            rescore_local=rs_local, q_i8_local=q8_local,
+            rescore_local=rs_local, q_i8_local=q8_local, candidates=c,
         )
-        d_gids = jnp.where(d_ids >= 0, d_ids + shard * shard_size, -1)
-        d_vals = jnp.where(d_ids >= 0, d_vals, -jnp.inf)  # mask padded slots
+        # mask unfilled slots AND shard-even corpus-padding docs (zero
+        # rows scoring 0.0 would displace negative-scored real docs)
+        d_valid = (d_ids >= 0) & (d_ids + shard * shard_size < n_docs_true)
+        d_gids = jnp.where(d_valid, d_ids + shard * shard_size, -1)
+        d_vals = jnp.where(d_valid, d_vals, -jnp.inf)
         # lexical arm (scatter-free segmented-scan reduction over host-sorted plans)
         b_vals, b_lids = bm25_topk_device(
             ids_local[0], w_local[0], shard_size, c,
@@ -324,6 +343,7 @@ def sharded_hybrid_topk_scan(
     interpret: bool = False,
     rescore: Optional[jax.Array] = None,
     queries_i8: Optional[jax.Array] = None,  # (nb, B, D) int8
+    n_docs_true: Optional[int] = None,  # pre-padding corpus size
 ) -> tuple[jax.Array, jax.Array]:
     """Multi-sub-batch sharded hybrid: ONE device dispatch scans the full
     sharded program over the leading sub-batch axis (the multi-chip
@@ -342,6 +362,7 @@ def sharded_hybrid_topk_scan(
     f = _hybrid_scan_program(
         mesh, shard_size, k, c, float(rrf_k), block_size, kernel,
         presorted, max_run, interpret,
+        n_docs if n_docs_true is None else n_docs_true,
     )
     return f(doc_emb, queries, plan_doc_ids, plan_weights, rescore, queries_i8)
 
@@ -349,12 +370,12 @@ def sharded_hybrid_topk_scan(
 @functools.lru_cache(maxsize=64)
 def _hybrid_scan_program(
     mesh, shard_size, k, c, rrf_k, block_size, kernel, presorted, max_run,
-    interpret,
+    interpret, n_docs_true,
 ):
     """jit(scan(shard_map-hybrid)) — built once per static config."""
     inner = _hybrid_program(
         mesh, shard_size, k, c, rrf_k, block_size, kernel, presorted,
-        max_run, interpret,
+        max_run, interpret, n_docs_true,
     )
 
     def run(doc_emb, qbs, pdis, pws, rescore, q8s):

@@ -236,7 +236,7 @@ def test_empty_and_mismatch_guards(corpus):
     small = DenseIndex.from_embeddings(
         synthetic_embeddings(N - 1, dim=D, seed=4)
     )
-    with pytest.raises(AssertionError, match="disagree"):
+    with pytest.raises(ValueError, match="disagree"):
         ShardedHybridRetriever(postings, small, embedder, data=1, corpus=8)
 
 
