@@ -128,7 +128,7 @@ def build_parser() -> argparse.ArgumentParser:
         "data x corpus ('2x4'); requires that many devices",
     )
     p.add_argument(
-        "--kernel", choices=["auto", "xla", "pallas", "fast", "int8"],
+        "--kernel", choices=["auto", "xla", "pallas", "fast", "int8", "int4"],
         default="auto",
         help="dense-arm kernel (auto = int8 turbo + exact rescore on TPU, "
         "xla elsewhere — the benchmarked production config)",
@@ -219,7 +219,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="serve search_corpus over a device mesh ('8' or '2x4')",
     )
     p.add_argument(
-        "--kernel", choices=["auto", "xla", "pallas", "fast", "int8"],
+        "--kernel", choices=["auto", "xla", "pallas", "fast", "int8", "int4"],
         default="auto",
         help="dense-arm kernel for search_corpus (auto = int8 turbo + "
         "exact rescore on TPU)",

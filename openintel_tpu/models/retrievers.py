@@ -79,6 +79,22 @@ def dense_arm_topk(
             interpret=interpret,
         )
         return exact_rescore(rescore_op, q, cids, k)
+    if kernel == "int4":
+        from openintel_tpu.ops.pallas.dense_topk import (
+            dense_topk_fast_i4,
+            exact_rescore,
+        )
+
+        # The coarser int4 quantiser needs a wider candidate fetch than the
+        # caller's RRF pool width before rescore recovers exact ordering
+        # (host sim + docs/kernels.md: recall@10-in-top-256 = 1.000 at 1M
+        # docs; `candidates` here means the POOL width, not the fetch)
+        cw = min(max(4 * (candidates or k), 256), n_docs)
+        _, cids = dense_topk_fast_i4(
+            emb_op, q8, k=cw, block_c=min(block_c, 4096), n_docs=n_docs,
+            interpret=interpret,
+        )
+        return exact_rescore(rescore_op, q, cids, k)
     if kernel == "fast":
         from openintel_tpu.ops.pallas.dense_topk import dense_topk_fast
 
@@ -141,7 +157,7 @@ class DenseRetriever:
         embedder: Optional[Callable[[Sequence[str]], np.ndarray]] = None,
         *,
         use_pallas: Optional[bool] = None,
-        kernel: Optional[str] = None,  # "xla" | "pallas" | "fast" | "int8" | None=auto
+        kernel: Optional[str] = None,  # "xla" | "pallas" | "fast" | "int8" | "int4" | None=auto
     ):
         self.index = index
         self.embedder = embedder or HashingEmbedder(dim=index.dim)
@@ -166,7 +182,7 @@ class DenseRetriever:
                 # arm's candidate diversity; serve the exact Pallas kernel
                 # instead.
                 kernel = "pallas"
-        assert kernel in ("xla", "pallas", "fast", "int8"), kernel
+        assert kernel in ("xla", "pallas", "fast", "int8", "int4"), kernel
         self.kernel = kernel
         self.use_pallas = kernel != "xla"
         # Pallas kernels run in interpreter mode on CPU hosts (hermetic tests)
@@ -199,6 +215,19 @@ class DenseRetriever:
             padded[:, :n] = quantize_int8(emb_host).T
             self._emb_device = jax.device_put(jnp.asarray(padded))
             self._rescore_emb = jax.device_put(jnp.asarray(emb_host))
+        elif kernel == "int4":
+            # nibble-packed candidate corpus (HALF the int8 HBM stream) +
+            # full-precision rows for the exact-rescore second stage;
+            # pack_corpus_t_i4 pads to the turbo unit on the host
+            from openintel_tpu.ops.pallas.dense_topk import (
+                pack_corpus_t_i4,
+                quantize_int4,
+            )
+
+            self._emb_device = jax.device_put(
+                jnp.asarray(pack_corpus_t_i4(quantize_int4(emb_host).T))
+            )
+            self._rescore_emb = jax.device_put(jnp.asarray(emb_host))
         else:
             self._emb_device = jax.device_put(jnp.asarray(emb_host))
 
@@ -224,8 +253,9 @@ class DenseRetriever:
 
     def _topk(self, q: jax.Array, k: int):
         k = min(k, self.index.n_docs)
+        quantized = self.kernel in ("int8", "int4")
         q8 = None
-        if self.kernel == "int8":
+        if quantized:
             from openintel_tpu.ops.pallas.dense_topk import quantize_int8
 
             q8 = jnp.asarray(quantize_int8(np.asarray(q, np.float32)))
@@ -237,15 +267,17 @@ class DenseRetriever:
             n_docs=self.index.n_docs,
             interpret=self._interpret,
             block_c=self._fast_block_c(),
-            rescore_op=self._rescore_emb if self.kernel == "int8" else None,
+            rescore_op=self._rescore_emb if quantized else None,
             q8=q8,
         )
 
     def search_embeddings(self, query_emb: np.ndarray, k: int = 10) -> SearchResult:
-        # int8: f32 queries into the exact rescore (bf16-rounding the query
-        # shifts near-ties — see HybridRetriever.prepare)
+        # int8/int4: f32 queries into the exact rescore (bf16-rounding the
+        # query shifts near-ties — see HybridRetriever.prepare)
         dtype = (
-            jnp.float32 if self.kernel == "int8" else self._emb_device.dtype
+            jnp.float32
+            if self.kernel in ("int8", "int4")
+            else self._emb_device.dtype
         )
         q = jnp.asarray(query_emb, dtype)
         vals, ids = self._topk(q, k)
@@ -275,7 +307,7 @@ class HybridRetriever:
         *,
         rrf_k: float = RRF_K,
         use_pallas: Optional[bool] = None,
-        kernel: Optional[str] = None,  # "xla" | "pallas" | "fast" | "int8" | None=auto
+        kernel: Optional[str] = None,  # "xla" | "pallas" | "fast" | "int8" | "int4" | None=auto
         device_batch: int = 256,
     ):
         self.bm25 = BM25Retriever(postings)
@@ -432,7 +464,7 @@ class HybridRetriever:
         dim = q.shape[1]
 
         dense = self.dense
-        if dense.kernel == "int8":
+        if dense.kernel in ("int8", "int4"):
             from openintel_tpu.ops.pallas.dense_topk import quantize_int8
 
             qbs8 = jnp.asarray(quantize_int8(q).reshape(nb, db, dim))
@@ -497,7 +529,7 @@ class HybridRetriever:
         db = prep.queries.shape[1]
         rescore_op = (
             dense._rescore_emb
-            if dense.kernel == "int8"
+            if dense.kernel in ("int8", "int4")
             else jnp.zeros((1, prep.queries.shape[2]), jnp.float32)
         )
         return self._fused(

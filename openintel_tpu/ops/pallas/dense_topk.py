@@ -747,3 +747,265 @@ def exact_rescore(
     ids = ids_sorted[:, :k]
     invalid = vals == NEG_INF
     return jnp.where(invalid, 0.0, vals), jnp.where(invalid, -1, ids)
+
+
+# ---------------------------------------------------------------------------
+# int4 nibble-packed turbo kernel: halve the HBM stream again.
+#
+# The int8 turbo kernel sits at ~77% of its 0.49 GB corpus-stream floor at
+# 1.25M docs (docs/benchmarks.md) — the remaining lever is fewer corpus
+# bytes. Native jax int4 operands fail at the Pallas boundary (recorded
+# round-3 dead end), so this kernel packs TWO int4 doc columns per byte
+# ALONG THE DOC AXIS: byte column c holds doc 2c in its low nibble and doc
+# 2c+1 in its high nibble. Packing along docs (not dim) means in-kernel
+# unpack needs NO interleaving relayout: one (D, 128) byte tile sign-extends
+# into two lane-aligned (D, 128) int8 tiles (low nibbles = even docs, high
+# nibbles = odd docs), each feeding the int8 MXU directly. Unpack is 2
+# shifts per nibble on an int32 widening of the D x 128 tile — VPU work of
+# the same order as the existing key packing, against HALVED corpus bytes.
+#
+# Quantisation: round(scale * x) clipped to [-8, 7] with a GLOBAL scale
+# (default 32 — clip at |x| = 0.25). A per-doc scale would be tighter but
+# the packed-key max fold compares raw int dots ACROSS docs, so all docs
+# must share one scale. Queries stay int8 (scale 127): dot ~ 127*scale*cos,
+# granularity ~1/4064 of cosine, corpus quantisation noise ~0.01 cosine —
+# candidate generation needs a wider over-fetch than int8 (c=128+ measured
+# vs 32; see docs/kernels.md) and the same exact_rescore recovers ordering.
+#
+# Key packing is the int8 scheme verbatim (|dot| <~ 4500 << the 32768 bias),
+# but a "super" (one (B, 128) output row per 16,384 docs) now spans 64 byte
+# sub-tiles, each emitting TWO sub-dots: pos = 2*sub_tile + parity, so
+# id = super*16384 + (pos>>1)*256 + 2*lane + (pos&1).
+# ---------------------------------------------------------------------------
+
+_I4_SCALE_DEFAULT = 32.0  # clip at |x| = 8/32 = 0.25 (see docs/kernels.md)
+_I4_SUPER_B = _SUPER // 2  # byte sub-tiles per super (64)
+
+
+def quantize_int4(emb, scale: float = _I4_SCALE_DEFAULT) -> "jax.Array":
+    """clip(round(scale * x), -8, 7) for unit-norm embeddings (host array)."""
+    import numpy as np
+
+    x = np.asarray(emb, np.float32)
+    return np.clip(np.rint(scale * x), -8, 7).astype(np.int8)
+
+
+def pack_corpus_t_i4(doc_emb_t4) -> "jax.Array":
+    """Pack a (D, N) int4-valued int8 transposed corpus into (D, N'/2) bytes
+    (N' = N zero-padded to the 16,384-doc turbo unit, done HERE, once, at
+    index load — the perf contract forbids corpus copies on the hot path).
+    Byte column c = (doc 2c+1 nibble << 4) | (doc 2c nibble)."""
+    import numpy as np
+
+    x = np.asarray(doc_emb_t4, np.int8)
+    dim, n = x.shape
+    n_pad = _round_up(max(n, _TURBO_UNIT), _TURBO_UNIT)
+    if n_pad != n:
+        x = np.concatenate([x, np.zeros((dim, n_pad - n), np.int8)], axis=1)
+    lo = x[:, 0::2].astype(np.uint8) & 15
+    hi = x[:, 1::2].astype(np.uint8) & 15
+    return ((hi << 4) | lo).view(np.int8)
+
+
+def _unpack_nibbles(v):
+    """(D, 128) packed byte tile -> two (D, 128) int8 tiles (even, odd docs).
+    Sign-extension via int32 shift pairs (int8 shifts are not relied on in
+    Mosaic); the convert + 2 shifts per nibble run on the VPU overlapped
+    with the MXU stream."""
+    v32 = v.astype(jnp.int32)
+    lo = ((v32 << 28) >> 28).astype(jnp.int8)  # low nibble, sign-extended
+    hi = ((v32 << 24) >> 28).astype(jnp.int8)  # high nibble, sign-extended
+    return lo, hi
+
+
+def _turbo_kernel_i4(q_ref, e_ref, out_ref, acc_ref, *, sub: int, steps: int):
+    """``sub`` 128-byte-col sub-tiles per grid step (= 2*sub sub-dots);
+    ``steps`` grid steps per super."""
+    j = pl.program_id(0)
+    base = (j % steps) * sub  # byte-sub-tile index within the super
+    acc = None
+    for i in range(sub):
+        lo, hi = _unpack_nibbles(e_ref[:, i * 128 : (i + 1) * 128])
+        for parity, tile in ((0, lo), (1, hi)):
+            s = jax.lax.dot_general(
+                q_ref[:], tile,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (B, 128) int32, lane-aligned
+            key = s * 128 + jnp.int32(_I8_FLAG128 + 2 * (base + i) + parity)
+            acc = key if acc is None else jnp.maximum(acc, key)
+
+    @pl.when(j % steps == 0)
+    def _reset():
+        acc_ref[:] = acc
+
+    @pl.when(j % steps != 0)
+    def _combine():
+        acc_ref[:] = jnp.maximum(acc_ref[:], acc)
+
+    @pl.when(j % steps == steps - 1)
+    def _write():
+        out_ref[:] = acc_ref[:]
+
+
+def _turbo_kernel_i4_top2(
+    q_ref, e_ref, out1_ref, out2_ref, acc_ref, *, sub: int, steps: int
+):
+    """Top-2-per-(super, lane) variant — same branchless streaming 2-max
+    fold + disjoint-set merge as ``_turbo_kernel_i8_top2``."""
+    j = pl.program_id(0)
+    base = (j % steps) * sub
+    a1 = a2 = None
+    for i in range(sub):
+        lo, hi = _unpack_nibbles(e_ref[:, i * 128 : (i + 1) * 128])
+        for parity, tile in ((0, lo), (1, hi)):
+            s = jax.lax.dot_general(
+                q_ref[:], tile,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            key = s * 128 + jnp.int32(_I8_FLAG128 + 2 * (base + i) + parity)
+            if a1 is None:
+                a1 = key
+                a2 = jnp.zeros_like(key)  # sentinel: below every real key
+            else:
+                a2 = jnp.maximum(a2, jnp.minimum(a1, key))
+                a1 = jnp.maximum(a1, key)
+
+    @pl.when(j % steps == 0)
+    def _reset():
+        acc_ref[:, :128] = a1
+        acc_ref[:, 128:] = a2
+
+    @pl.when(j % steps != 0)
+    def _combine():
+        p1 = acc_ref[:, :128]
+        p2 = acc_ref[:, 128:]
+        acc_ref[:, :128] = jnp.maximum(p1, a1)
+        acc_ref[:, 128:] = jnp.maximum(
+            jnp.minimum(p1, a1), jnp.maximum(p2, a2)
+        )
+
+    @pl.when(j % steps == steps - 1)
+    def _write():
+        out1_ref[:] = acc_ref[:, :128]
+        out2_ref[:] = acc_ref[:, 128:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "block_c", "interpret", "n_docs", "slots", "scale"),
+)
+def dense_topk_fast_i4(
+    doc_emb_packed_t: jax.Array,  # (D, N/2) nibble-packed int8 (pack_corpus_t_i4)
+    queries: jax.Array,  # (B, D) int8 quantised unit-norm rows (scale 127)
+    k: int = 10,
+    block_c: int = 4096,  # BYTE columns per grid step = 8192 docs
+    interpret: bool = False,
+    n_docs: int | None = None,
+    slots: int = 2,
+    scale: float = _I4_SCALE_DEFAULT,
+) -> tuple[jax.Array, jax.Array]:
+    """int4 approximate cosine top-k (candidate generation; nibble-packed
+    turbo kernel). Returns (vals (B, k) f32 [~1e-2 cosine precision], ids
+    (B, k) i32, -1 padded). As with the int8 kernel, callers pass their full
+    candidate width as ``k`` and pair with ``exact_rescore``; the coarser
+    quantiser needs a WIDER width than int8 (c=128+ at 1M docs vs 32 —
+    measured table in docs/kernels.md)."""
+    assert doc_emb_packed_t.dtype == jnp.int8 and queries.dtype == jnp.int8
+    assert slots in (1, 2), slots
+    dim, n_packed = doc_emb_packed_t.shape
+    n_stored = 2 * n_packed
+    n_docs = n_stored if n_docs is None else n_docs
+    b = queries.shape[0]
+    unit_b = _TURBO_UNIT // 2  # byte cols per super (8,192)
+    assert block_c % 128 == 0 and unit_b % block_c == 0, (
+        "block_c must be a multiple of 128 dividing 8192"
+    )
+    assert n_packed % unit_b == 0 and n_packed >= unit_b, (
+        "pack the corpus with pack_corpus_t_i4 (pads to the turbo unit)"
+    )
+    sub_batch = 32  # int8 sublane packing
+    b_pad = _round_up(b, sub_batch)
+    if b_pad != b:
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((b_pad - b, dim), queries.dtype)], axis=0
+        )
+
+    sub = block_c // 128  # byte sub-tiles per grid step
+    steps = _I4_SUPER_B // sub  # grid steps per super
+    n_steps = n_packed // block_c
+    n_super = n_stored // _TURBO_UNIT
+    lanes = 128 * slots
+    k_req = k
+    k = min(k, n_super * lanes)
+    half = n_super * 128
+    out_block = pl.BlockSpec(
+        (b_pad, 128), lambda j: (0, j // (_I4_SUPER_B // (block_c // 128))),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [
+        pl.BlockSpec((b_pad, dim), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((dim, block_c), lambda j: (0, j), memory_space=pltpu.VMEM),
+    ]
+    if slots == 1:
+        packed = pl.pallas_call(
+            functools.partial(_turbo_kernel_i4, sub=sub, steps=steps),
+            grid=(n_steps,),
+            in_specs=in_specs,
+            out_specs=out_block,
+            out_shape=jax.ShapeDtypeStruct((b_pad, half), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((b_pad, 128), jnp.int32)],
+            interpret=interpret,
+        )(queries, doc_emb_packed_t)
+    else:
+        # two contiguous outputs — same approx_max_k bucket-contiguity
+        # argument as the int8 top-2 kernel
+        p1, p2 = pl.pallas_call(
+            functools.partial(_turbo_kernel_i4_top2, sub=sub, steps=steps),
+            grid=(n_steps,),
+            in_specs=in_specs,
+            out_specs=[out_block, out_block],
+            out_shape=[
+                jax.ShapeDtypeStruct((b_pad, half), jnp.int32),
+                jax.ShapeDtypeStruct((b_pad, half), jnp.int32),
+            ],
+            scratch_shapes=[pltpu.VMEM((b_pad, 256), jnp.int32)],
+            interpret=interpret,
+        )(queries, doc_emb_packed_t)
+        packed = jnp.concatenate([p1, p2], axis=1)
+
+    padded = n_stored != n_docs
+    pad_slots = lanes if (padded and n_docs <= 262_144) else 0
+    # over-fetch margin for approx_max_k bucket misses, exactly as the int8
+    # kernel (the candidate WIDTH itself is the caller's k)
+    k_fetch = min(k + max(pad_slots, 32), n_super * lanes)
+    gf = jax.lax.bitcast_convert_type(packed, jnp.float32)
+    fv, pcols = jax.lax.approx_max_k(gf, k_fetch, recall_target=0.99)
+    pvals = jax.lax.bitcast_convert_type(fv, jnp.int32)
+    pos = pvals & 127  # 2*byte_sub_tile + parity within the super
+    col = pcols % half  # both slot halves decode identically
+    ids = (
+        (col // 128) * _TURBO_UNIT
+        + (pos >> 1) * 256
+        + 2 * (col % 128)
+        + (pos & 1)
+    ).astype(jnp.int32)
+    vals = (
+        ((pvals - pos - jnp.int32(_I8_FLAG128)) // 128).astype(jnp.float32)
+        / (127.0 * scale)
+    )
+    valid = (ids < n_docs) & (pvals > 0)
+    if k_fetch > k:
+        key = jnp.where(valid, pvals, jnp.int32(-(2**31)))
+        _, sel = jax.lax.top_k(key, k)
+        ids = jnp.take_along_axis(ids, sel, axis=1)
+        vals = jnp.take_along_axis(vals, sel, axis=1)
+        valid = jnp.take_along_axis(valid, sel, axis=1)
+    out_vals = jnp.where(valid, vals, 0.0)[:b]
+    out_ids = jnp.where(valid, ids, -1)[:b]
+    if k < k_req:  # capacity-clamped: pad columns back to the requested k
+        pad_w = k_req - k
+        out_vals = jnp.pad(out_vals, ((0, 0), (0, pad_w)))
+        out_ids = jnp.pad(out_ids, ((0, 0), (0, pad_w)), constant_values=-1)
+    return out_vals, out_ids

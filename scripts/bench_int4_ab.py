@@ -1,0 +1,166 @@
+"""On-chip A/B: int8 turbo (c=32) vs int4 nibble-packed turbo (wider c)
+dense candidate + exact-rescore pipelines at bench scale.
+
+The int8 turbo kernel sits at ~77% of its 0.49 GB corpus-stream floor at
+1.25M docs (docs/benchmarks.md) — the int4 kernel halves the streamed
+bytes at the cost of a coarser quantiser that needs a wider candidate
+over-fetch (host sim: recall@10-in-top-256 = 1.0000 at N=1M, scale 24-32).
+
+Timing methodology = bench.py's: each arm is a SINGLE jitted program that
+``lax.scan``s over NB query sub-batches and reduces the ids to one scalar,
+so the host->device tunnel RTT (~31 ms here, >> any per-batch time) is
+paid once per dispatch and amortised across NB batches, and the scalar
+readback forces completion without a result-slab copy. Per-call
+``block_until_ready`` timing is meaningless over this tunnel (measured
+sub-RTT in the first attempt — recorded dead end).
+
+Usage: python scripts/bench_int4_ab.py  [N_DOCS] [BATCH] [NB]
+Env: AB_REPS (default 6), AB_SAMPLE recall queries (default 128)
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_250_000
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    nb = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    reps = int(os.environ.get("AB_REPS", "6"))
+    sample = int(os.environ.get("AB_SAMPLE", "128"))
+    dim = 384
+    k = 10
+
+    import jax
+    import jax.numpy as jnp
+
+    from openintel_tpu.ops.pallas.dense_topk import (
+        dense_topk_fast_i4,
+        dense_topk_fast_i8,
+        exact_rescore,
+        pack_corpus_t_i4,
+        pad_corpus_t_i8,
+        quantize_int4,
+        quantize_int8,
+    )
+
+    print(f"backend: {jax.default_backend()}; devices: {jax.devices()}", flush=True)
+    interpret = jax.default_backend() != "tpu"
+
+    rng = np.random.default_rng(1)
+    t0 = time.time()
+    emb = rng.standard_normal((n_docs, dim), dtype=np.float32)
+    emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    total_q = nb * batch
+    targets = rng.integers(0, n_docs, size=total_q)
+    q = emb[targets] + 0.6 * rng.standard_normal((total_q, dim)).astype(
+        np.float32
+    )
+    q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    print(
+        f"corpus {n_docs}x{dim} + {nb}x{batch} queries ({time.time()-t0:.1f}s)",
+        flush=True,
+    )
+
+    t0 = time.time()
+    emb_t8 = jax.device_put(jnp.asarray(quantize_int8(emb).T))
+    emb_t8 = jax.block_until_ready(pad_corpus_t_i8(emb_t8))
+    packed4 = jax.device_put(jnp.asarray(pack_corpus_t_i4(quantize_int4(emb).T)))
+    rescore_rows = jax.device_put(jnp.asarray(emb))  # f32 (production rescore)
+    q8s = jax.device_put(jnp.asarray(quantize_int8(q).reshape(nb, batch, dim)))
+    qfs = jax.device_put(jnp.asarray(q.reshape(nb, batch, dim)))
+    jax.block_until_ready((packed4, rescore_rows, q8s, qfs))
+    print(
+        f"device: int8 {emb_t8.nbytes/1e9:.2f} GB, int4 "
+        f"{packed4.nbytes/1e9:.2f} GB, f32 rescore "
+        f"{rescore_rows.nbytes/1e9:.2f} GB ({time.time()-t0:.1f}s)",
+        flush=True,
+    )
+
+    # exact reference over the sample prefix
+    t0 = time.time()
+    s_exact = emb @ q[:sample].T
+    ref_ids = np.argsort(-s_exact, axis=0)[:k].T  # (sample, k)
+    del s_exact
+    print(f"exact reference ({time.time()-t0:.1f}s)", flush=True)
+
+    def recall(ids) -> float:
+        got = np.asarray(ids)[:sample]
+        return float(
+            np.mean(
+                [
+                    len(set(map(int, got[i, :k])) & set(map(int, ref_ids[i])))
+                    / k
+                    for i in range(sample)
+                ]
+            )
+        )
+
+    # One jitted scan per (arm, stage): candidates only / + exact rescore.
+    @functools.partial(
+        jax.jit, static_argnames=("arm", "c", "bc", "full")
+    )
+    def run(emb_op, q8b, qfb, arm, c, bc, full):
+        def body(acc, xs):
+            q8, qf = xs
+            if arm == "int8":
+                _, cids = dense_topk_fast_i8(
+                    emb_op, q8, k=c, block_c=bc, n_docs=n_docs,
+                    interpret=interpret,
+                )
+            else:
+                _, cids = dense_topk_fast_i4(
+                    emb_op, q8, k=c, block_c=bc, n_docs=n_docs,
+                    interpret=interpret,
+                )
+            if full:
+                _, ids = exact_rescore(rescore_rows, qf, cids, k)
+            else:
+                ids = cids
+            return acc + jnp.sum(ids), ids
+
+        return jax.lax.scan(body, jnp.int32(0), (q8b, qfb))
+
+    def timeit(emb_op, arm, c, bc, full):
+        acc, _ = run(emb_op, q8s, qfs, arm, c, bc, full)
+        _ = int(acc)  # compile + warm + force
+        best = float("inf")
+        for _ in range(reps):
+            s = time.time()
+            acc, outs = run(emb_op, q8s, qfs, arm, c, bc, full)
+            _ = int(acc)
+            best = min(best, time.time() - s)
+        return best, outs
+
+    results = {}
+
+    def measure(name, emb_op, arm, c, bc):
+        t_cand, _ = timeit(emb_op, arm, c, bc, full=False)
+        t_full, outs = timeit(emb_op, arm, c, bc, full=True)
+        rids = np.asarray(outs).reshape(total_q, k)
+        r = recall(rids)
+        results[name] = (c, t_cand, t_full, r)
+        print(
+            f"{name:<22} c={c:<4} cand {t_cand/nb*1e3:7.3f} ms/b  "
+            f"dense-arm {t_full/nb*1e3:7.3f} ms/b  "
+            f"({total_q/t_full:>10,.0f} QPS)  recall@10 {r:.4f}",
+            flush=True,
+        )
+
+    bc8 = 8192 if batch >= 128 else 4096
+    measure("int8 (production)", emb_t8, "int8", 32, bc8)
+    for c in (128, 256):
+        measure(f"int4 c={c}", packed4, "int4", c, 4096)
+    for bc in (2048, 8192):
+        measure(f"int4 c=256 bc={bc}", packed4, "int4", 256, bc)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

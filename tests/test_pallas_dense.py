@@ -295,3 +295,152 @@ def test_hybrid_int8_serves_k_beyond_capacity():
     real = res.ids[0][res.ids[0] >= 0]
     assert len(real) == len(set(real))
     assert (real < 600).all()
+
+
+# --------------------------- int4 nibble-packed kernel ---------------------
+
+
+def _i4_setup(n, d, b, seed=50):
+    import jax.numpy as jnp
+
+    from openintel_tpu.ops.pallas.dense_topk import (
+        pack_corpus_t_i4,
+        quantize_int4,
+        quantize_int8,
+    )
+
+    emb = synthetic_embeddings(n, dim=d, seed=seed)
+    q, _ = synthetic_query_embeddings(emb, b, seed=seed + 1)
+    packed = jnp.asarray(pack_corpus_t_i4(quantize_int4(emb).T))
+    q8 = jnp.asarray(quantize_int8(q))
+    return emb, q, packed, q8
+
+
+def test_int4_pack_roundtrip():
+    """Nibble packing: low nibble = even doc, high nibble = odd doc,
+    sign-extension exact for all 16 values."""
+    from openintel_tpu.ops.pallas.dense_topk import (
+        _TURBO_UNIT,
+        pack_corpus_t_i4,
+    )
+
+    x = np.arange(-8, 8, dtype=np.int8).reshape(1, 16)  # every int4 value
+    packed = np.asarray(pack_corpus_t_i4(x))
+    assert packed.shape == (1, _TURBO_UNIT // 2)  # padded to the turbo unit
+    u = packed.view(np.uint8).astype(np.int32)
+    lo = ((u & 15) ^ 8) - 8  # sign-extend
+    hi = ((u >> 4) ^ 8) - 8
+    got = np.stack([lo[0, :8], hi[0, :8]], axis=1).reshape(-1)
+    np.testing.assert_array_equal(got, x[0])
+    # padding nibbles are zero
+    assert (u[0, 8:] == 0).all()
+
+
+def test_int4_decode_matches_quantized_reference():
+    """Kernel ids/vals vs a NumPy emulation of the SAME int4 x int8 scoring:
+    the candidate ordering and decoded cosines must match exactly — this
+    pins the id decode (pos = 2*sub_tile + parity) and the key packing."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from openintel_tpu.ops.pallas.dense_topk import (
+        _I4_SCALE_DEFAULT,
+        dense_topk_fast_i4,
+        quantize_int4,
+        quantize_int8,
+    )
+
+    n, d, b, k = 3000, 64, 5, 16
+    emb, q, packed, q8 = _i4_setup(n, d, b)
+    vals, ids = dense_topk_fast_i4(
+        packed, q8, k=k, block_c=512, n_docs=n, interpret=True, slots=1
+    )
+    # NumPy emulation: int dot, one candidate slot per (super, lane);
+    # here n < 16,384 -> one super, lane = id mod 128 after the pairing
+    # layout (id = b*256 + 2*lane + parity -> lane = (id % 256) // 2).
+    s = quantize_int4(emb).astype(np.int32) @ quantize_int8(q).astype(np.int32).T
+    got_v, got_i = np.asarray(vals), np.asarray(ids)
+    for j in range(b):
+        # per-lane max with tie -> higher pos (higher doc id in a lane)
+        lane_best = {}
+        for doc in range(n):
+            lane = (doc % 256) // 2
+            cur = lane_best.get(lane)
+            if cur is None or s[doc, j] >= s[cur, j]:
+                lane_best[lane] = doc
+        cand = sorted(
+            lane_best.values(), key=lambda doc: (-s[doc, j], -doc)
+        )[:k]
+        np.testing.assert_array_equal(got_i[j], cand)
+        np.testing.assert_allclose(
+            got_v[j],
+            s[cand, j] / (127.0 * _I4_SCALE_DEFAULT),
+            rtol=1e-6,
+        )
+
+
+def test_int4_candidates_plus_exact_rescore_recall():
+    """Production pairing: int4 candidates at the documented wider width +
+    exact f32 rescore recovers the exact top-10 at high recall."""
+    import jax.numpy as jnp
+
+    from openintel_tpu.ops.pallas.dense_topk import (
+        dense_topk_fast_i4,
+        exact_rescore,
+    )
+
+    n, d, b = 5000, 64, 9
+    emb, q, packed, q8 = _i4_setup(n, d, b, seed=52)
+    _, cids = dense_topk_fast_i4(
+        packed, q8, k=128, block_c=512, n_docs=n, interpret=True
+    )
+    cand = np.asarray(cids)
+    for row in cand:
+        real = [int(x) for x in row if x >= 0]
+        assert len(real) == len(set(real)), "duplicate candidates"
+        assert max(real) < n, "padding-doc id leaked"
+    ref_vals, ref_ids = ref.cosine_topk(emb, q, 10)
+    rvals, rids = exact_rescore(jnp.asarray(emb), jnp.asarray(q), cids, 10)
+    assert _recall(np.asarray(rids), ref_ids) >= 0.95
+    # rescored scores are exact f32 cosines where ids match
+    match = np.asarray(rids) == ref_ids
+    np.testing.assert_allclose(
+        np.asarray(rvals)[match], ref_vals[match], rtol=1e-5, atol=1e-6
+    )
+
+
+def test_int4_multi_super_slots_and_clamp():
+    """Multi-super corpus: slots=2 disjoint-set merge, capacity clamp, and
+    no padding leakage — the int8 multi-super contract on the int4 path."""
+    import jax.numpy as jnp
+
+    from openintel_tpu.ops.pallas.dense_topk import (
+        dense_topk_fast_i4,
+        exact_rescore,
+    )
+
+    n, d, b = 40_000, 64, 4  # pads to 49,152 docs = 3 supers
+    emb, q, packed, q8 = _i4_setup(n, d, b, seed=54)
+    ref_vals, ref_ids = ref.cosine_topk(emb, q, 10)
+    recalls = {}
+    for slots in (1, 2):
+        _, cids = dense_topk_fast_i4(
+            packed, q8, k=256, block_c=4096, n_docs=n, interpret=True,
+            slots=slots,
+        )
+        cand = np.asarray(cids)
+        for row in cand:
+            real = [int(x) for x in row if x >= 0]
+            assert len(real) == len(set(real))
+            assert max(real) < n
+        _, rids = exact_rescore(jnp.asarray(emb), jnp.asarray(q), cids, 10)
+        recalls[slots] = _recall(np.asarray(rids), ref_ids)
+    assert recalls[2] >= 0.9, recalls
+    assert recalls[2] >= recalls[1], recalls
+
+    # k beyond candidate capacity (3 supers x 256 slots): clamp + pad
+    vals, ids = dense_topk_fast_i4(
+        packed, q8, k=1000, block_c=4096, n_docs=n, interpret=True
+    )
+    ids = np.asarray(ids)
+    assert ids.shape == (b, 1000)
+    assert (ids[:, 768:] == -1).all()

@@ -200,3 +200,30 @@ def test_prepare_empty_batch(corpus):
     prep = h.prepare([], np.zeros((0, D), np.float32), k=5)
     res = h.run_prepared(prep)
     assert res.ids.shape == (0, 5)
+
+
+def test_kernel_passthrough_int4(corpus):
+    """HybridRetriever(kernel="int4") — the nibble-packed candidate kernel
+    + exact rescore — end to end: fused one-dispatch program == hand
+    composition, and the dense arm alone recovers the exact ordering at
+    high recall (N=600 -> the 256-wide int4 fetch covers ~half the corpus
+    so rescore should be near-exact)."""
+    import jax.numpy as jnp
+
+    from openintel_tpu.models.retrievers import BM25Retriever
+    from openintel_tpu.ops.fusion import rrf_fuse_device
+
+    docs, postings, dense, embedder = corpus
+    queries = synthetic_queries_from_docs(docs, 5, seed=23)
+    got = HybridRetriever(postings, dense, embedder, kernel="int4").search(
+        queries, k=10, candidates_per_arm=20
+    )
+    lex = BM25Retriever(postings).search(queries, k=20)
+    dn = DenseRetriever(dense, embedder, kernel="int4").search(queries, k=20)
+    _, ids = rrf_fuse_device(jnp.asarray(lex.ids), jnp.asarray(dn.ids), 10)
+    np.testing.assert_array_equal(got.ids, np.asarray(ids))
+    assert got.ids.shape == (5, 10)
+    # dense arm vs exact
+    exact = DenseRetriever(dense, embedder, kernel="xla").search(queries, k=10)
+    d4 = DenseRetriever(dense, embedder, kernel="int4").search(queries, k=10)
+    assert _recall(d4, exact) >= 0.9
