@@ -1,6 +1,7 @@
 """The driver entry points must hold in this exact environment: entry() jits
 single-chip, dryrun_multichip() owns its platform (MULTICHIP verdict)."""
 
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -42,18 +43,25 @@ def test_dryrun_multichip_reexecs_when_backends_are_wrong():
         "os.environ['JAX_PLATFORMS']='cpu';"
         "os.environ.pop('XLA_FLAGS', None);"
         "import jax;"
+        # the startup hook may have pinned jax.config to the tunnel
+        # platform, which overrides the env var — re-pin (hermetic: this
+        # child must never dial the TPU tunnel)
+        "jax.config.update('jax_platforms', 'cpu');"
         "assert len(jax.devices()) == 1;"  # backends now live, 1 device
         f"import sys; sys.path.insert(0, {str(repo)!r});"
         "import __graft_entry__ as g;"
         "g.dryrun_multichip(8);"
         "print('REEXEC_OK')"
     )
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # see __graft_entry__ child spawn
     res = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True,
         text=True,
         timeout=600,
         cwd=repo,
+        env=env,
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert "REEXEC_OK" in res.stdout

@@ -3,8 +3,17 @@ JSON-RPC over its stdio — the driving-adapter integration the reference
 exercises through rmcp (src/mcp/server.rs:171-192)."""
 
 import json
+import os
 import subprocess
 import sys
+
+# Hermetic: child servers must run on host CPU, never the TPU tunnel. The
+# pytest env already pins JAX_PLATFORMS=cpu (conftest), but this
+# environment's startup hook re-pins jax.config to the tunnel platform when
+# PALLAS_AXON_POOL_IPS is set — and a half-dead tunnel then hangs the
+# child's jax init beyond the subprocess timeout.
+_ENV = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
+
 
 def test_mcp_stdio_roundtrip():
     lines = "\n".join(
@@ -33,6 +42,7 @@ def test_mcp_stdio_roundtrip():
         capture_output=True,
         text=True,
         timeout=110,
+        env=_ENV,
     )
     responses = {
         d["id"]: d for d in map(json.loads, proc.stdout.strip().splitlines())
@@ -81,7 +91,7 @@ def test_mcp_concurrent_search_coalesces(tmp_path):
             sys.executable, "-m", "openintel_tpu.cli.main",
             "index", str(corpus), "--out", str(idx), "--dim", "32",
         ],
-        capture_output=True, text=True, timeout=300,
+        capture_output=True, text=True, timeout=300, env=_ENV,
     )
     assert build.returncode == 0, build.stderr
 
@@ -91,7 +101,7 @@ def test_mcp_concurrent_search_coalesces(tmp_path):
             "mcp", "--offline", "--index", str(idx),
         ],
         stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-        stderr=subprocess.PIPE, text=True,
+        stderr=subprocess.PIPE, text=True, env=_ENV,
     )
     try:
         proc.stdin.write(
@@ -173,6 +183,7 @@ def test_mcp_non_object_messages_get_error_responses():
         capture_output=True,
         text=True,
         timeout=110,
+        env=_ENV,
     )
     docs = [json.loads(ln) for ln in proc.stdout.strip().splitlines()]
     by_id = {d.get("id"): d for d in docs if d.get("id") is not None}
