@@ -19,7 +19,7 @@ vs_baseline is against the 100k QPS/chip north-star target.
 Diagnostics (per-arm timings, recall parity) go to stderr.
 
 Env knobs: BENCH_DOCS, BENCH_BATCHES, BENCH_CARM, BENCH_DENSE
-(int8|fast|pallas|xla), BENCH_RECALL_DEBUG=1 (dump per-query recall-loss
+(int8|int4|fast|pallas|xla), BENCH_RECALL_DEBUG=1 (dump per-query recall-loss
 mechanism: packing-group collision vs approx_max_k vs RRF boundary).
 """
 
