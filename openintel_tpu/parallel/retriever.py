@@ -175,7 +175,7 @@ class ShardedHybridRetriever:
         mesh=None,
         data: int = 1,
         corpus: Optional[int] = None,
-        kernel: Optional[str] = None,  # "xla" | "pallas" | "pallas_fast" | None=auto
+        kernel: Optional[str] = None,  # xla | pallas | pallas_fast | int8 | int4 | None=auto
         rrf_k: float = RRF_K,
         block_size: int = 4096,
         max_postings_per_term: Optional[int] = None,
@@ -215,10 +215,10 @@ class ShardedHybridRetriever:
                 kernel = "int8"
             else:
                 kernel = "pallas"
-        if kernel not in ("xla", "pallas", "pallas_fast", "int8"):
+        if kernel not in ("xla", "pallas", "pallas_fast", "int8", "int4"):
             raise ValueError(
                 f"unknown kernel {kernel!r} (expected xla | pallas | "
-                "pallas_fast | int8)"
+                "pallas_fast | int8 | int4)"
             )
         self.kernel = kernel
         self.rrf_k = rrf_k
@@ -235,8 +235,8 @@ class ShardedHybridRetriever:
 
         # Shard-even corpus padding. The fast kernels prefer aligned shards
         # so their block/super size divides the shard (no in-jit re-pad):
-        # 512 for pallas_fast, the 16,384-column turbo unit for int8.
-        if kernel == "int8":
+        # 512 for pallas_fast, the 16,384-column turbo unit for int8/int4.
+        if kernel in ("int8", "int4"):
             from openintel_tpu.ops.pallas.dense_topk import _TURBO_UNIT
 
             align = self.n_shards * _TURBO_UNIT
@@ -263,6 +263,24 @@ class ShardedHybridRetriever:
             # per-shard exact rescore, both corpus-sharded
             self._emb = jax.device_put(
                 jnp.asarray(np.ascontiguousarray(quantize_int8(emb).T)),
+                NamedSharding(self.mesh, P(None, CORPUS_AXIS)),
+            )
+            self._rescore = jax.device_put(
+                jnp.asarray(emb),
+                NamedSharding(self.mesh, P(CORPUS_AXIS, None)),
+            )
+        elif kernel == "int4":
+            from openintel_tpu.ops.pallas.dense_topk import (
+                pack_corpus_t_i4,
+                quantize_int4,
+            )
+
+            # nibble-packed transposed candidates (two docs per byte
+            # column — emb is already turbo-unit aligned, so pack adds no
+            # further padding and byte columns shard evenly) +
+            # full-precision rows for the per-shard exact rescore
+            self._emb = jax.device_put(
+                jnp.asarray(pack_corpus_t_i4(quantize_int4(emb).T)),
                 NamedSharding(self.mesh, P(None, CORPUS_AXIS)),
             )
             self._rescore = jax.device_put(
@@ -350,7 +368,7 @@ class ShardedHybridRetriever:
                 q_np = np.concatenate(
                     [q_np, np.zeros((pad, q_np.shape[1]), np.float32)]
                 )
-            if self.kernel == "int8":
+            if self.kernel in ("int8", "int4"):
                 from openintel_tpu.ops.pallas.dense_topk import quantize_int8
 
                 q8 = jnp.asarray(quantize_int8(q_np))

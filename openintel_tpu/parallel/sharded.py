@@ -47,21 +47,24 @@ def _local_dense_topk(
 ):
     """Per-shard dense arm. ``kernel``: "xla" (portable), "pallas" (exact
     fused top-k), "pallas_fast" (bf16 candidate-emission kernel; takes the
-    (D, N_local) transposed layout), "int8" (turbo int8 candidates + exact
-    per-shard f32 rescore over ``rescore_local`` rows; also takes
-    ``q_i8_local`` quantised queries). ``interpret`` runs the Pallas kernels
-    in interpreter mode (hermetic CPU-mesh tests)."""
+    (D, N_local) transposed layout), "int8" / "int4" (turbo quantised
+    candidates + exact per-shard f32 rescore over ``rescore_local`` rows;
+    also take ``q_i8_local`` quantised queries — int4 additionally stores
+    the shard nibble-packed, two docs per byte column). ``interpret`` runs
+    the Pallas kernels in interpreter mode (hermetic CPU-mesh tests)."""
     if kernel == "xla":
         return dense_topk_xla(emb_local, q_local, k, block_size)
     # Delegate to THE single-chip dense-arm dispatch (models.retrievers.
     # dense_arm_topk) so kernel/interpret/capacity handling cannot drift
-    # between the single-chip and sharded serving paths. For "int8" the
-    # rescore runs LOCALLY (ids are shard-local; rows are the local shard)
-    # so the all-gathered candidates already carry exact f32 scores.
+    # between the single-chip and sharded serving paths. For "int8"/"int4"
+    # the rescore runs LOCALLY (ids are shard-local; rows are the local
+    # shard) so the all-gathered candidates already carry exact f32 scores.
     from openintel_tpu.models.retrievers import dense_arm_topk
 
-    transposed = kernel in ("pallas_fast", "int8")
+    transposed = kernel in ("pallas_fast", "int8", "int4")
     n_local = emb_local.shape[1] if transposed else emb_local.shape[0]
+    if kernel == "int4":
+        n_local *= 2  # nibble-packed: two docs per byte column
     return dense_arm_topk(
         "fast" if kernel == "pallas_fast" else kernel,
         emb_local,
@@ -70,10 +73,10 @@ def _local_dense_topk(
         n_docs=n_local,
         interpret=interpret,
         block_c=_fast_block_c(n_local),
-        # None -> single-chip default int8 over-fetch (min(max(2k,32),n));
-        # the hybrid program passes candidates=c to match the single-chip
-        # fused hybrid exactly
-        candidates=candidates if kernel == "int8" else None,
+        # None -> single-chip default quantised over-fetch; the hybrid
+        # program passes candidates=c to match the single-chip fused
+        # hybrid exactly
+        candidates=candidates if kernel in ("int8", "int4") else None,
         rescore_op=rescore_local,
         q8=q_i8_local,
     )
@@ -90,13 +93,16 @@ def _fast_block_c(n_local: int) -> int:
 
 def _emb_spec(kernel: str):
     """Sharding spec for the dense index: (N, D) row-sharded normally; the
-    fast kernels stream the transposed (D, N) layout, column-sharded."""
-    if kernel in ("pallas_fast", "int8"):
+    fast kernels stream the transposed (D, N) layout, column-sharded
+    (int4: (D, N/2) byte columns, still column-sharded)."""
+    if kernel in ("pallas_fast", "int8", "int4"):
         return P(None, CORPUS_AXIS)
     return P(CORPUS_AXIS, None)
 
 
 def _dense_n_docs(doc_emb, kernel: str) -> int:
+    if kernel == "int4":
+        return 2 * doc_emb.shape[1]  # nibble-packed byte columns
     return (
         doc_emb.shape[1]
         if kernel in ("pallas_fast", "int8")
@@ -128,7 +134,7 @@ def sharded_dense_topk(
     n_shards = mesh.shape[CORPUS_AXIS]
     assert n_docs % n_shards == 0, "pad the corpus to shard evenly"
     shard_size = n_docs // n_shards
-    if kernel == "int8":
+    if kernel in ("int8", "int4"):
         assert rescore is not None and queries_i8 is not None
     else:
         # uniform shard_map signature: tiny unused operands
@@ -258,7 +264,7 @@ def sharded_hybrid_topk(
     n_shards = mesh.shape[CORPUS_AXIS]
     assert n_docs % n_shards == 0
     shard_size = n_docs // n_shards
-    if kernel == "int8":
+    if kernel in ("int8", "int4"):
         assert rescore is not None and queries_i8 is not None
     else:
         rescore = jnp.zeros((n_shards, queries.shape[1]), queries.dtype)
@@ -354,7 +360,7 @@ def sharded_hybrid_topk_scan(
     n_shards = mesh.shape[CORPUS_AXIS]
     assert n_docs % n_shards == 0
     shard_size = n_docs // n_shards
-    if kernel == "int8":
+    if kernel in ("int8", "int4"):
         assert rescore is not None and queries_i8 is not None
     else:
         rescore = jnp.zeros((n_shards, queries.shape[2]), queries.dtype)

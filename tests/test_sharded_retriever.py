@@ -369,3 +369,27 @@ def test_scan_path_int8_interpret(corpus):
     got = scanned.search(queries, k=8, candidates_per_arm=16)
     np.testing.assert_array_equal(got.ids, want.ids)
     np.testing.assert_allclose(got.scores, want.scores, rtol=1e-5, atol=1e-6)
+
+
+def test_int4_kernel_sharded_hybrid(corpus):
+    """The nibble-packed int4 path through the sharded component: per-shard
+    int4 candidates + exact local rescore, all-gather merge — near-exact vs
+    single-chip and no packed/padding ids surfacing (corpus pads 1000 ->
+    4 x 16,384 docs; packed shards are (D, 8192) bytes each)."""
+    docs, postings, dense, embedder = corpus
+    sr = ShardedHybridRetriever(
+        postings, dense, embedder, data=2, corpus=4, kernel="int4",
+        interpret=True,
+    )
+    queries = synthetic_queries_from_docs(docs, 4, seed=29)
+    want = HybridRetriever(postings, dense, embedder, use_pallas=False).search(
+        queries, k=10, candidates_per_arm=20
+    )
+    got = sr.search(queries, k=10, candidates_per_arm=20)
+    rec = np.mean([
+        len({i for i in got.ids[b] if i >= 0} & {i for i in want.ids[b] if i >= 0})
+        / max((want.ids[b] >= 0).sum(), 1)
+        for b in range(4)
+    ])
+    assert rec >= 0.9, rec
+    assert got.ids.max() < N
