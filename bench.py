@@ -511,5 +511,29 @@ def _debug_recall_failures(
             )
 
 
+def _main_with_retry() -> None:
+    """One bounded retry on transient tunnel failures.
+
+    The dev tunnel's remote-compile/dispatch endpoint occasionally drops
+    mid-run (observed: UNAVAILABLE 'Connection refused' minutes into an
+    otherwise healthy run). A single retry after a backoff turns a flap
+    into a delay instead of a missing bench artifact; a hard outage still
+    fails loudly on the second attempt."""
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — classify, re-raise non-transient
+        msg = f"{type(e).__name__}: {e}"
+        transient = any(
+            s in msg
+            for s in ("UNAVAILABLE", "Connection refused", "Connection Failed",
+                      "DEADLINE_EXCEEDED", "transport:")
+        )
+        if not transient:
+            raise
+        log(f"transient backend failure, retrying once in 120s: {msg[:300]}")
+        time.sleep(120)
+        main()
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_retry()

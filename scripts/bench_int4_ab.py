@@ -162,5 +162,23 @@ def main() -> int:
     return 0
 
 
+def _main_with_retry() -> int:
+    """Bounded retry on transient tunnel failures (same rationale as
+    bench.py: a relay flap mid-run should cost a delay, not the A/B)."""
+    try:
+        return main()
+    except Exception as e:  # noqa: BLE001
+        msg = f"{type(e).__name__}: {e}"
+        if not any(s in msg for s in (
+            "UNAVAILABLE", "Connection refused", "Connection Failed",
+            "DEADLINE_EXCEEDED", "transport:",
+        )):
+            raise
+        print(f"transient backend failure, retrying once in 120s: "
+              f"{msg[:300]}", flush=True)
+        time.sleep(120)
+        return main()
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(_main_with_retry())
