@@ -189,6 +189,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--encoder", default=None,
                    help="embed with a trained encoder checkpoint dir")
     p.add_argument("--dim", type=int, default=384)
+    p.add_argument(
+        "--kernel", choices=["auto", "xla", "pallas", "fast", "int8", "int4"],
+        default="auto",
+        help="dense-arm kernel to evaluate (auto = the served default)",
+    )
     p.add_argument("--format", choices=["table", "json"], default="table")
 
     p = sub.add_parser(
@@ -772,7 +777,8 @@ def run_evaluate(args) -> tuple[str, int]:
         ("bm25", "dense", "hybrid") if args.mode == "all" else (args.mode,)
     )
     results = evaluate_corpus(
-        texts, qrels, k=args.k, modes=modes, embedder=embedder, dim=args.dim
+        texts, qrels, k=args.k, modes=modes, embedder=embedder, dim=args.dim,
+        kernel=kernel_from_flag(getattr(args, "kernel", "auto")),
     )
     if args.format == "json":
         return json.dumps([r.to_dict() for r in results], indent=2), 0

@@ -139,11 +139,14 @@ def evaluate_corpus(
     modes: Sequence[str] = ("bm25", "dense", "hybrid"),
     embedder=None,
     dim: int = 384,
+    kernel: Optional[str] = None,  # dense-arm kernel (None = auto)
 ) -> list[EvalResult]:
     """Build in-memory retrievers over ``texts`` and evaluate each mode."""
     from openintel_tpu.models.retrievers import HybridRetriever
 
-    hybrid = HybridRetriever.build(texts, embedder=embedder, dim=dim)
+    hybrid = HybridRetriever.build(
+        texts, embedder=embedder, dim=dim, kernel=kernel
+    )
     # reuse the hybrid's own arms: constructing fresh retrievers over the
     # same indexes would repeat the corpus quantise/transpose/upload and
     # hold a second full device copy for the whole eval
