@@ -205,39 +205,19 @@ def main() -> None:
         def body(carry, xs):
             qb, qb8, di, w = xs
             if mode == "dense":
-                if dense_mode == "int8":
-                    from openintel_tpu.ops.pallas.dense_topk import (
-                        dense_topk_fast_i8,
-                        exact_rescore,
-                    )
+                # THE shared dispatcher (models.retrievers.dense_arm_topk):
+                # the arm measured here is definitionally the arm the
+                # served fused program runs — including int4's wider
+                # candidate fetch — so the per-arm figure cannot drift
+                # from the headline's dense stage.
+                from openintel_tpu.models.retrievers import dense_arm_topk
 
-                    _, cids = dense_topk_fast_i8(
-                        emb_op, qb8, k=c_arm,
-                        block_c=8192 if batch >= 128 else 4096,
-                        n_docs=n_docs, interpret=not on_tpu,
-                    )
-                    vals, ids = exact_rescore(rescore_op, qb, cids, c_arm)
-                elif dense_mode == "fast":
-                    from openintel_tpu.ops.pallas.dense_topk import (
-                        dense_topk_fast,
-                    )
-
-                    vals, ids = dense_topk_fast(
-                        emb_op, qb, k=c_arm, n_docs=n_docs,
-                        interpret=not on_tpu,
-                    )
-                elif dense_mode == "pallas":
-                    from openintel_tpu.ops.pallas.dense_topk import (
-                        dense_topk_pallas,
-                    )
-
-                    vals, ids = dense_topk_pallas(
-                        emb_op, qb, k=c_arm, interpret=not on_tpu
-                    )
-                else:
-                    from openintel_tpu.ops.dense import dense_topk_xla
-
-                    vals, ids = dense_topk_xla(emb_op, qb, c_arm)
+                vals, ids = dense_arm_topk(
+                    dense.kernel, emb_op, qb, c_arm,
+                    n_docs=n_docs, interpret=not on_tpu,
+                    block_c=8192 if batch >= 128 else 4096,
+                    candidates=c_arm, rescore_op=rescore_op, q8=qb8,
+                )
             else:
                 vals, ids = bm25_topk_device(
                     di, w, n_docs, c_arm,
@@ -252,7 +232,7 @@ def main() -> None:
 
     rescore_op = (
         dense._rescore_emb
-        if dense_mode == "int8"
+        if dense_mode in ("int8", "int4")
         else jnp.zeros((1, dim), jnp.float32)
     )
 
