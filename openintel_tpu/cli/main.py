@@ -170,6 +170,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--analyzer", action="store_true",
         help="also distill the lexicon analyzer into a neural head",
     )
+    p.add_argument(
+        "--mesh", default=None, metavar="DxM",
+        help="train over a device mesh: data x model ('2x4'); params go "
+        "tensor-parallel (Megatron split) over the model axis, batches "
+        "data-parallel; requires that many devices",
+    )
 
     p = sub.add_parser(
         "evaluate", help="retrieval quality (recall@k / MRR) against labels"
@@ -669,16 +675,31 @@ def run_train(args) -> tuple[str, int]:
         return "error: corpus is empty", 1
     logs: list[str] = []
     cfg = EncoderConfig(dim=args.dim, depth=args.depth, heads=args.heads)
-    res = train_encoder(
-        texts,
-        cfg,
-        steps=args.steps,
-        batch_size=args.batch_size,
-        lr=args.lr,
-        seed=args.seed,
-        ckpt_dir=args.out,
-        log=logs.append,
-    )
+    mesh = None
+    if getattr(args, "mesh", None):
+        from openintel_tpu.parallel.mesh import make_mesh
+        from openintel_tpu.parallel.retriever import parse_mesh_spec
+
+        try:
+            data, model = parse_mesh_spec(args.mesh)
+            mesh = make_mesh(data=data, corpus=model)
+        except ValueError as e:
+            return f"error: --mesh {args.mesh}: {e}", 1
+        logs.append(f"mesh: data={data} x model={model}")
+    try:
+        res = train_encoder(
+            texts,
+            cfg,
+            steps=args.steps,
+            batch_size=args.batch_size,
+            lr=args.lr,
+            seed=args.seed,
+            ckpt_dir=args.out,
+            log=logs.append,
+            mesh=mesh,
+        )
+    except ValueError as e:
+        return f"error: {e}", 1
     logs.append(
         f"trained to step {res.step} on {len(texts)} docs; "
         f"final loss {res.losses[-1]:.4f}" if res.losses else

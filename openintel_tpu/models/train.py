@@ -77,8 +77,16 @@ def train_encoder(
     ckpt_dir: Optional[str | Path] = None,
     ckpt_every: int = 25,
     log: Optional[Callable[[str], None]] = None,
+    mesh=None,  # ("data", "corpus") Mesh -> DP batch x TP params
 ) -> TrainResult:
-    """Train (or resume) the encoder; returns final params + loss history."""
+    """Train (or resume) the encoder; returns final params + loss history.
+
+    With ``mesh``, params lay out tensor-parallel over the "corpus" axis
+    (Megatron qkv/mlp split, ``encoder.param_partition_specs``) and batches
+    data-parallel over "data"; the step stays the plain jitted global
+    program — XLA derives the collectives from the input shardings (same
+    discipline as the sharded retriever). AdamW moments shard exactly like
+    the params they mirror, so resume works identically on a mesh."""
     import optax
 
     cfg = cfg or EncoderConfig()
@@ -99,6 +107,47 @@ def train_encoder(
         if log:
             log(f"resumed from step {start_step}")
 
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from openintel_tpu.models.encoder import param_partition_specs
+
+        msize, dsize = int(mesh.shape["corpus"]), int(mesh.shape["data"])
+        if cfg.heads % msize or (4 * cfg.dim) % msize:
+            raise ValueError(
+                f"model axis {msize} must divide heads ({cfg.heads}) and "
+                f"4*dim ({4 * cfg.dim})"
+            )
+        if batch_size % dsize:
+            raise ValueError(
+                f"batch size {batch_size} must divide by the data axis "
+                f"({dsize})"
+            )
+        specs = param_partition_specs(cfg, model_axis="corpus")
+
+        def put(tree):
+            return jax.tree_util.tree_map(
+                lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+                tree, specs,
+            )
+
+        params = put(params)
+        rep = NamedSharding(mesh, P())
+        # optax.adamw state = (ScaleByAdamState(count, mu, nu), *empty);
+        # mu/nu mirror the param pytree -> shard identically (this is what
+        # makes RESUME correct on a mesh, not just fresh runs)
+        adam, *rest = opt_state
+        opt_state = (
+            adam._replace(
+                count=jax.device_put(adam.count, rep),
+                mu=put(adam.mu),
+                nu=put(adam.nu),
+            ),
+            *rest,
+        )
+        batch_sharding = NamedSharding(mesh, P("data", None))
+
     @jax.jit
     def step_fn(params, opt_state, batch):
         loss, grads = jax.value_and_grad(info_nce_loss)(params, cfg, *batch)
@@ -116,6 +165,8 @@ def train_encoder(
     step = start_step
     for step in range(start_step, steps):
         batch = make_pairs(texts, embedder, batch_size, rng)
+        if batch_sharding is not None:
+            batch = tuple(jax.device_put(x, batch_sharding) for x in batch)
         params, opt_state, loss = step_fn(params, opt_state, batch)
         losses.append(float(loss))
         if log and (step % 10 == 0 or step == steps - 1):

@@ -118,3 +118,42 @@ def test_contrastive_training_generalises_past_lexical_overlap():
     # co-occurrence structure can beat it
     assert p_after > p_before + 0.2, (p_before, p_after)
     assert p_after >= 0.6, (p_before, p_after)
+
+
+def test_mesh_training_matches_single_chip(tmp_path):
+    """DP x TP training over the virtual 8-device mesh: the jitted global
+    program with sharded inputs must follow the single-chip loss trajectory
+    (same math, XLA-derived collectives; f32 reduction-order tolerance),
+    and the gathered checkpoint must resume on a single chip."""
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from openintel_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=2, corpus=4)
+    # heads=2 not divisible by model axis 4 -> clean error
+    try:
+        train_encoder(TEXTS, CFG, steps=1, batch_size=4, mesh=mesh)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+    cfg = EncoderConfig(vocab_size=256, dim=32, depth=1, heads=4, max_len=16)
+    single = train_encoder(TEXTS, cfg, steps=8, batch_size=4, lr=3e-3, seed=5)
+    meshed = train_encoder(
+        TEXTS, cfg, steps=8, batch_size=4, lr=3e-3, seed=5,
+        mesh=mesh, ckpt_dir=tmp_path, ckpt_every=100,
+    )
+    np.testing.assert_allclose(
+        np.asarray(meshed.losses), np.asarray(single.losses),
+        rtol=2e-3, atol=2e-4,
+    )
+    # gathered checkpoint resumes single-chip (and on-mesh)
+    logs = []
+    res = train_encoder(
+        TEXTS, cfg, steps=10, batch_size=4, lr=3e-3, seed=5,
+        ckpt_dir=tmp_path, ckpt_every=100, log=logs.append,
+    )
+    assert any("resumed from step 8" in m for m in logs)
+    assert len(res.losses) == 2
