@@ -822,18 +822,46 @@ def run_doctor(args) -> tuple[str, int]:
     lines = [f"openintel-tpu {openintel_tpu.__version__}"]
     ok = True
 
+    import os
+
     import jax
 
-    try:
-        devices = jax.devices()
+    # Probe backend init on a daemon thread with a deadline: a half-dead
+    # remote-TPU tunnel HANGS device init in native code (no exception to
+    # catch, SIGINT-immune) — and a doctor that hangs is useless exactly
+    # when the user needs the diagnosis.
+    import threading
+
+    probe: dict = {}
+
+    def _probe():
+        try:
+            probe["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 — reported, not raised
+            probe["error"] = e
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(timeout=float(os.environ.get("OPENINTEL_DOCTOR_TIMEOUT", "20")))
+    backend_up = "devices" in probe
+    if backend_up:
+        devices = probe["devices"]
         lines.append(
             f"jax {jax.__version__} — backend {jax.default_backend()}, "
             f"{len(devices)} device(s): "
             + ", ".join(d.device_kind for d in devices[:4])
             + (" …" if len(devices) > 4 else "")
         )
-    except Exception as e:
-        lines.append(f"jax backend UNAVAILABLE: {e}")
+    elif t.is_alive():
+        lines.append(
+            "jax backend HUNG (device init did not return within the "
+            "deadline) — remote-TPU tunnel down or unresponsive? "
+            "(JAX_PLATFORMS="
+            f"{os.environ.get('JAX_PLATFORMS', 'unset')!r})"
+        )
+        ok = False
+    else:
+        lines.append(f"jax backend UNAVAILABLE: {probe.get('error')}")
         ok = False
 
     from openintel_tpu import native
@@ -859,11 +887,18 @@ def run_doctor(args) -> tuple[str, int]:
     else:
         lines.append("compile cache: disabled")
 
-    kernel = (
-        "int8 turbo + exact rescore (TPU, >=100k docs; exact pallas below)"
-        if jax.default_backend() not in ("cpu",)
-        else "xla (CPU host — Pallas kernels in interpreter mode for tests)"
-    )
+    # jax.default_backend() would block on the SAME hung init as the probe
+    # thread — every backend query below must gate on the probe result.
+    if backend_up:
+        kernel = (
+            "int8 turbo + exact rescore (TPU, >=100k docs; exact pallas "
+            "below)"
+            if jax.default_backend() not in ("cpu",)
+            else "xla (CPU host — Pallas kernels in interpreter mode for "
+            "tests)"
+        )
+    else:
+        kernel = "unknown (backend unavailable)"
     lines.append(f"default dense kernel: {kernel}")
 
     if args.index:

@@ -38,7 +38,11 @@ import numpy as np
 from openintel_tpu.index.schema import PostingsIndex
 from openintel_tpu.ops.tokenizer import tokenize
 
-NEG_INF = jnp.float32(-jnp.inf)
+# Host float, NOT jnp.float32(...): a module-level device scalar would
+# initialize jax's backend at import time (measured: importing the CLI
+# dialed the remote-TPU tunnel before argparse even ran, and hung when
+# the tunnel was down). Library import must never touch a backend.
+NEG_INF = float(-jnp.inf)
 
 
 @dataclass

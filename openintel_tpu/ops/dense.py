@@ -20,7 +20,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-jnp.inf)
+# Host float, NOT jnp.float32(...): a module-level device scalar would
+# initialize jax's backend at import time (measured: importing the CLI
+# dialed the remote-TPU tunnel before argparse even ran, and hung when
+# the tunnel was down). Library import must never touch a backend.
+NEG_INF = float(-jnp.inf)
 
 
 def l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:

@@ -22,7 +22,11 @@ import jax
 import jax.numpy as jnp
 
 RRF_K = 60.0
-NEG_INF = jnp.float32(-jnp.inf)
+# Host float, NOT jnp.float32(...): a module-level device scalar would
+# initialize jax's backend at import time (measured: importing the CLI
+# dialed the remote-TPU tunnel before argparse even ran, and hung when
+# the tunnel was down). Library import must never touch a backend.
+NEG_INF = float(-jnp.inf)
 
 
 @partial(jax.jit, static_argnames=("k", "rrf_k"))
