@@ -950,6 +950,56 @@ def main(argv: Optional[list[str]] = None) -> int:
         return 1
 
 
+#: Subcommands whose hot path runs device programs. Before dispatching
+#: these, backend init is probed with a deadline: a half-dead remote-TPU
+#: tunnel otherwise HANGS first device use in native code (SIGINT-immune,
+#: no exception), and a serving process that hangs instead of failing
+#: cannot be restarted by an orchestrator. Pure-host commands (analyze,
+#: pulse, setup, doctor — which has its own probe) skip the gate.
+_DEVICE_COMMANDS = frozenset(
+    {"scan", "compare", "risk", "search", "index", "train", "evaluate",
+     "mcp"}
+)
+
+
+def ensure_backend_responsive(timeout_s: Optional[float] = None) -> None:
+    """Initialize jax's backend on a daemon thread with a deadline.
+
+    Raises RuntimeError (friendly, actionable) if device init does not
+    return in time. On success, backends are live and every later device
+    call is an ordinary fast path. Override the deadline with
+    OPENINTEL_BACKEND_TIMEOUT seconds (default 120 — generously above a
+    healthy remote-TPU first init, far below "hung forever")."""
+    import os
+    import threading
+
+    import jax
+
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("OPENINTEL_BACKEND_TIMEOUT", "120"))
+    probe: dict = {}
+
+    def _probe():
+        try:
+            probe["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 — re-raised with guidance
+            probe["error"] = e
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(timeout=timeout_s)
+    if "devices" in probe:
+        return
+    if t.is_alive():
+        raise RuntimeError(
+            f"jax backend did not initialize within {timeout_s:.0f}s — "
+            "remote-TPU tunnel down or unresponsive? Run `openintel "
+            "doctor`, or set JAX_PLATFORMS=cpu to serve on the host "
+            "(OPENINTEL_BACKEND_TIMEOUT overrides the deadline)"
+        )
+    raise RuntimeError(f"jax backend unavailable: {probe.get('error')}")
+
+
 def _dispatch(args) -> int:
     if getattr(args, "coordinator", None):
         # multi-host: join the process group BEFORE any jax backend use
@@ -959,6 +1009,15 @@ def _dispatch(args) -> int:
             initialize_from_args(args)
         except (ValueError, RuntimeError) as e:
             print(f"error: --coordinator: {e}", file=sys.stderr)
+            return 1
+    needs_device = args.command in _DEVICE_COMMANDS
+    if args.command == "risk" and len(args.ticker) == 1:
+        needs_device = False  # single-ticker frame is pure host math
+    if needs_device:
+        try:
+            ensure_backend_responsive()
+        except RuntimeError as e:
+            print(f"error: {e}", file=sys.stderr)
             return 1
     if args.command == "analyze":
         out, code = run_analyze(args)
