@@ -276,6 +276,7 @@ def run_server_stats(retriever, coalescer=None) -> dict[str, Any]:
     if coalescer is not None:
         batches = coalescer.batches_run
         queries = coalescer.queries_run
+        oldest = coalescer.oldest_inflight_s()
         out["coalescer"] = {
             "batches_run": batches,
             "queries_run": queries,
@@ -284,6 +285,12 @@ def run_server_stats(retriever, coalescer=None) -> dict[str, Any]:
             ),
             "max_batch": coalescer.max_batch,
             "max_wait_ms": coalescer.max_wait * 1e3,
+            # health: seconds the oldest in-flight device call has been
+            # out (null = idle). Far above normal batch latency => the
+            # backend hung mid-call; orchestrators should restart.
+            "oldest_inflight_s": (
+                round(oldest, 3) if oldest is not None else None
+            ),
         }
     out["summary"] = (
         f"{out['n_docs']} docs via {out['retriever']}"

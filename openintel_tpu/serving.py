@@ -64,6 +64,12 @@ class BatchCoalescer:
         self._flusher: threading.Thread | None = None
         self.batches_run = 0  # observability: fused device calls
         self.queries_run = 0
+        # In-flight device calls keyed by wave id -> start timestamp. A
+        # backend that dies mid-serving hangs the device call in native
+        # code (nothing to catch); an orchestrator health check reads
+        # ``oldest_inflight_s()`` via server_stats to detect the stall —
+        # the stdio loop itself stays responsive (ping is host-only).
+        self._inflight: dict[int, float] = {}
 
     def search(self, queries: Sequence[str], k: int = 10) -> SearchResult:
         """Blocking, thread-safe. Returns this caller's ranked results."""
@@ -74,10 +80,18 @@ class BatchCoalescer:
             )
         if len(queries) >= self.max_batch:
             # already a full wave: run it directly, no queueing latency
+            import time
+
+            token = object()
             with self._lock:
                 self.batches_run += 1
                 self.queries_run += len(queries)
-            return self._search(list(queries), k=k)
+                self._inflight[id(token)] = time.time()
+            try:
+                return self._search(list(queries), k=k)
+            finally:
+                with self._lock:
+                    self._inflight.pop(id(token), None)
         req = _Pending(queries, k)
         with self._lock:
             self._queue.append(req)
@@ -134,12 +148,27 @@ class BatchCoalescer:
             if not more:
                 return
 
+    def oldest_inflight_s(self) -> float | None:
+        """Seconds the longest-running in-flight device call has been out,
+        or None when idle. A value far above normal batch latency means
+        the backend hung mid-call (see module docstring) — surface this
+        through health checks."""
+        import time
+
+        with self._lock:
+            if not self._inflight:
+                return None
+            return time.time() - min(self._inflight.values())
+
     def _run_wave(self, wave: list[_Pending]) -> None:
+        import time
+
         all_q = [q for r in wave for q in r.queries]
         k_max = max(r.k for r in wave)
         with self._lock:
             self.batches_run += 1
             self.queries_run += len(all_q)
+            self._inflight[id(wave)] = time.time()
         try:
             res = self._search(all_q, k=k_max)
         except BaseException as e:  # noqa: BLE001 — delivered to each caller
@@ -147,6 +176,9 @@ class BatchCoalescer:
                 r.error = e
                 r.event.set()
             return
+        finally:  # runs on the except-return path too
+            with self._lock:
+                self._inflight.pop(id(wave), None)
         lo = 0
         for r in wave:
             hi = lo + len(r.queries)

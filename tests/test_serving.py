@@ -158,3 +158,43 @@ def test_fused_waves_never_exceed_max_batch():
     assert all(r is not None and r.ids.shape == (200, 5) for r in results)
     assert sum(sizes) == 400
     assert max(sizes) <= 256, sizes
+
+
+def test_oldest_inflight_tracks_hung_device_calls():
+    """A device call that blocks (backend died mid-serving) must be visible
+    through oldest_inflight_s(); idle coalescers report None — the health
+    signal server_stats exposes for orchestrators."""
+    import threading
+    import time
+
+    import numpy as np
+
+    from openintel_tpu.models.retrievers import SearchResult
+    from openintel_tpu.serving import BatchCoalescer
+
+    release = threading.Event()
+
+    def slow_search(queries, k=10):
+        release.wait(timeout=10)
+        n = len(queries)
+        return SearchResult(
+            ids=np.zeros((n, k), np.int32),
+            scores=np.zeros((n, k), np.float32),
+        )
+
+    co = BatchCoalescer(slow_search, max_batch=4, max_wait_ms=1.0)
+    assert co.oldest_inflight_s() is None
+    t = threading.Thread(
+        target=lambda: co.search(["a", "b", "c", "d"], k=3), daemon=True
+    )
+    t.start()
+    deadline = time.time() + 5
+    while co.oldest_inflight_s() is None and time.time() < deadline:
+        time.sleep(0.01)
+    stuck = co.oldest_inflight_s()
+    assert stuck is not None and stuck >= 0
+    time.sleep(0.05)
+    assert co.oldest_inflight_s() > stuck  # grows while hung
+    release.set()
+    t.join(timeout=5)
+    assert co.oldest_inflight_s() is None  # cleared on completion
