@@ -681,8 +681,15 @@ def run_train(args) -> tuple[str, int]:
         from openintel_tpu.parallel.retriever import parse_mesh_spec
 
         try:
+            import jax
+
             data, model = parse_mesh_spec(args.mesh)
-            mesh = make_mesh(data=data, corpus=model)
+            # a mesh smaller than the host's device count is fine: take
+            # the first data*model devices (same rule as search --mesh)
+            mesh = make_mesh(
+                data=data, corpus=model,
+                devices=jax.devices()[: data * model],
+            )
         except ValueError as e:
             return f"error: --mesh {args.mesh}: {e}", 1
         logs.append(f"mesh: data={data} x model={model}")
