@@ -274,3 +274,32 @@ def test_doctor_reports_environment(tmp_path, capsys):
 
     out, code = run_cli(capsys, "doctor", "--index", str(tmp_path / "nope"))
     assert code == 1 and "INVALID" in out
+
+
+def test_device_commands_fail_fast_when_backend_unresponsive(
+    capsys, monkeypatch
+):
+    """The dispatch gate routes device-path commands through
+    ensure_backend_responsive; pure-host commands must skip it (they keep
+    working with the accelerator stack dead — serving-resilience spec)."""
+    import openintel_tpu.cli.main as m
+
+    def hung(timeout_s=None):
+        raise RuntimeError("jax backend did not initialize within 1s")
+
+    monkeypatch.setattr(m, "ensure_backend_responsive", hung)
+    code = m.main(["scan", "AAPL", "MSFT", "--offline"])
+    err = capsys.readouterr().err
+    assert code == 1 and "did not initialize" in err
+
+    # batch risk gates; single-ticker risk is pure host math and must not
+    out, code = run_cli(capsys, "risk", "NVDA", "--budget", "200",
+                        "--offline")
+    assert code == 0 and "Risk frame" in out
+    code = m.main(["risk", "NVDA", "AMD", "--budget", "200", "--offline"])
+    err = capsys.readouterr().err
+    assert code == 1 and "did not initialize" in err
+
+    # analyze never gates
+    out, code = run_cli(capsys, "analyze", "AAPL", "--offline")
+    assert code == 0 and "OpenIntel" in out
