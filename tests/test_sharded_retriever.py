@@ -393,3 +393,23 @@ def test_int4_kernel_sharded_hybrid(corpus):
     ])
     assert rec >= 0.9, rec
     assert got.ids.max() < N
+
+
+def test_scan_path_int4_interpret(corpus):
+    """The scanned one-dispatch sharded program composed with the int4
+    nibble-packed kernel (interpret mode): identical to the per-batch
+    int4 path — same discipline as the int8 scan test."""
+    docs, postings, dense, embedder = corpus
+    queries = synthetic_queries_from_docs(docs, 6, seed=57)
+    per_batch = ShardedHybridRetriever(
+        postings, dense, embedder, data=1, corpus=4, kernel="int4",
+        device_batch=256,
+    )
+    scanned = ShardedHybridRetriever(
+        postings, dense, embedder, data=1, corpus=4, kernel="int4",
+        device_batch=3,
+    )
+    want = per_batch.search(queries, k=6, candidates_per_arm=12)
+    got = scanned.search(queries, k=6, candidates_per_arm=12)
+    np.testing.assert_array_equal(got.ids, want.ids)
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-5, atol=1e-6)
