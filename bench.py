@@ -492,27 +492,11 @@ def _debug_recall_failures(
 
 
 def _main_with_retry() -> None:
-    """One bounded retry on transient tunnel failures.
+    """One bounded retry on transient tunnel failures (shared classifier:
+    openintel_tpu.utils.retry; a flap costs a backoff, not the artifact)."""
+    from openintel_tpu.utils.retry import run_with_transient_retry
 
-    The dev tunnel's remote-compile/dispatch endpoint occasionally drops
-    mid-run (observed: UNAVAILABLE 'Connection refused' minutes into an
-    otherwise healthy run). A single retry after a backoff turns a flap
-    into a delay instead of a missing bench artifact; a hard outage still
-    fails loudly on the second attempt."""
-    try:
-        main()
-    except Exception as e:  # noqa: BLE001 — classify, re-raise non-transient
-        msg = f"{type(e).__name__}: {e}"
-        transient = any(
-            s in msg
-            for s in ("UNAVAILABLE", "Connection refused", "Connection Failed",
-                      "DEADLINE_EXCEEDED", "transport:")
-        )
-        if not transient:
-            raise
-        log(f"transient backend failure, retrying once in 120s: {msg[:300]}")
-        time.sleep(120)
-        main()
+    run_with_transient_retry(main, backoff_s=120.0, log=log)
 
 
 if __name__ == "__main__":

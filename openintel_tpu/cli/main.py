@@ -833,42 +833,28 @@ def run_doctor(args) -> tuple[str, int]:
 
     import jax
 
-    # Probe backend init on a daemon thread with a deadline: a half-dead
-    # remote-TPU tunnel HANGS device init in native code (no exception to
-    # catch, SIGINT-immune) — and a doctor that hangs is useless exactly
-    # when the user needs the diagnosis.
-    import threading
-
-    probe: dict = {}
-
-    def _probe():
-        try:
-            probe["devices"] = jax.devices()
-        except Exception as e:  # noqa: BLE001 — reported, not raised
-            probe["error"] = e
-
-    t = threading.Thread(target=_probe, daemon=True)
-    t.start()
-    t.join(timeout=float(os.environ.get("OPENINTEL_DOCTOR_TIMEOUT", "20")))
-    backend_up = "devices" in probe
+    # The shared backend probe (same implementation and deadline as the
+    # dispatch gate — a doctor that hangs, or that calls HUNG what the
+    # gate then accepts, is useless exactly when the user needs it).
+    devices, error, hung = probe_backend()
+    backend_up = devices is not None
     if backend_up:
-        devices = probe["devices"]
         lines.append(
             f"jax {jax.__version__} — backend {jax.default_backend()}, "
             f"{len(devices)} device(s): "
             + ", ".join(d.device_kind for d in devices[:4])
             + (" …" if len(devices) > 4 else "")
         )
-    elif t.is_alive():
+    elif hung:
         lines.append(
-            "jax backend HUNG (device init did not return within the "
-            "deadline) — remote-TPU tunnel down or unresponsive? "
-            "(JAX_PLATFORMS="
+            "jax backend HUNG (device init did not return within "
+            f"{backend_probe_timeout_s():.0f}s) — remote-TPU tunnel down "
+            "or unresponsive? (JAX_PLATFORMS="
             f"{os.environ.get('JAX_PLATFORMS', 'unset')!r})"
         )
         ok = False
     else:
-        lines.append(f"jax backend UNAVAILABLE: {probe.get('error')}")
+        lines.append(f"jax backend UNAVAILABLE: {error}")
         ok = False
 
     from openintel_tpu import native
@@ -884,8 +870,6 @@ def run_doctor(args) -> tuple[str, int]:
             "native tier: NOT built — Python fallbacks active "
             "(run `python -c \"from openintel_tpu import native; native.build()\"`)"
         )
-
-    import os
 
     cache = jax.config.jax_compilation_cache_dir
     if cache:
@@ -969,42 +953,69 @@ _DEVICE_COMMANDS = frozenset(
 )
 
 
-def ensure_backend_responsive(timeout_s: Optional[float] = None) -> None:
+def backend_probe_timeout_s() -> float:
+    """One deadline for every backend probe (gate AND doctor — different
+    defaults would make doctor misdiagnose a healthy-but-slow tunnel the
+    gate then accepts). OPENINTEL_DOCTOR_TIMEOUT is honored as a legacy
+    alias; OPENINTEL_BACKEND_TIMEOUT wins."""
+    import os
+
+    v = os.environ.get("OPENINTEL_BACKEND_TIMEOUT") or os.environ.get(
+        "OPENINTEL_DOCTOR_TIMEOUT"
+    )
+    # default 120 — generously above a healthy remote-TPU first init,
+    # far below "hung forever"
+    return float(v) if v else 120.0
+
+
+def probe_backend(timeout_s: Optional[float] = None):
     """Initialize jax's backend on a daemon thread with a deadline.
 
-    Raises RuntimeError (friendly, actionable) if device init does not
-    return in time. On success, backends are live and every later device
-    call is an ordinary fast path. Override the deadline with
-    OPENINTEL_BACKEND_TIMEOUT seconds (default 120 — generously above a
-    healthy remote-TPU first init, far below "hung forever")."""
-    import os
+    Returns ``(devices, error, hung)`` — exactly one of the three is
+    truthy. On success, backends are live and every later device call is
+    an ordinary fast path; on ``hung`` the daemon thread is abandoned
+    (it blocks in native code no signal reaches) and dies with the
+    process. The ONE probe implementation: the dispatch gate and doctor
+    must never drift (docs/specs/serving-resilience.md)."""
     import threading
 
     import jax
 
     if timeout_s is None:
-        timeout_s = float(os.environ.get("OPENINTEL_BACKEND_TIMEOUT", "120"))
+        timeout_s = backend_probe_timeout_s()
     probe: dict = {}
 
     def _probe():
         try:
             probe["devices"] = jax.devices()
-        except Exception as e:  # noqa: BLE001 — re-raised with guidance
+        except Exception as e:  # noqa: BLE001 — returned, caller decides
             probe["error"] = e
 
     t = threading.Thread(target=_probe, daemon=True)
     t.start()
     t.join(timeout=timeout_s)
     if "devices" in probe:
-        return
+        return probe["devices"], None, False
     if t.is_alive():
+        return None, None, True
+    return None, probe.get("error"), False
+
+
+def ensure_backend_responsive(timeout_s: Optional[float] = None) -> None:
+    """Raise RuntimeError (friendly, actionable) if device init does not
+    return within the deadline; no-op once backends are live."""
+    if timeout_s is None:
+        timeout_s = backend_probe_timeout_s()
+    _, error, hung = probe_backend(timeout_s)
+    if hung:
         raise RuntimeError(
             f"jax backend did not initialize within {timeout_s:.0f}s — "
             "remote-TPU tunnel down or unresponsive? Run `openintel "
             "doctor`, or set JAX_PLATFORMS=cpu to serve on the host "
             "(OPENINTEL_BACKEND_TIMEOUT overrides the deadline)"
         )
-    raise RuntimeError(f"jax backend unavailable: {probe.get('error')}")
+    if error is not None:
+        raise RuntimeError(f"jax backend unavailable: {error}")
 
 
 def _dispatch(args) -> int:

@@ -86,7 +86,7 @@ class BatchCoalescer:
             with self._lock:
                 self.batches_run += 1
                 self.queries_run += len(queries)
-                self._inflight[id(token)] = time.time()
+                self._inflight[id(token)] = time.monotonic()
             try:
                 return self._search(list(queries), k=k)
             finally:
@@ -158,7 +158,9 @@ class BatchCoalescer:
         with self._lock:
             if not self._inflight:
                 return None
-            return time.time() - min(self._inflight.values())
+            # monotonic: an NTP step or suspend/resume must not distort
+            # the signal orchestrators restart on
+            return time.monotonic() - min(self._inflight.values())
 
     def _run_wave(self, wave: list[_Pending]) -> None:
         import time
@@ -168,7 +170,7 @@ class BatchCoalescer:
         with self._lock:
             self.batches_run += 1
             self.queries_run += len(all_q)
-            self._inflight[id(wave)] = time.time()
+            self._inflight[id(wave)] = time.monotonic()
         try:
             res = self._search(all_q, k=k_max)
         except BaseException as e:  # noqa: BLE001 — delivered to each caller

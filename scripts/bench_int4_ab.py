@@ -171,21 +171,13 @@ def main() -> int:
 
 
 def _main_with_retry() -> int:
-    """Bounded retry on transient tunnel failures (same rationale as
-    bench.py: a relay flap mid-run should cost a delay, not the A/B)."""
-    try:
-        return main()
-    except Exception as e:  # noqa: BLE001
-        msg = f"{type(e).__name__}: {e}"
-        if not any(s in msg for s in (
-            "UNAVAILABLE", "Connection refused", "Connection Failed",
-            "DEADLINE_EXCEEDED", "transport:",
-        )):
-            raise
-        print(f"transient backend failure, retrying once in 120s: "
-              f"{msg[:300]}", flush=True)
-        time.sleep(120)
-        return main()
+    """Bounded retry on transient tunnel failures (shared classifier:
+    openintel_tpu.utils.retry — same rationale as bench.py)."""
+    from openintel_tpu.utils.retry import run_with_transient_retry
+
+    return run_with_transient_retry(
+        main, backoff_s=120.0, log=lambda m: print(m, flush=True)
+    )
 
 
 if __name__ == "__main__":
