@@ -88,8 +88,20 @@ def build_query_plan(
     multi_budget: int = 256,
     sort: bool = True,
     use_native: bool = True,
+    doc_mask: np.ndarray | None = None,
 ) -> QueryPlan:
     """Assemble the padded (doc_id, weight) plan for a batch of queries.
+
+    ``doc_mask`` (bool (n_docs,)) builds a FILTERED plan: masked docs never
+    enter it, so the device reduction natively searches the filtered corpus
+    (weights keep full-corpus idf — the filter restricts candidates, it does
+    not re-normalise the index). Pruning stays EXACT on the filtered corpus:
+    each term keeps its top-M *unmasked* impacts (the impact-descending
+    permutation walked under the mask — identical (-impact, doc asc)
+    tie-breaking as the unfiltered path), and multi-term forcing scores only
+    unmasked docs, so the pruned-exactness argument above holds verbatim
+    with "corpus" read as "filtered corpus". Filtered plans route through
+    this NumPy builder (the C++ planner is mask-unaware, v1).
 
     ``max_postings_per_term`` enables impact-ordered pruning: each term
     contributes only its top-M postings by impact (bounds the plan width for
@@ -117,6 +129,33 @@ def build_query_plan(
     (native/planner.cpp — identical candidate sets, ~20x faster per query)
     when the shared library is built; the NumPy path below is the reference
     implementation and the fallback."""
+    if doc_mask is not None:
+        doc_mask = np.asarray(doc_mask, dtype=bool)
+        if doc_mask.shape != (index.n_docs,):
+            raise ValueError(
+                f"doc_mask shape {doc_mask.shape} != ({index.n_docs},)"
+            )
+        use_native = False  # the C++ planner is mask-unaware (v1)
+
+    def _postings(t: int) -> tuple[np.ndarray, np.ndarray]:
+        ids, imp = index.postings(t)
+        if doc_mask is None:
+            return ids, imp
+        keep = doc_mask[ids]
+        return ids[keep], imp[keep]
+
+    def _pruned(t: int, m: int) -> tuple[np.ndarray, np.ndarray]:
+        if doc_mask is None:
+            return index.pruned_postings(t, m)
+        # top-m UNMASKED postings by impact: walk the impact-descending
+        # permutation under the mask (same tie-breaking as pruned_postings)
+        order = index.ensure_impact_order()
+        lo = int(index.term_offsets[t])
+        hi = int(index.term_offsets[t + 1])
+        sel = order[lo:hi]
+        sel = sel[doc_mask[index.doc_ids[sel]]][:m]
+        return index.doc_ids[sel], index.impact[sel]
+
     if use_native and sort and max_postings_per_term is not None:
         from openintel_tpu import native
 
@@ -159,7 +198,7 @@ def build_query_plan(
         )
         multi_docs = None
         if prune and include_multi_term and len(qtf) > 1:
-            term_data = {t: index.postings(int(t)) for t in qtf}
+            term_data = {t: _postings(int(t)) for t in qtf}
             alldocs = np.concatenate([term_data[t][0] for t in qtf])
             sd = np.sort(alldocs)
             multi_docs = np.unique(sd[1:][sd[1:] == sd[:-1]])
@@ -185,7 +224,7 @@ def build_query_plan(
         parts_w = []
         for t, count in qtf.items():
             if prune:
-                ids, impacts = index.pruned_postings(int(t), max_postings_per_term)
+                ids, impacts = _pruned(int(t), max_postings_per_term)
                 if multi_docs is not None and multi_docs.size:
                     fids, fimp = term_data[t]  # fetched during multi scoring
                     forced = np.flatnonzero(
@@ -195,7 +234,7 @@ def build_query_plan(
                     sel = np.searchsorted(fids, keep)
                     ids, impacts = keep.astype(np.int32), fimp[sel]
             else:
-                ids, impacts = index.postings(int(t))
+                ids, impacts = _postings(int(t))
             parts_ids.append(ids)
             parts_w.append(impacts * (float(index.idf[t]) * count))
         if parts_ids:

@@ -29,6 +29,35 @@ RRF_K = 60.0
 NEG_INF = float(-jnp.inf)
 
 
+@partial(jax.jit, static_argnames=("c",))
+def mask_compact_ranked(
+    ids: jax.Array,  # (B, C) int32 ranked ids, best first; -1 = padding
+    keep: jax.Array,  # (B, C) bool; False entries are filtered out
+    c: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Stable-compact the surviving entries of ranked id lists.
+
+    Returns ((B, c) ids — survivors in their original rank order, -1
+    padded; (B,) int32 survivor counts). Filtering cannot reorder
+    survivors, so the compacted prefix of a filtered ranking IS the
+    ranking of the filtered corpus restricted to this candidate pool —
+    the exactness basis of oversample-then-compact filtered retrieval
+    (docs/specs/filtered-search.md): when survivors >= c, the first c
+    entries are exactly the filtered top-c."""
+    cw = ids.shape[1]
+    pos = jnp.arange(cw, dtype=jnp.int32)[None, :]
+    key = jnp.where(keep, pos, cw + pos)  # survivors first, stable
+    _, compacted = jax.lax.sort(
+        (key, jnp.where(keep, ids, -1)), num_keys=1, dimension=1
+    )
+    surv = jnp.sum(keep.astype(jnp.int32), axis=1)
+    if cw < c:
+        compacted = jnp.pad(
+            compacted, ((0, 0), (0, c - cw)), constant_values=-1
+        )
+    return compacted[:, :c], surv
+
+
 @partial(jax.jit, static_argnames=("k", "rrf_k"))
 def rrf_fuse_device(
     ids_a: jax.Array,  # (B, Ka) int32 ranked ids (rank 1 first); -1 = padding

@@ -55,12 +55,23 @@ def bm25_scores(
 
 
 def bm25_topk(
-    index: PostingsIndex, query_term_ids: Sequence[int], k: int
+    index: PostingsIndex,
+    query_term_ids: Sequence[int],
+    k: int,
+    *,
+    doc_mask: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Ranking contract: only docs matching >= 1 query term rank (scores are
-    strictly positive); short rankings pad with (0.0, -1)."""
+    strictly positive); short rankings pad with (0.0, -1).
+
+    ``doc_mask`` (bool (N,)) defines FILTERED search: docs with mask False
+    never rank, but scores keep the full-corpus statistics (idf) — the
+    filter restricts candidates, it does not re-normalise the index."""
     scores = bm25_scores(index, query_term_ids)
-    masked = np.where(scores > 0.0, scores, -np.inf)
+    valid = scores > 0.0
+    if doc_mask is not None:
+        valid &= np.asarray(doc_mask, dtype=bool)
+    masked = np.where(valid, scores, -np.inf)
     vals, ids = rank_topk(masked, k)
     pad = ~np.isfinite(vals)
     return np.where(pad, 0.0, vals), np.where(pad, -1, ids).astype(np.int32)
@@ -76,9 +87,22 @@ def cosine_scores(embeddings: np.ndarray, queries: np.ndarray) -> np.ndarray:
 
 
 def cosine_topk(
-    embeddings: np.ndarray, queries: np.ndarray, k: int
+    embeddings: np.ndarray,
+    queries: np.ndarray,
+    k: int,
+    *,
+    doc_mask: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    vals, ids = rank_topk(cosine_scores(embeddings, queries), k)
+    scores = cosine_scores(embeddings, queries)
+    if doc_mask is not None:  # filtered search: masked docs never rank
+        scores = np.where(
+            np.asarray(doc_mask, dtype=bool)[None, :], scores, -np.inf
+        )
+    vals, ids = rank_topk(scores, k)
+    if doc_mask is not None:  # pad short (over-filtered) rankings
+        pad = ~np.isfinite(vals)
+        vals = np.where(pad, 0.0, vals).astype(np.float32)
+        ids = np.where(pad, -1, ids).astype(np.int32)
     if np.asarray(queries).ndim == 1:  # single query in, single ranking out
         return vals[0], ids[0]
     return vals, ids
@@ -137,9 +161,14 @@ def hybrid_topk(
     *,
     candidates_per_arm: int | None = None,
     rrf_k: float = RRF_K,
+    doc_mask: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Reference hybrid: BM25 top-c + dense top-c -> RRF -> top-k."""
+    """Reference hybrid: BM25 top-c + dense top-c -> RRF -> top-k.
+
+    With ``doc_mask``, the reference FILTERED hybrid: each arm ranks only
+    unmasked docs (full-corpus idf), then fuses — the oracle for
+    ``HybridRetriever.search(..., filter_mask=...)``."""
     c = candidates_per_arm or k
-    _, bm_ids = bm25_topk(index, query_term_ids, c)
-    _, dn_ids = cosine_topk(embeddings, query_embedding, c)
+    _, bm_ids = bm25_topk(index, query_term_ids, c, doc_mask=doc_mask)
+    _, dn_ids = cosine_topk(embeddings, query_embedding, c, doc_mask=doc_mask)
     return rrf_fuse([bm_ids, dn_ids], k, rrf_k=rrf_k)
