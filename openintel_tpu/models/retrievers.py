@@ -20,8 +20,12 @@ from openintel_tpu.index.schema import BM25Config, DenseIndex, PostingsIndex
 from openintel_tpu.index.build import build_postings_index
 from openintel_tpu.models.embedding import HashingEmbedder
 from openintel_tpu.ops.bm25 import bm25_topk_device, build_query_plan, encode_query
-from openintel_tpu.ops.dense import dense_topk_xla
-from openintel_tpu.ops.fusion import RRF_K, rrf_fuse_device
+from openintel_tpu.ops.dense import (
+    dense_topk_masked_t,
+    dense_topk_xla,
+    dense_topk_xla_masked,
+)
+from openintel_tpu.ops.fusion import RRF_K, mask_compact_ranked, rrf_fuse_device
 
 
 @dataclass
@@ -46,9 +50,84 @@ class PreparedBatch:
     candidates_per_arm: int
     presorted: bool
     max_run: int
+    # Filtered search (None/0 = unfiltered; docs/specs/filtered-search.md):
+    filter_mask: Optional[jax.Array] = None  # (n_docs,) bool device mask
+    n_unmasked: int = 0  # host-side popcount of the mask
+    c_fetch: int = 0  # dense-arm over-fetch width (selectivity-scaled)
 
 
 AUTO_PRUNE_DOCS = 100_000  # corpora above this default to pruned plans
+
+# Filtered search: cap on the dense arm's over-fetch width. 1024 is the
+# widest every kernel supports natively (dense_topk_pallas asserts
+# k <= block_c=1024; the turbo kernels capacity-clamp and -1-pad beyond
+# 128*slots per super). Below ~c/1024 selectivity the filtered program
+# expects starvation and the exact masked fallback takes over — at that
+# selectivity a masked brute-force scan IS the right algorithm anyway.
+FILTER_FETCH_CAP = 1024
+
+
+def filtered_fetch_width(c: int, n_docs: int, n_unmasked: int) -> int:
+    """Dense-arm over-fetch width for a filtered search: enough UNFILTERED
+    candidates that, at the mask's selectivity, >= c survivors are expected
+    with a 2x margin (survival of top-ranked docs is hypergeometric around
+    selectivity * width). Bucketed to powers of two to bound the jit cache;
+    capped at FILTER_FETCH_CAP (beyond it the fallback is cheaper)."""
+    if n_unmasked <= 0:
+        return min(max(c, 1), n_docs)
+    sel = n_unmasked / n_docs
+    want = max(2 * c, int(np.ceil(c / sel)))
+    width = 64
+    while width < want and width < FILTER_FETCH_CAP:
+        width *= 2
+    return min(max(width, c), FILTER_FETCH_CAP, n_docs)
+
+
+def _as_doc_mask(filter_mask, n_docs: int) -> np.ndarray:
+    """Validate/normalise a user filter into a bool (n_docs,) numpy mask."""
+    mask = np.asarray(filter_mask)
+    if mask.dtype != np.bool_:
+        raise TypeError(f"filter_mask must be bool, got {mask.dtype}")
+    if mask.shape != (n_docs,):
+        raise ValueError(f"filter_mask shape {mask.shape} != ({n_docs},)")
+    return mask
+
+
+def make_filter_mask(
+    n_docs: int,
+    *,
+    include_ids: Optional[Sequence[int]] = None,
+    exclude_ids: Optional[Sequence[int]] = None,
+) -> np.ndarray:
+    """Build a (n_docs,) bool doc mask from id lists: start from all docs
+    (or only ``include_ids`` when given), then drop ``exclude_ids``.
+    Out-of-range ids raise — a silent drop would make a filter look
+    applied when it wasn't."""
+    if include_ids is not None:
+        mask = np.zeros(n_docs, dtype=bool)
+        ids = np.asarray(list(include_ids), dtype=np.int64)
+    else:
+        mask = np.ones(n_docs, dtype=bool)
+        ids = None
+    for name, arr, value in (
+        ("include_ids", ids, True),
+        (
+            "exclude_ids",
+            np.asarray(list(exclude_ids), dtype=np.int64)
+            if exclude_ids is not None
+            else None,
+            False,
+        ),
+    ):
+        if arr is None:
+            continue
+        if arr.size and (arr.min() < 0 or arr.max() >= n_docs):
+            raise ValueError(
+                f"{name} out of range [0, {n_docs}): "
+                f"[{arr.min()}, {arr.max()}]"
+            )
+        mask[arr] = value
+    return mask
 
 
 def dense_arm_topk(
@@ -128,13 +207,30 @@ class BM25Retriever:
     def build(cls, texts: Sequence[str], *, config: BM25Config = BM25Config()):
         return cls(build_postings_index(texts, config=config))
 
-    def search(self, queries: Sequence[str], k: int = 10) -> SearchResult:
+    def search(
+        self,
+        queries: Sequence[str],
+        k: int = 10,
+        *,
+        filter_mask=None,
+    ) -> SearchResult:
+        """``filter_mask`` (bool (n_docs,)) restricts results to unmasked
+        docs — EXACT at any selectivity: the plan itself is mask-aware
+        (masked docs never enter it; pruning keeps per-term top-M unmasked
+        impacts), so the device reduction natively searches the filtered
+        corpus. Scores keep full-corpus idf."""
+        doc_mask = (
+            _as_doc_mask(filter_mask, self.index.n_docs)
+            if filter_mask is not None
+            else None
+        )
         term_ids = [encode_query(self.index, q) for q in queries]
         plan = build_query_plan(
             self.index,
             term_ids,
             max_postings_per_term=auto_prune_m(self.index.n_docs, k),
             multi_budget=max(256, k),
+            doc_mask=doc_mask,
         )
         vals, ids = bm25_topk_device(
             plan.doc_ids,
@@ -271,7 +367,29 @@ class DenseRetriever:
             q8=q8,
         )
 
-    def search_embeddings(self, query_emb: np.ndarray, k: int = 10) -> SearchResult:
+    def _masked_topk(self, q: jax.Array, mask_dev: jax.Array, k: int):
+        """EXACT masked dense top-k over whichever corpus copy is resident:
+        the full-precision rescore rows for the quantised kernels (same
+        stored-dtype-doc x f32-query scores as exact_rescore), the
+        transposed streaming copy for kernel="fast", the row-major corpus
+        otherwise. Brute force — the filtered-search fallback arm, and the
+        whole dense arm for DenseRetriever filtered searches."""
+        k = min(k, self.index.n_docs)
+        if self.kernel in ("int8", "int4"):
+            return dense_topk_xla_masked(self._rescore_emb, q, mask_dev, k)
+        if self.kernel == "fast":
+            return dense_topk_masked_t(
+                self._emb_device, q, mask_dev, k, n_docs=self.index.n_docs
+            )
+        return dense_topk_xla_masked(self._emb_device, q, mask_dev, k)
+
+    def search_embeddings(
+        self,
+        query_emb: np.ndarray,
+        k: int = 10,
+        *,
+        filter_mask=None,
+    ) -> SearchResult:
         # int8/int4: f32 queries into the exact rescore (bf16-rounding the
         # query shifts near-ties — see HybridRetriever.prepare)
         dtype = (
@@ -280,11 +398,23 @@ class DenseRetriever:
             else self._emb_device.dtype
         )
         q = jnp.asarray(query_emb, dtype)
-        vals, ids = self._topk(q, k)
+        if filter_mask is not None:
+            mask = _as_doc_mask(filter_mask, self.index.n_docs)
+            vals, ids = self._masked_topk(q, jnp.asarray(mask), k)
+        else:
+            vals, ids = self._topk(q, k)
         return SearchResult(ids=np.asarray(ids), scores=np.asarray(vals))
 
-    def search(self, queries: Sequence[str], k: int = 10) -> SearchResult:
-        return self.search_embeddings(self.embedder(list(queries)), k)
+    def search(
+        self,
+        queries: Sequence[str],
+        k: int = 10,
+        *,
+        filter_mask=None,
+    ) -> SearchResult:
+        return self.search_embeddings(
+            self.embedder(list(queries)), k, filter_mask=filter_mask
+        )
 
 
 class HybridRetriever:
@@ -317,6 +447,7 @@ class HybridRetriever:
         self.rrf_k = rrf_k
         self.device_batch = max(1, device_batch)
         self._fused = self._make_fused()
+        self._fused_filtered = self._make_fused_filtered()
 
     @classmethod
     def build(
@@ -388,6 +519,58 @@ class HybridRetriever:
 
         return fused
 
+    def _make_fused_filtered(self):
+        """Filtered variant of the fused program (one extra mask operand).
+
+        Per sub-batch: the dense arm over-fetches ``c_fetch`` exact
+        candidates, keeps the unmasked ones in rank order
+        (ops/fusion.py::mask_compact_ranked — exact filtered top-c whenever
+        >= c survive), while the BM25 arm needs NO device mask at all: its
+        plan is built mask-aware, so the segmented reduction natively
+        searches the filtered corpus. Also emits per-query dense survivor
+        counts; the host re-runs starved queries (survivors < min(c,
+        n_unmasked)) through the exact masked fallback
+        (``_filtered_fallback``), making the surface exact at ANY
+        selectivity. See docs/specs/filtered-search.md."""
+        kernel = self.dense.kernel
+        interpret = self.dense._interpret
+        rrf_k = self.rrf_k
+
+        import functools
+
+        @functools.partial(
+            jax.jit,
+            static_argnames=(
+                "k", "c", "c_fetch", "n_docs", "presorted", "max_run",
+                "block_c",
+            ),
+        )
+        def fused(emb_op, rescore_op, mask_dev, qbs, qbs8, dis, ws, *, k, c,
+                  c_fetch, n_docs, presorted, max_run, block_c):
+            def body(carry, xs):
+                qb, qb8, di, w = xs
+                _, d_ids = dense_arm_topk(
+                    kernel, emb_op, qb, c_fetch,
+                    n_docs=n_docs, interpret=interpret, block_c=block_c,
+                    candidates=c_fetch, rescore_op=rescore_op, q8=qb8,
+                )
+                keep = jnp.take(mask_dev, jnp.maximum(d_ids, 0)) & (
+                    d_ids >= 0
+                )
+                d_ids_f, d_surv = mask_compact_ranked(d_ids, keep, c)
+                b_vals, b_ids = bm25_topk_device(
+                    di, w, n_docs, c, presorted=presorted, max_run=max_run
+                )
+                vals, ids = rrf_fuse_device(b_ids, d_ids_f, k, rrf_k)
+                return carry, (vals, ids, d_surv)
+
+            _, (vals, ids, surv) = jax.lax.scan(
+                body, jnp.int32(0), (qbs, qbs8, dis, ws)
+            )
+            return vals, ids, surv
+
+        return fused
+
     def _dense_block_c(self, db: int) -> int:
         # measured optimum on v5e: 8192 at production batch, 4096 below
         return 8192 if db >= 128 else 4096
@@ -399,7 +582,13 @@ class HybridRetriever:
         *,
         query_embeddings: Optional[np.ndarray] = None,
         candidates_per_arm: Optional[int] = None,
+        filter_mask=None,
     ) -> SearchResult:
+        """``filter_mask`` (bool (n_docs,); build one with
+        :func:`make_filter_mask`) restricts results to unmasked docs —
+        exact filtered retrieval (each arm ranks the filtered corpus under
+        full-corpus statistics, then fuses; docs/specs/filtered-search.md).
+        """
         b = len(queries)
         if b == 0:
             return SearchResult(
@@ -412,6 +601,7 @@ class HybridRetriever:
         return self.search_prepared(
             term_ids, query_embeddings, k=k,
             candidates_per_arm=candidates_per_arm,
+            filter_mask=filter_mask,
         )
 
     def prepare(
@@ -422,18 +612,26 @@ class HybridRetriever:
         *,
         candidates_per_arm: Optional[int] = None,
         device_batch: Optional[int] = None,
+        filter_mask=None,
     ) -> "PreparedBatch":
         """Host-side query preparation: build the (pruned, presorted) BM25
         plan over ALL queries, chunk everything into device sub-batches,
         and stage the device operands. ``run_prepared`` then executes the
         fused program; ``search`` == ``run_prepared(prepare(...))``.
         ``device_batch`` overrides the instance sub-batch size (bench uses
-        this to measure small-batch scaling through the same surface)."""
+        this to measure small-batch scaling through the same surface).
+        ``filter_mask`` stages a filtered batch: the plan is built
+        mask-aware and the mask rides along as a device operand."""
         index = self.bm25.index
         n_docs = index.n_docs
         b = len(term_ids)
         c = min(candidates_per_arm or k, n_docs)
         k = min(k, n_docs)
+        doc_mask = (
+            _as_doc_mask(filter_mask, n_docs)
+            if filter_mask is not None
+            else None
+        )
         if b == 0:
             dim = self.dense.index.dim
             return PreparedBatch(
@@ -453,6 +651,7 @@ class HybridRetriever:
             term_ids,
             max_postings_per_term=auto_prune_m(n_docs, c),
             multi_budget=max(256, c),
+            doc_mask=doc_mask,
         )
         nb = (b + pad) // db
         w = plan.doc_ids.shape[1]
@@ -480,6 +679,7 @@ class HybridRetriever:
             # full-size zeros array would stage b*dim dead bytes per search)
             qbs8 = jnp.zeros((nb, db, 1), jnp.int8)
             qbs = jnp.asarray(q.reshape(nb, db, dim), dense._emb_device.dtype)
+        n_unmasked = int(doc_mask.sum()) if doc_mask is not None else 0
         return PreparedBatch(
             queries=qbs,
             queries_i8=qbs8,
@@ -490,6 +690,15 @@ class HybridRetriever:
             candidates_per_arm=c,
             presorted=plan.presorted,
             max_run=plan.max_terms,
+            filter_mask=(
+                jnp.asarray(doc_mask) if doc_mask is not None else None
+            ),
+            n_unmasked=n_unmasked,
+            c_fetch=(
+                filtered_fetch_width(c, n_docs, n_unmasked)
+                if doc_mask is not None
+                else 0
+            ),
         )
 
     def rebatch(self, prep: "PreparedBatch", device_batch: int) -> "PreparedBatch":
@@ -515,6 +724,9 @@ class HybridRetriever:
             candidates_per_arm=prep.candidates_per_arm,
             presorted=prep.presorted,
             max_run=prep.max_run,
+            filter_mask=prep.filter_mask,
+            n_unmasked=prep.n_unmasked,
+            c_fetch=prep.c_fetch,
         )
 
     def run_prepared_device(
@@ -524,7 +736,9 @@ class HybridRetriever:
         sub-batch in ``prep`` (a jitted ``lax.scan``). Returns DEVICE
         arrays ((nb, db, k) vals, ids) — for pipelined serving that keeps
         results on-device or overlaps the host copy; ``run_prepared``
-        wraps this with the copy-back."""
+        wraps this with the copy-back. Filtered batches additionally
+        return the dense survivor counts as a third array (consumed by
+        ``run_prepared``'s starvation check)."""
         dense = self.dense
         db = prep.queries.shape[1]
         rescore_op = (
@@ -532,6 +746,23 @@ class HybridRetriever:
             if dense.kernel in ("int8", "int4")
             else jnp.zeros((1, prep.queries.shape[2]), jnp.float32)
         )
+        if prep.filter_mask is not None:
+            return self._fused_filtered(
+                dense._emb_device,
+                rescore_op,
+                prep.filter_mask,
+                prep.queries,
+                prep.queries_i8,
+                prep.plan_doc_ids,
+                prep.plan_weights,
+                k=prep.k,
+                c=prep.candidates_per_arm,
+                c_fetch=prep.c_fetch,
+                n_docs=self.n_docs,
+                presorted=prep.presorted,
+                max_run=prep.max_run,
+                block_c=self._dense_block_c(db),
+            )
         return self._fused(
             dense._emb_device,
             rescore_op,
@@ -547,16 +778,62 @@ class HybridRetriever:
             block_c=self._dense_block_c(db),
         )
 
+    def _filtered_fallback(
+        self, prep: "PreparedBatch", rows: np.ndarray
+    ) -> SearchResult:
+        """EXACT filtered hybrid for the starved queries (flat indices
+        ``rows`` into the padded batch): masked brute-force dense arm over
+        the resident corpus copy (same stored-doc x f32-query scores as the
+        rescore stage) + the already-mask-aware BM25 plan rows + RRF. Runs
+        only when the over-fetch pool under-filled (selectivity below
+        ~c/c_fetch) — correctness never depends on the over-fetch margin."""
+        nb, db = prep.queries.shape[:2]
+        dim = prep.queries.shape[2]
+        w = prep.plan_doc_ids.shape[2]
+        c, k = prep.candidates_per_arm, prep.k
+        q = prep.queries.reshape(nb * db, dim)[rows]
+        d_vals, d_ids = self.dense._masked_topk(q, prep.filter_mask, c)
+        b_vals, b_ids = bm25_topk_device(
+            prep.plan_doc_ids.reshape(nb * db, w)[rows],
+            prep.plan_weights.reshape(nb * db, w)[rows],
+            self.n_docs,
+            c,
+            presorted=prep.presorted,
+            max_run=prep.max_run,
+        )
+        vals, ids = rrf_fuse_device(b_ids, d_ids, k, self.rrf_k)
+        return SearchResult(ids=np.asarray(ids), scores=np.asarray(vals))
+
     def run_prepared(self, prep: "PreparedBatch") -> SearchResult:
-        """``run_prepared_device`` + host copy-back of the (b, k) result."""
+        """``run_prepared_device`` + host copy-back of the (b, k) result.
+
+        Filtered batches: checks the dense survivor counts and re-runs
+        starved queries (pool survivors < min(c, n_unmasked) — possible
+        only at selectivity below ~c/c_fetch) through the exact masked
+        fallback, so filtered search is exact at ANY selectivity."""
         if prep.n_queries == 0:
             return SearchResult(
                 ids=np.zeros((0, prep.k), np.int32),
                 scores=np.zeros((0, prep.k), np.float32),
             )
-        vals, ids = self.run_prepared_device(prep)
         nb, db = prep.queries.shape[:2]
         b, k = prep.n_queries, prep.k
+        if prep.filter_mask is not None:
+            vals, ids, surv = self.run_prepared_device(prep)
+            # np.array (copy): asarray of a device array is read-only and
+            # the starved rows get patched in place below
+            ids_np = np.array(ids).reshape(nb * db, k)
+            vals_np = np.array(vals).reshape(nb * db, k)
+            need = min(prep.candidates_per_arm, prep.n_unmasked)
+            starved = np.flatnonzero(
+                np.asarray(surv).reshape(nb * db)[:b] < need
+            )
+            if starved.size:
+                fb = self._filtered_fallback(prep, starved)
+                ids_np[starved] = fb.ids
+                vals_np[starved] = fb.scores
+            return SearchResult(ids=ids_np[:b], scores=vals_np[:b])
+        vals, ids = self.run_prepared_device(prep)
         return SearchResult(
             ids=np.asarray(ids).reshape(nb * db, k)[:b],
             scores=np.asarray(vals).reshape(nb * db, k)[:b],
@@ -569,6 +846,7 @@ class HybridRetriever:
         k: int = 10,
         *,
         candidates_per_arm: Optional[int] = None,
+        filter_mask=None,
     ) -> SearchResult:
         """The fused search step on pre-encoded queries (term ids +
         embeddings)."""
@@ -576,5 +854,6 @@ class HybridRetriever:
             self.prepare(
                 term_ids, query_embeddings, k=k,
                 candidates_per_arm=candidates_per_arm,
+                filter_mask=filter_mask,
             )
         )
