@@ -133,6 +133,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="dense-arm kernel (auto = int8 turbo + exact rescore on TPU, "
         "xla elsewhere — the benchmarked production config)",
     )
+    p.add_argument(
+        "--include-ids", default=None, metavar="IDS",
+        help="filtered search: only rank these doc ids "
+        "(comma list, ranges ok: '3,10-20,512')",
+    )
+    p.add_argument(
+        "--exclude-ids", default=None, metavar="IDS",
+        help="filtered search: never rank these doc ids "
+        "(comma list, ranges ok; composes with --include-ids)",
+    )
     _distributed_flags(p)
 
     p = sub.add_parser("index", help="build a hybrid index from a corpus file")
@@ -554,6 +564,32 @@ def sharded_kernel_name(kernel: Optional[str]) -> Optional[str]:
     return "pallas_fast" if kernel == "fast" else kernel
 
 
+def parse_id_list(spec: Optional[str]) -> Optional[list[int]]:
+    """'3,10-20,512' -> [3, 10, ..., 20, 512] (ranges inclusive);
+    None/'' -> None. Malformed items raise ValueError with the item."""
+    if not spec:
+        return None
+    out: list[int] = []
+    for item in spec.split(","):
+        item = item.strip()
+        if not item:
+            continue
+        # a range has a '-' AFTER the first char (so '-1' parses as an
+        # int and hits make_filter_mask's out-of-range error, not here)
+        sep = item.find("-", 1)
+        try:
+            if sep > 0:
+                lo, hi = int(item[:sep]), int(item[sep + 1 :])
+                if hi < lo:
+                    raise ValueError
+                out.extend(range(lo, hi + 1))
+            else:
+                out.append(int(item))
+        except ValueError:
+            raise ValueError(f"bad doc-id item {item!r} (want N or A-B)")
+    return out or None
+
+
 def run_search(args) -> tuple[str, int]:
     from pathlib import Path
 
@@ -587,6 +623,24 @@ def run_search(args) -> tuple[str, int]:
 
     queries = args.query
     kernel = kernel_from_flag(getattr(args, "kernel", "auto"))
+    filter_mask = None
+    if getattr(args, "include_ids", None) or getattr(args, "exclude_ids", None):
+        if getattr(args, "mesh", None):
+            return (
+                "error: filtered search (--include-ids/--exclude-ids) is "
+                "single-chip only for now (docs/specs/filtered-search.md)",
+                1,
+            )
+        from openintel_tpu.models.retrievers import make_filter_mask
+
+        try:
+            filter_mask = make_filter_mask(
+                postings.n_docs,
+                include_ids=parse_id_list(args.include_ids),
+                exclude_ids=parse_id_list(args.exclude_ids),
+            )
+        except ValueError as e:
+            return f"error: {e}", 1
     if getattr(args, "mesh", None):
         from openintel_tpu.parallel.retriever import (
             ShardedHybridRetriever,
@@ -605,14 +659,17 @@ def run_search(args) -> tuple[str, int]:
             queries, k=args.k, candidates_per_arm=2 * args.k, mode=args.mode
         )
     elif args.mode == "bm25":
-        res = BM25Retriever(postings).search(queries, k=args.k)
+        res = BM25Retriever(postings).search(
+            queries, k=args.k, filter_mask=filter_mask
+        )
     elif args.mode == "dense":
         res = DenseRetriever(dense, embedder, kernel=kernel).search(
-            queries, k=args.k
+            queries, k=args.k, filter_mask=filter_mask
         )
     else:
         res = HybridRetriever(postings, dense, embedder, kernel=kernel).search(
-            queries, k=args.k, candidates_per_arm=2 * args.k
+            queries, k=args.k, candidates_per_arm=2 * args.k,
+            filter_mask=filter_mask,
         )
 
     if getattr(args, "rerank", None):

@@ -208,6 +208,23 @@ SEARCH_TOOL_SPEC: dict[str, Any] = {
                 "enum": ["hybrid", "bm25", "dense"],
                 "description": "Scoring arm (default hybrid).",
             },
+            "include_ids": {
+                "type": "array",
+                "items": {"type": "integer"},
+                "description": (
+                    "Filtered search: only rank these doc ids "
+                    "(exact at any selectivity; scores keep full-corpus "
+                    "statistics)."
+                ),
+            },
+            "exclude_ids": {
+                "type": "array",
+                "items": {"type": "integer"},
+                "description": (
+                    "Filtered search: never rank these doc ids (e.g. "
+                    "already-seen results; composes with include_ids)."
+                ),
+            },
         },
         "required": ["queries"],
     },

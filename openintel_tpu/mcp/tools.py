@@ -218,7 +218,9 @@ def run_search_corpus(
 
     When the server wires a ``BatchCoalescer`` (production default), hybrid
     searches route through it so concurrent callers fuse into one device
-    batch; the single-arm modes go straight to the retriever."""
+    batch; the single-arm modes go straight to the retriever. Filtered
+    searches (``include_ids``/``exclude_ids``) also bypass the coalescer:
+    the mask is per-call and cannot ride a cross-caller fused batch."""
     queries = list(args.get("queries") or [])
     if not queries:
         raise ValueError("queries must be a non-empty list of strings")
@@ -228,18 +230,34 @@ def run_search_corpus(
     mode = (args.get("mode") or "hybrid").lower()
     if mode not in ("hybrid", "bm25", "dense"):
         raise ValueError("mode must be hybrid, bm25, or dense")
-    if mode == "hybrid" and coalescer is not None:
+    filter_mask = None
+    if args.get("include_ids") is not None or args.get("exclude_ids") is not None:
+        if not hasattr(retriever, "bm25"):
+            raise ValueError(
+                "filtered search is single-chip only for now — this server "
+                "is mesh-sharded (docs/specs/filtered-search.md)"
+            )
+        from openintel_tpu.models.retrievers import make_filter_mask
+
+        filter_mask = make_filter_mask(
+            retriever.n_docs,
+            include_ids=args.get("include_ids"),
+            exclude_ids=args.get("exclude_ids"),
+        )
+    if mode == "hybrid" and coalescer is not None and filter_mask is None:
         res = coalescer.search(queries, k=k)
     elif not hasattr(retriever, "bm25"):
         # mesh-sharded retriever: every arm serves through the one sharded
         # device program (parallel.retriever.ShardedHybridRetriever)
         res = retriever.search(queries, k=k, candidates_per_arm=2 * k, mode=mode)
     elif mode == "bm25":
-        res = retriever.bm25.search(queries, k=k)
+        res = retriever.bm25.search(queries, k=k, filter_mask=filter_mask)
     elif mode == "dense":
-        res = retriever.dense.search(queries, k=k)
+        res = retriever.dense.search(queries, k=k, filter_mask=filter_mask)
     else:
-        res = retriever.search(queries, k=k, candidates_per_arm=2 * k)
+        res = retriever.search(
+            queries, k=k, candidates_per_arm=2 * k, filter_mask=filter_mask
+        )
     reranked = False
     if reranker is not None and docs is not None:
         from openintel_tpu.models.reranker import rerank_search_result

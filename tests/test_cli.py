@@ -303,3 +303,73 @@ def test_device_commands_fail_fast_when_backend_unresponsive(
     # analyze never gates
     out, code = run_cli(capsys, "analyze", "AAPL", "--offline")
     assert code == 0 and "OpenIntel" in out
+
+
+def test_parse_id_list():
+    from openintel_tpu.cli.main import parse_id_list
+
+    assert parse_id_list(None) is None
+    assert parse_id_list("") is None
+    assert parse_id_list("3,5,9") == [3, 5, 9]
+    assert parse_id_list("10-13") == [10, 11, 12, 13]
+    assert parse_id_list("3, 10-12 ,512") == [3, 10, 11, 12, 512]
+    assert parse_id_list("-1") == [-1]  # parses; range check is downstream
+    import pytest
+
+    with pytest.raises(ValueError, match="bad doc-id item"):
+        parse_id_list("3,abc")
+    with pytest.raises(ValueError, match="bad doc-id item"):
+        parse_id_list("9-5")
+
+
+def test_search_filtered_flags(tmp_path, capsys):
+    """--exclude-ids removes a doc from the ranking; --include-ids restricts
+    to a subset; bad specs and --mesh composition fail cleanly."""
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text(
+        "the quick brown fox\n"
+        "lazy dogs sleep all day\n"
+        "market analysis of tech stocks\n"
+        "foxes and dogs living together\n"
+    )
+    out, code = run_cli(
+        capsys, "index", str(corpus), "--out", str(tmp_path / "idx"), "--dim", "64"
+    )
+    assert code == 0
+
+    out, code = run_cli(
+        capsys,
+        "search", "quick fox", "--index", str(tmp_path / "idx"),
+        "-k", "2", "--format", "json", "--exclude-ids", "0",
+    )
+    assert code == 0
+    hits = json.loads(out)[0]["hits"]
+    assert hits and all(h["doc_id"] != 0 for h in hits)
+
+    out, code = run_cli(
+        capsys,
+        "search", "quick fox", "--index", str(tmp_path / "idx"),
+        "-k", "4", "--format", "json", "--include-ids", "1-2",
+    )
+    assert code == 0
+    hits = json.loads(out)[0]["hits"]
+    assert hits and {h["doc_id"] for h in hits} <= {1, 2}
+
+    out, code = run_cli(
+        capsys,
+        "search", "x", "--index", str(tmp_path / "idx"), "--exclude-ids", "abc",
+    )
+    assert code == 1 and "bad doc-id item" in out
+
+    out, code = run_cli(
+        capsys,
+        "search", "x", "--index", str(tmp_path / "idx"), "--exclude-ids", "99",
+    )
+    assert code == 1 and "out of range" in out
+
+    out, code = run_cli(
+        capsys,
+        "search", "x", "--index", str(tmp_path / "idx"),
+        "--mesh", "8", "--exclude-ids", "1",
+    )
+    assert code == 1 and "single-chip only" in out

@@ -285,3 +285,49 @@ def test_run_server_stats():
     assert out["coalescer"]["batches_run"] == 1
     assert out["coalescer"]["max_batch"] == 4
     assert "3 docs" in out["summary"]
+
+
+def test_search_corpus_filtered():
+    """include_ids/exclude_ids give exact filtered retrieval through the MCP
+    tool; filtered calls bypass the coalescer (per-call mask cannot ride a
+    cross-caller batch); mesh-sharded servers reject the filter cleanly."""
+    import pytest
+
+    from openintel_tpu.mcp.tools import run_search_corpus
+    from openintel_tpu.models.retrievers import HybridRetriever
+    from openintel_tpu.serving import BatchCoalescer
+
+    docs = ["the quick brown fox", "lazy dogs sleep", "fox dog fox", "markets"]
+    r = HybridRetriever.build(docs, dim=32)
+    out = run_search_corpus(
+        {"queries": ["quick fox"], "k": 2, "exclude_ids": [0, 2]}, r, docs
+    )
+    hits = out["results"][0]["hits"]
+    assert hits and all(h["doc_id"] not in (0, 2) for h in hits)
+    out = run_search_corpus(
+        {"queries": ["quick fox"], "k": 4, "include_ids": [1, 3]}, r, docs
+    )
+    assert {h["doc_id"] for h in out["results"][0]["hits"]} <= {1, 3}
+
+    co = BatchCoalescer(
+        lambda queries, k=10: r.search(queries, k=k, candidates_per_arm=2 * k),
+        max_batch=8, max_wait_ms=1.0,
+    )
+    run_search_corpus(
+        {"queries": ["quick fox"], "exclude_ids": [0]}, r, docs, None, co
+    )
+    assert co.queries_run == 0  # bypassed
+
+    with pytest.raises(ValueError, match="out of range"):
+        run_search_corpus({"queries": ["x"], "include_ids": [99]}, r, docs)
+
+    class FakeSharded:  # no .bm25 attr => treated as mesh-sharded
+        n_docs = 4
+
+        def search(self, queries, k=10, candidates_per_arm=None, mode="hybrid"):
+            raise AssertionError("must not be called")
+
+    with pytest.raises(ValueError, match="single-chip only"):
+        run_search_corpus(
+            {"queries": ["x"], "exclude_ids": [1]}, FakeSharded(), docs
+        )
