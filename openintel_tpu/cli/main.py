@@ -625,12 +625,6 @@ def run_search(args) -> tuple[str, int]:
     kernel = kernel_from_flag(getattr(args, "kernel", "auto"))
     filter_mask = None
     if getattr(args, "include_ids", None) or getattr(args, "exclude_ids", None):
-        if getattr(args, "mesh", None):
-            return (
-                "error: filtered search (--include-ids/--exclude-ids) is "
-                "single-chip only for now (docs/specs/filtered-search.md)",
-                1,
-            )
         from openintel_tpu.models.retrievers import make_filter_mask
 
         try:
@@ -656,7 +650,8 @@ def run_search(args) -> tuple[str, int]:
         except ValueError as e:
             return f"error: --mesh {args.mesh}: {e}", 1
         res = sharded.search(
-            queries, k=args.k, candidates_per_arm=2 * args.k, mode=args.mode
+            queries, k=args.k, candidates_per_arm=2 * args.k, mode=args.mode,
+            filter_mask=filter_mask,
         )
     elif args.mode == "bm25":
         res = BM25Retriever(postings).search(

@@ -232,11 +232,6 @@ def run_search_corpus(
         raise ValueError("mode must be hybrid, bm25, or dense")
     filter_mask = None
     if args.get("include_ids") is not None or args.get("exclude_ids") is not None:
-        if not hasattr(retriever, "bm25"):
-            raise ValueError(
-                "filtered search is single-chip only for now — this server "
-                "is mesh-sharded (docs/specs/filtered-search.md)"
-            )
         from openintel_tpu.models.retrievers import make_filter_mask
 
         filter_mask = make_filter_mask(
@@ -249,7 +244,10 @@ def run_search_corpus(
     elif not hasattr(retriever, "bm25"):
         # mesh-sharded retriever: every arm serves through the one sharded
         # device program (parallel.retriever.ShardedHybridRetriever)
-        res = retriever.search(queries, k=k, candidates_per_arm=2 * k, mode=mode)
+        res = retriever.search(
+            queries, k=k, candidates_per_arm=2 * k, mode=mode,
+            filter_mask=filter_mask,
+        )
     elif mode == "bm25":
         res = retriever.bm25.search(queries, k=k, filter_mask=filter_mask)
     elif mode == "dense":

@@ -58,6 +58,36 @@ def mask_compact_ranked(
     return compacted[:, :c], surv
 
 
+@partial(jax.jit, static_argnames=("c",))
+def mask_compact_ranked_vals(
+    ids: jax.Array,  # (B, C) int32 ranked ids, best first; -1 = padding
+    vals: jax.Array,  # (B, C) scores aligned with ids
+    keep: jax.Array,  # (B, C) bool; False entries are filtered out
+    c: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """:func:`mask_compact_ranked` carrying the scores through the compact
+    (the sharded filtered program merges per-shard survivor lists by score,
+    so the compacted prefix must keep (val, id) pairs together). Returns
+    ((B, c) vals — -inf padded, (B, c) ids — -1 padded, (B,) survivors)."""
+    cw = ids.shape[1]
+    pos = jnp.arange(cw, dtype=jnp.int32)[None, :]
+    key = jnp.where(keep, pos, cw + pos)  # survivors first, stable
+    _, cvals, cids = jax.lax.sort(
+        (
+            key,
+            jnp.where(keep, vals.astype(jnp.float32), NEG_INF),
+            jnp.where(keep, ids, -1),
+        ),
+        num_keys=1,
+        dimension=1,
+    )
+    surv = jnp.sum(keep.astype(jnp.int32), axis=1)
+    if cw < c:
+        cvals = jnp.pad(cvals, ((0, 0), (0, c - cw)), constant_values=NEG_INF)
+        cids = jnp.pad(cids, ((0, 0), (0, c - cw)), constant_values=-1)
+    return cvals[:, :c], cids[:, :c], surv
+
+
 @partial(jax.jit, static_argnames=("k", "rrf_k"))
 def rrf_fuse_device(
     ids_a: jax.Array,  # (B, Ka) int32 ranked ids (rank 1 first); -1 = padding

@@ -76,6 +76,7 @@ def shard_query_plans(
     max_postings_per_term: Optional[int] = None,
     multi_budget: int = 256,
     min_width: int = 128,
+    doc_mask: Optional[np.ndarray] = None,
 ) -> tuple[np.ndarray, np.ndarray, ShardedPlanMeta]:
     """Build ONE global query plan and split it at shard boundaries.
 
@@ -86,13 +87,18 @@ def shard_query_plans(
     candidate set — including impact pruning and multi-term forcing —
     byte-identical to the single-chip plan, so the merged cross-shard result
     equals the single-chip result exactly. Rows are sorted ascending by doc
-    id, so each shard's entries are one contiguous slice (searchsorted)."""
+    id, so each shard's entries are one contiguous slice (searchsorted).
+
+    ``doc_mask`` builds a FILTERED global plan (masked docs never enter;
+    same semantics as the single-chip plan — docs/specs/filtered-search.md),
+    then splits it identically."""
     plan = build_query_plan(
         index,
         queries_term_ids,
         max_postings_per_term=max_postings_per_term,
         multi_budget=multi_budget,
         sort=True,
+        doc_mask=doc_mask,
     )
     if shard_size is None:
         shard_size = -(-index.n_docs // n_shards)
@@ -328,6 +334,84 @@ class ShardedHybridRetriever:
             vals = np.take_along_axis(vals, order, axis=1)
         return SearchResult(ids=ids.astype(np.int32), scores=vals.astype(np.float32))
 
+    def _masked_dense_operand(self):
+        """(operand, transposed) for the exact masked dense scan: the f32
+        rescore rows for the quantised kernels, the resident corpus copy
+        otherwise (transposed for pallas_fast)."""
+        if self.kernel in ("int8", "int4"):
+            return self._rescore, False
+        return self._emb, self.kernel == "pallas_fast"
+
+    def _search_hybrid_filtered(
+        self, q, q8, pdi, pw, meta, mask_dev, shard_unmasked,
+        *, b: int, k: int, c: int, nb: int, db: int,
+    ) -> SearchResult:
+        """Filtered sharded hybrid: one bounded dispatch per sub-batch of
+        the filtered program, then the host starvation check — any query
+        whose pool under-filled on SOME shard (survivors < min(c,
+        shard_unmasked)) re-runs through the exact masked fallback
+        (sharded masked dense + the mask-aware BM25 plan rows + RRF).
+        Exact at any selectivity, like the single-chip surface."""
+        from openintel_tpu.models.retrievers import filtered_fetch_width
+        from openintel_tpu.ops.fusion import rrf_fuse_device
+        from openintel_tpu.parallel.sharded import (
+            sharded_bm25_topk,
+            sharded_dense_topk_masked,
+            sharded_hybrid_filtered_topk,
+        )
+
+        n_unmasked = int(shard_unmasked.sum())
+        c_fetch = min(
+            filtered_fetch_width(c, self.n_docs, n_unmasked), self.shard_size
+        )
+        pdi_d, pw_d = jnp.asarray(pdi), jnp.asarray(pw)
+        vals_chunks, ids_chunks, surv_chunks = [], [], []
+        for lo in range(0, nb * db, db):
+            vals, ids, surv = sharded_hybrid_filtered_topk(
+                self.mesh, self._emb, q[lo : lo + db],
+                pdi_d[:, lo : lo + db], pw_d[:, lo : lo + db],
+                mask_dev, k,
+                candidates_per_arm=c, c_fetch=c_fetch, rrf_k=self.rrf_k,
+                block_size=self.block_size, kernel=self.kernel,
+                presorted=meta.presorted, max_run=meta.max_terms,
+                interpret=self.interpret,
+                rescore=self._rescore,
+                queries_i8=q8[lo : lo + db] if q8 is not None else None,
+            )
+            vals_chunks.append(np.asarray(vals))
+            ids_chunks.append(np.asarray(ids))
+            surv_chunks.append(np.asarray(surv))
+        vals_np = np.concatenate(vals_chunks)  # (nb*db, k); np copies, so
+        ids_np = np.concatenate(ids_chunks)  # starved rows patch in place
+        surv_np = np.concatenate(surv_chunks, axis=1)  # (S, nb*db)
+
+        # Per-shard starvation: a shard's compacted list is exact-or-
+        # complete iff it kept min(c, its unmasked count) survivors; a
+        # query starved on ANY shard may be missing true filtered top-c
+        # docs from that shard. Padding rows (>= b) never re-run.
+        need = np.minimum(c, shard_unmasked)[:, None]  # (S, 1)
+        starved = np.flatnonzero((surv_np[:, :b] < need).any(axis=0))
+        if starved.size:
+            r = starved.size
+            r_pad = -(-r // self.data_size) * self.data_size
+            rows = np.concatenate([starved, np.zeros(r_pad - r, np.int64)])
+            op, transposed = self._masked_dense_operand()
+            _, d_ids = sharded_dense_topk_masked(
+                self.mesh, op, q[rows], mask_dev, c,
+                transposed=transposed, block_size=self.block_size,
+            )
+            _, b_ids = sharded_bm25_topk(
+                self.mesh,
+                pdi_d[:, rows], pw_d[:, rows], self.shard_size, c,
+                presorted=meta.presorted, max_run=meta.max_terms,
+            )
+            fvals, fids = rrf_fuse_device(
+                jnp.asarray(b_ids), jnp.asarray(d_ids), k, self.rrf_k
+            )
+            vals_np[starved] = np.asarray(fvals)[:r]
+            ids_np[starved] = np.asarray(fids)[:r]
+        return self._postprocess(vals_np, ids_np, b, k)
+
     def search(
         self,
         queries: Sequence[str],
@@ -336,11 +420,21 @@ class ShardedHybridRetriever:
         query_embeddings: Optional[np.ndarray] = None,
         candidates_per_arm: Optional[int] = None,
         mode: str = "hybrid",
+        filter_mask=None,
     ) -> SearchResult:
         """Batched retrieval through the sharded device program.
 
         ``mode`` ∈ {"hybrid", "bm25", "dense"}. Query batches pad to the data
-        axis; rankings are -1-padded like the single-chip retrievers."""
+        axis; rankings are -1-padded like the single-chip retrievers.
+
+        ``filter_mask`` (bool (n_docs,)) restricts results to unmasked docs
+        with the single-chip semantics (docs/specs/filtered-search.md):
+        BM25 filters in the (global, then split) plan; the dense arm
+        over-fetches per shard and rank-compacts survivors; a host-side
+        per-shard starvation check re-runs under-filled queries through the
+        exact masked sharded fallback. Filtered hybrid runs one bounded
+        dispatch per sub-batch (no scan fusion — the starvation check is
+        per sub-batch host work)."""
         assert mode in ("hybrid", "bm25", "dense"), mode
         b = len(queries)
         if b == 0:
@@ -349,6 +443,24 @@ class ShardedHybridRetriever:
             )
         k = min(k, self.n_docs)
         c = min(candidates_per_arm or k, self.n_docs)
+
+        doc_mask = None
+        mask_dev = None
+        shard_unmasked = None
+        if filter_mask is not None:
+            from openintel_tpu.models.retrievers import _as_doc_mask
+
+            doc_mask = _as_doc_mask(filter_mask, self.n_docs)
+            padded_mask = np.zeros(self.shard_size * self.n_shards, bool)
+            padded_mask[: self.n_docs] = doc_mask
+            mask_dev = jax.device_put(
+                jnp.asarray(padded_mask),
+                NamedSharding(self.mesh, P(CORPUS_AXIS)),
+            )
+            shard_unmasked = np.add.reduceat(
+                padded_mask,
+                np.arange(0, padded_mask.size, self.shard_size),
+            ).astype(np.int64)
 
         # Sub-batching: requests beyond ``device_batch`` queries scan
         # inside ONE device dispatch (sharded analogue of
@@ -394,6 +506,13 @@ class ShardedHybridRetriever:
                 shard_size=self.shard_size,
                 max_postings_per_term=prune_m,
                 multi_budget=max(self.multi_budget, c),
+                doc_mask=doc_mask,
+            )
+
+        if mode == "hybrid" and doc_mask is not None:
+            return self._search_hybrid_filtered(
+                q, q8, pdi, pw, meta, mask_dev, shard_unmasked,
+                b=b, k=k, c=c, nb=nb, db=db,
             )
 
         if mode == "hybrid" and nb > 1:
@@ -422,7 +541,23 @@ class ShardedHybridRetriever:
                 b, k,
             )
 
-        if mode == "dense":
+        if mode == "dense" and doc_mask is not None:
+            # exact masked brute-force over the shards (the single-arm
+            # filtered surface, like DenseRetriever._masked_topk); the
+            # quantised kernels route through their f32 rescore rows
+            from openintel_tpu.parallel.sharded import sharded_dense_topk_masked
+
+            op, transposed = self._masked_dense_operand()
+            outs = [
+                sharded_dense_topk_masked(
+                    self.mesh, op, q[lo : lo + db], mask_dev, k,
+                    transposed=transposed, block_size=self.block_size,
+                )
+                for lo in range(0, nb * db, db)
+            ]
+            vals = np.concatenate([np.asarray(v) for v, _ in outs])
+            ids = np.concatenate([np.asarray(i) for _, i in outs])
+        elif mode == "dense":
             # bounded sub-batches: one jitted program per db-sized chunk
             # (a single giant dispatch would spike the b x shard_size score
             # working set and compile a fresh program per total batch size)

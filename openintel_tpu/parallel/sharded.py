@@ -398,6 +398,185 @@ def _hybrid_scan_program(
     return jax.jit(run)
 
 
+def sharded_hybrid_filtered_topk(
+    mesh: Mesh,
+    doc_emb: jax.Array,
+    queries: jax.Array,  # (B, D)
+    plan_doc_ids: jax.Array,  # (S, B, Pw) MASK-AWARE per-shard plans
+    plan_weights: jax.Array,  # (S, B, Pw)
+    doc_mask: jax.Array,  # (N_padded,) bool, corpus-sharded; padding False
+    k: int,
+    *,
+    candidates_per_arm: Optional[int] = None,
+    c_fetch: Optional[int] = None,  # per-shard dense over-fetch width
+    rrf_k: float = RRF_K,
+    block_size: int = 4096,
+    kernel: str = "xla",
+    presorted: bool = False,
+    max_run: int = 0,
+    interpret: bool = False,
+    rescore: Optional[jax.Array] = None,
+    queries_i8: Optional[jax.Array] = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Filtered sharded hybrid, one device program (the multi-chip analogue
+    of ``HybridRetriever._make_fused_filtered`` — docs/specs/filtered-search.md):
+
+    - BM25 arm: the split plans are already mask-aware (masked docs never
+      reached them), so the per-shard reduction is unchanged;
+    - dense arm: each shard over-fetches ``c_fetch`` unfiltered candidates,
+      gathers its LOCAL mask slice at the candidate ids (corpus padding is
+      mask-False, which subsumes the padding clamp), and rank-compacts the
+      survivors to ``c`` with scores (``mask_compact_ranked_vals``);
+    - the compacted per-shard survivor lists all-gather and merge exactly
+      like the unfiltered program; per-shard survivor counts all-gather to
+      every chip so the HOST can run the starvation check.
+
+    Returns (vals (B, k), ids (B, k), survivors (S, B) int32). Exact
+    whenever every shard's pool holds >= min(c, shard_unmasked) survivors;
+    the caller re-runs starved queries through
+    :func:`sharded_dense_topk_masked` + the mask-aware BM25 arm."""
+    c = candidates_per_arm or k
+    cf = c_fetch or c
+    n_docs = _dense_n_docs(doc_emb, kernel)
+    n_shards = mesh.shape[CORPUS_AXIS]
+    assert n_docs % n_shards == 0
+    shard_size = n_docs // n_shards
+    if kernel in ("int8", "int4"):
+        assert rescore is not None and queries_i8 is not None
+    else:
+        rescore = jnp.zeros((n_shards, queries.shape[1]), queries.dtype)
+        queries_i8 = jnp.zeros(queries.shape, jnp.int8)
+    f = _hybrid_filtered_program(
+        mesh, shard_size, k, c, cf, float(rrf_k), block_size, kernel,
+        presorted, max_run, interpret,
+    )
+    return f(
+        doc_emb, queries, plan_doc_ids, plan_weights, rescore, queries_i8,
+        doc_mask,
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _hybrid_filtered_program(
+    mesh, shard_size, k, c, c_fetch, rrf_k, block_size, kernel, presorted,
+    max_run, interpret,
+):
+    from openintel_tpu.ops.bm25 import bm25_topk_device
+    from openintel_tpu.ops.fusion import mask_compact_ranked_vals
+
+    def local(emb_local, q_local, ids_local, w_local, rs_local, q8_local,
+              mask_local):
+        shard = jax.lax.axis_index(CORPUS_AXIS)
+        d_vals, d_ids = _local_dense_topk(
+            emb_local, q_local, c_fetch, kernel, block_size, interpret,
+            rescore_local=rs_local, q_i8_local=q8_local, candidates=c_fetch,
+        )
+        keep = jnp.take(mask_local, jnp.maximum(d_ids, 0)) & (d_ids >= 0)
+        cvals, cids, surv = mask_compact_ranked_vals(d_ids, d_vals, keep, c)
+        d_gids = jnp.where(cids >= 0, cids + shard * shard_size, -1)
+        b_vals, b_lids = bm25_topk_device(
+            ids_local[0], w_local[0], shard_size, c,
+            presorted=presorted, max_run=max_run,
+        )
+        b_gids = jnp.where(b_lids >= 0, b_lids + shard * shard_size, -1)
+        b_vals = jnp.where(b_lids >= 0, b_vals, -jnp.inf)
+        d_vals_g = jax.lax.all_gather(cvals, CORPUS_AXIS)
+        d_ids_g = jax.lax.all_gather(d_gids, CORPUS_AXIS)
+        b_vals_g = jax.lax.all_gather(b_vals, CORPUS_AXIS)
+        b_ids_g = jax.lax.all_gather(b_gids, CORPUS_AXIS)
+        _, d_top = _merge_gathered(d_vals_g, d_ids_g, c)
+        _, b_top = _merge_gathered(b_vals_g, b_ids_g, c)
+        vals, ids = rrf_fuse_device(b_top, d_top, k, rrf_k)
+        surv_g = jax.lax.all_gather(surv, CORPUS_AXIS)  # (S, B)
+        return vals, ids, surv_g
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                _emb_spec(kernel),
+                P(DATA_AXIS, None),
+                P(CORPUS_AXIS, DATA_AXIS, None),
+                P(CORPUS_AXIS, DATA_AXIS, None),
+                P(CORPUS_AXIS, None),
+                P(DATA_AXIS, None),
+                P(CORPUS_AXIS),
+            ),
+            out_specs=(
+                P(DATA_AXIS, None),
+                P(DATA_AXIS, None),
+                P(None, DATA_AXIS),
+            ),
+            check_vma=False,
+        )
+    )
+
+
+def sharded_dense_topk_masked(
+    mesh: Mesh,
+    doc_op: jax.Array,  # (N, D) rows — or (D, N) when transposed=True
+    queries: jax.Array,  # (B, D) f32
+    doc_mask: jax.Array,  # (N_padded,) bool, corpus-sharded
+    k: int,
+    *,
+    transposed: bool = False,
+    block_size: int = 4096,
+) -> tuple[jax.Array, jax.Array]:
+    """EXACT masked brute-force dense top-k over the sharded corpus — the
+    starved-query fallback arm of the filtered sharded hybrid. Each shard
+    scans its full local slice with the mask applied in-block
+    (``dense_topk_xla_masked`` / ``dense_topk_masked_t``), then the
+    k-sized survivor lists all-gather and merge. For the quantised kernels
+    pass the f32 rescore rows as ``doc_op`` (same stored-doc x f32-query
+    scores as the rescore stage). (0.0, -1) padding contract."""
+    n_docs = doc_op.shape[1] if transposed else doc_op.shape[0]
+    n_shards = mesh.shape[CORPUS_AXIS]
+    assert n_docs % n_shards == 0
+    f = _dense_masked_program(
+        mesh, n_docs // n_shards, k, transposed, block_size
+    )
+    return f(doc_op, queries, doc_mask)
+
+
+@functools.lru_cache(maxsize=64)
+def _dense_masked_program(mesh, shard_size, k, transposed, block_size):
+    from openintel_tpu.ops.dense import dense_topk_masked_t, dense_topk_xla_masked
+
+    def local(op_local, q_local, mask_local):
+        shard = jax.lax.axis_index(CORPUS_AXIS)
+        if transposed:
+            vals, ids = dense_topk_masked_t(
+                op_local, q_local, mask_local, k,
+                n_docs=shard_size, block_size=block_size,
+            )
+        else:
+            vals, ids = dense_topk_xla_masked(
+                op_local, q_local, mask_local, k, block_size
+            )
+        gids = jnp.where(ids >= 0, ids + shard * shard_size, -1)
+        vals = jnp.where(ids >= 0, vals, -jnp.inf)
+        vals_g = jax.lax.all_gather(vals, CORPUS_AXIS)
+        ids_g = jax.lax.all_gather(gids, CORPUS_AXIS)
+        mvals, mids = _merge_gathered(vals_g, ids_g, k)
+        pad = mids < 0
+        return jnp.where(pad, 0.0, mvals), mids
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(None, CORPUS_AXIS) if transposed else P(CORPUS_AXIS, None),
+                P(DATA_AXIS, None),
+                P(CORPUS_AXIS),
+            ),
+            out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+            check_vma=False,
+        )
+    )
+
+
 def global_bm25_stats(mesh: Mesh, local_df: jax.Array, local_len_sum: jax.Array,
                       local_n_docs: jax.Array):
     """psum-reduce per-shard df / doc-length sums into corpus-wide stats

@@ -369,7 +369,10 @@ def test_search_filtered_flags(tmp_path, capsys):
 
     out, code = run_cli(
         capsys,
-        "search", "x", "--index", str(tmp_path / "idx"),
-        "--mesh", "8", "--exclude-ids", "1",
+        "search", "quick fox", "--index", str(tmp_path / "idx"),
+        "-k", "2", "--format", "json",
+        "--mesh", "4", "--exclude-ids", "0",
     )
-    assert code == 1 and "single-chip only" in out
+    assert code == 0  # filtered + mesh compose (sharded filtered program)
+    hits = json.loads(out)[0]["hits"]
+    assert hits and all(h["doc_id"] != 0 for h in hits)

@@ -324,10 +324,19 @@ def test_search_corpus_filtered():
     class FakeSharded:  # no .bm25 attr => treated as mesh-sharded
         n_docs = 4
 
-        def search(self, queries, k=10, candidates_per_arm=None, mode="hybrid"):
-            raise AssertionError("must not be called")
+        def search(self, queries, k=10, candidates_per_arm=None,
+                   mode="hybrid", filter_mask=None):
+            assert filter_mask is not None and filter_mask.tolist() == [
+                True, False, True, True,
+            ]
+            import numpy as np
 
-    with pytest.raises(ValueError, match="single-chip only"):
-        run_search_corpus(
-            {"queries": ["x"], "exclude_ids": [1]}, FakeSharded(), docs
-        )
+            return type("R", (), {
+                "ids": np.full((len(queries), k), -1, np.int32),
+                "scores": np.zeros((len(queries), k), np.float32),
+            })()
+
+    out = run_search_corpus(
+        {"queries": ["x"], "exclude_ids": [1]}, FakeSharded(), docs
+    )
+    assert out["results"][0]["hits"] == []  # mask reached the sharded surface

@@ -413,3 +413,110 @@ def test_scan_path_int4_interpret(corpus):
     got = scanned.search(queries, k=6, candidates_per_arm=12)
     np.testing.assert_array_equal(got.ids, want.ids)
     np.testing.assert_allclose(got.scores, want.scores, rtol=1e-5, atol=1e-6)
+
+
+# ------------------------- filtered (masked) search -------------------------
+# The strong contract (docs/specs/filtered-search.md): the sharded filtered
+# surface is bit-identical to the single-chip filtered surface, which the
+# single-chip suite proves equal to the host oracle.
+
+
+def _mask_half(seed=41):
+    rng = np.random.default_rng(seed)
+    return rng.random(N) < 0.5
+
+
+def test_filtered_hybrid_matches_single_chip(corpus, sharded):
+    docs, postings, dense, embedder = corpus
+    queries = synthetic_queries_from_docs(docs, 5, seed=43)
+    mask = _mask_half()
+    got = sharded.search(queries, k=10, candidates_per_arm=20, filter_mask=mask)
+    want = HybridRetriever(postings, dense, embedder, use_pallas=False).search(
+        queries, k=10, candidates_per_arm=20, filter_mask=mask
+    )
+    np.testing.assert_array_equal(got.ids, want.ids)
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-5, atol=1e-6)
+
+
+def test_filtered_bm25_mode_matches_single_chip(corpus, sharded):
+    docs, postings, _, _ = corpus
+    queries = synthetic_queries_from_docs(docs, 4, seed=44)
+    mask = _mask_half(45)
+    got = sharded.search(queries, k=10, mode="bm25", filter_mask=mask)
+    want = BM25Retriever(postings).search(queries, k=10, filter_mask=mask)
+    np.testing.assert_array_equal(got.ids, want.ids)
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-5, atol=1e-6)
+
+
+def test_filtered_dense_mode_matches_single_chip(corpus, sharded):
+    docs, _, dense, embedder = corpus
+    queries = synthetic_queries_from_docs(docs, 4, seed=46)
+    mask = _mask_half(47)
+    got = sharded.search(queries, k=10, mode="dense", filter_mask=mask)
+    want = DenseRetriever(dense, embedder, use_pallas=False).search(
+        queries, k=10, filter_mask=mask
+    )
+    np.testing.assert_array_equal(got.ids, want.ids)
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-4, atol=1e-5)
+
+
+def test_filtered_starvation_fallback_sharded(corpus, sharded):
+    """7 unmasked docs spread across shards: every shard's pool starves,
+    the exact masked fallback runs, and the result still equals the
+    single-chip filtered surface exactly."""
+    from openintel_tpu.models.retrievers import make_filter_mask
+
+    docs, postings, dense, embedder = corpus
+    queries = synthetic_queries_from_docs(docs, 5, seed=48)
+    keep = [3, 130, 260, 390, 520, 650, 999]
+    mask = make_filter_mask(N, include_ids=keep)
+    got = sharded.search(queries, k=10, candidates_per_arm=20, filter_mask=mask)
+    want = HybridRetriever(postings, dense, embedder, use_pallas=False).search(
+        queries, k=10, candidates_per_arm=20, filter_mask=mask
+    )
+    np.testing.assert_array_equal(got.ids, want.ids)
+    assert set(got.ids[got.ids >= 0].ravel().tolist()) <= set(keep)
+
+
+def test_filtered_multibatch_chunks_match(corpus):
+    """Filtered hybrid over several device sub-batches (bounded dispatch
+    loop) equals one big batch."""
+    docs, postings, dense, embedder = corpus
+    queries = synthetic_queries_from_docs(docs, 11, seed=49)
+    mask = _mask_half(50)
+    big = ShardedHybridRetriever(
+        postings, dense, embedder, data=2, corpus=4, kernel="xla",
+        block_size=128,
+    )
+    small = ShardedHybridRetriever(
+        postings, dense, embedder, data=2, corpus=4, kernel="xla",
+        block_size=128, device_batch=4,
+    )
+    want = big.search(queries, k=10, candidates_per_arm=20, filter_mask=mask)
+    got = small.search(queries, k=10, candidates_per_arm=20, filter_mask=mask)
+    np.testing.assert_array_equal(got.ids, want.ids)
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-5, atol=1e-6)
+
+
+def test_filtered_int8_sharded_no_leaks(corpus):
+    """Quantised kernel on the filtered sharded path (interpret mode):
+    masked docs never surface, unmasked ranking is non-empty, and the
+    starvation fallback keeps tiny include-lists exact."""
+    from openintel_tpu.models.retrievers import make_filter_mask
+
+    docs, postings, dense, embedder = corpus
+    queries = synthetic_queries_from_docs(docs, 4, seed=51)
+    r = ShardedHybridRetriever(
+        postings, dense, embedder, data=2, corpus=4, kernel="int8",
+        block_size=128,
+    )
+    mask = _mask_half(52)
+    res = r.search(queries, k=10, candidates_per_arm=20, filter_mask=mask)
+    kept = res.ids[res.ids >= 0]
+    assert kept.size and np.all(mask[kept])
+
+    keep = [10, 200, 500, 800]
+    m2 = make_filter_mask(N, include_ids=keep)
+    res2 = r.search(queries, k=10, filter_mask=m2)
+    for row in res2.ids:
+        assert set(row[row >= 0].tolist()) == set(keep)
