@@ -365,9 +365,9 @@ class ShardedHybridRetriever:
             filtered_fetch_width(c, self.n_docs, n_unmasked), self.shard_size
         )
         pdi_d, pw_d = jnp.asarray(pdi), jnp.asarray(pw)
-        vals_chunks, ids_chunks, surv_chunks = [], [], []
-        for lo in range(0, nb * db, db):
-            vals, ids, surv = sharded_hybrid_filtered_topk(
+        outs = []  # device arrays only — convert AFTER the loop so the
+        for lo in range(0, nb * db, db):  # sub-batch dispatches pipeline
+            outs.append(sharded_hybrid_filtered_topk(
                 self.mesh, self._emb, q[lo : lo + db],
                 pdi_d[:, lo : lo + db], pw_d[:, lo : lo + db],
                 mask_dev, k,
@@ -377,13 +377,12 @@ class ShardedHybridRetriever:
                 interpret=self.interpret,
                 rescore=self._rescore,
                 queries_i8=q8[lo : lo + db] if q8 is not None else None,
-            )
-            vals_chunks.append(np.asarray(vals))
-            ids_chunks.append(np.asarray(ids))
-            surv_chunks.append(np.asarray(surv))
-        vals_np = np.concatenate(vals_chunks)  # (nb*db, k); np copies, so
-        ids_np = np.concatenate(ids_chunks)  # starved rows patch in place
-        surv_np = np.concatenate(surv_chunks, axis=1)  # (S, nb*db)
+            ))
+        vals_np = np.concatenate([np.asarray(v) for v, _, _ in outs])
+        ids_np = np.concatenate([np.asarray(i) for _, i, _ in outs])
+        surv_np = np.concatenate(  # (S, nb*db); np copies, so starved
+            [np.asarray(s) for _, _, s in outs], axis=1  # rows patch in place
+        )
 
         # Per-shard starvation: a shard's compacted list is exact-or-
         # complete iff it kept min(c, its unmasked count) survivors; a
@@ -481,9 +480,14 @@ class ShardedHybridRetriever:
                     [q_np, np.zeros((pad, q_np.shape[1]), np.float32)]
                 )
             if self.kernel in ("int8", "int4"):
-                from openintel_tpu.ops.pallas.dense_topk import quantize_int8
+                # filtered dense mode never runs the quantised kernel (it
+                # routes through the f32 rescore rows), so skip q8 there
+                if filter_mask is None or mode == "hybrid":
+                    from openintel_tpu.ops.pallas.dense_topk import (
+                        quantize_int8,
+                    )
 
-                q8 = jnp.asarray(quantize_int8(q_np))
+                    q8 = jnp.asarray(quantize_int8(q_np))
                 # f32 rescore queries: bf16-rounding the query shifts
                 # near-ties in the exact rescore (models/retrievers.py)
                 q = jnp.asarray(q_np, jnp.float32)
