@@ -51,8 +51,10 @@ class PreparedBatch:
     presorted: bool
     max_run: int
     # Filtered search (None/0 = unfiltered; docs/specs/filtered-search.md):
-    filter_mask: Optional[jax.Array] = None  # (n_docs,) bool device mask
-    n_unmasked: int = 0  # host-side popcount of the mask
+    filter_mask: Optional[jax.Array] = None  # (G, n_docs) bool device masks
+    filter_group: Optional[jax.Array] = None  # (nb, db) int32 mask row per query
+    group_unmasked: Optional[np.ndarray] = None  # (G,) host popcount per mask
+    n_unmasked: int = 0  # min unmasked count over the groups in the batch
     c_fetch: int = 0  # dense-arm over-fetch width (selectivity-scaled)
 
 
@@ -93,6 +95,55 @@ def _as_doc_mask(filter_mask, n_docs: int) -> np.ndarray:
     return mask
 
 
+def _as_group_masks(
+    filter_mask, filter_group, n_docs: int, b: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Normalise per-batch OR per-query filters into ((G, n_docs) bool
+    masks, (b,) int32 group-row per query).
+
+    Shapes accepted (docs/specs/filtered-search.md "Per-query filters"):
+    - (n_docs,) mask, ``filter_group`` None -> one group, all queries;
+    - (G, n_docs) masks + ``filter_group`` of b ints in [0, G) -> query i
+      is filtered by mask row ``filter_group[i]`` (the multi-tenant shape:
+      a few long-lived masks, a group index per query — never a (B, n_docs)
+      operand)."""
+    masks = np.asarray(filter_mask)
+    if masks.dtype != np.bool_:
+        raise TypeError(f"filter_mask must be bool, got {masks.dtype}")
+    if masks.ndim == 1:
+        if filter_group is not None:
+            raise ValueError(
+                "filter_group requires a (G, n_docs) filter_mask; got 1-D"
+            )
+        if masks.shape != (n_docs,):
+            raise ValueError(
+                f"filter_mask shape {masks.shape} != ({n_docs},)"
+            )
+        return masks[None, :], np.zeros(b, np.int32)
+    if masks.ndim != 2 or masks.shape[1] != n_docs or masks.shape[0] < 1:
+        raise ValueError(
+            f"filter_mask shape {masks.shape} != (G >= 1, {n_docs})"
+        )
+    if filter_group is None:
+        if masks.shape[0] != 1:
+            raise ValueError(
+                "filter_group (one int per query) is required when "
+                f"filter_mask has {masks.shape[0]} > 1 rows"
+            )
+        return masks, np.zeros(b, np.int32)
+    groups = np.asarray(list(filter_group), dtype=np.int32)
+    if groups.shape != (b,):
+        raise ValueError(
+            f"filter_group length {groups.shape} != ({b},) queries"
+        )
+    if groups.size and (groups.min() < 0 or groups.max() >= masks.shape[0]):
+        raise ValueError(
+            f"filter_group out of range [0, {masks.shape[0]}): "
+            f"[{groups.min()}, {groups.max()}]"
+        )
+    return masks, groups
+
+
 def make_filter_mask(
     n_docs: int,
     *,
@@ -128,6 +179,56 @@ def make_filter_mask(
             )
         mask[arr] = value
     return mask
+
+
+def grouped_query_plan(
+    index,
+    term_ids: Sequence[Sequence[int]],
+    masks: np.ndarray,  # (G, n_docs) bool
+    groups: np.ndarray,  # (B,) int32 mask row per query
+    *,
+    max_postings_per_term: Optional[int] = None,
+    multi_budget: int = 256,
+):
+    """Mask-aware BM25 plan for a batch whose queries carry per-query
+    filters: one :func:`build_query_plan` per DISTINCT mask row over that
+    group's query subset (each exact on its own filtered corpus —
+    docs/specs/pruned-plan-exactness.md holds per group), reassembled into
+    one (B, W) plan at the widest group's bucket width. Sentinel padding
+    (doc id = n_docs) keeps rows presorted."""
+    from openintel_tpu.ops.bm25 import QueryPlan
+
+    b = len(term_ids)
+    per_group = []
+    presorted = True
+    max_terms = 1
+    width = 1
+    for g in np.unique(groups):
+        rows = np.flatnonzero(groups == g)
+        plan = build_query_plan(
+            index,
+            [term_ids[i] for i in rows],
+            max_postings_per_term=max_postings_per_term,
+            multi_budget=multi_budget,
+            doc_mask=masks[g],
+        )
+        per_group.append((rows, plan))
+        presorted = presorted and plan.presorted
+        max_terms = max(max_terms, plan.max_terms)
+        width = max(width, plan.doc_ids.shape[1])
+    out_ids = np.full((b, width), index.n_docs, np.int32)
+    out_w = np.zeros((b, width), np.float32)
+    for rows, plan in per_group:
+        w = plan.doc_ids.shape[1]
+        out_ids[rows, :w] = plan.doc_ids
+        out_w[rows, :w] = plan.weights
+    return QueryPlan(
+        doc_ids=out_ids,
+        weights=out_w,
+        n_docs=index.n_docs,
+        presorted=presorted,
+        max_terms=max_terms,
+    )
 
 
 def dense_arm_topk(
@@ -213,25 +314,34 @@ class BM25Retriever:
         k: int = 10,
         *,
         filter_mask=None,
+        filter_group=None,
     ) -> SearchResult:
-        """``filter_mask`` (bool (n_docs,)) restricts results to unmasked
-        docs — EXACT at any selectivity: the plan itself is mask-aware
-        (masked docs never enter it; pruning keeps per-term top-M unmasked
-        impacts), so the device reduction natively searches the filtered
-        corpus. Scores keep full-corpus idf."""
-        doc_mask = (
-            _as_doc_mask(filter_mask, self.index.n_docs)
-            if filter_mask is not None
-            else None
-        )
+        """``filter_mask`` (bool (n_docs,), or (G, n_docs) with
+        ``filter_group`` — one mask row index per query) restricts results
+        to unmasked docs — EXACT at any selectivity: the plan itself is
+        mask-aware (masked docs never enter it; pruning keeps per-term
+        top-M unmasked impacts), so the device reduction natively searches
+        the filtered corpus. Scores keep full-corpus idf."""
         term_ids = [encode_query(self.index, q) for q in queries]
-        plan = build_query_plan(
-            self.index,
-            term_ids,
-            max_postings_per_term=auto_prune_m(self.index.n_docs, k),
-            multi_budget=max(256, k),
-            doc_mask=doc_mask,
-        )
+        prune_m = auto_prune_m(self.index.n_docs, k)
+        if filter_mask is not None:
+            masks, groups = _as_group_masks(
+                filter_mask, filter_group, self.index.n_docs, len(queries)
+            )
+            plan = grouped_query_plan(
+                self.index, term_ids, masks, groups,
+                max_postings_per_term=prune_m,
+                multi_budget=max(256, k),
+            )
+        else:
+            if filter_group is not None:
+                raise ValueError("filter_group requires filter_mask")
+            plan = build_query_plan(
+                self.index,
+                term_ids,
+                max_postings_per_term=prune_m,
+                multi_budget=max(256, k),
+            )
         vals, ids = bm25_topk_device(
             plan.doc_ids,
             plan.weights,
@@ -389,6 +499,7 @@ class DenseRetriever:
         k: int = 10,
         *,
         filter_mask=None,
+        filter_group=None,
     ) -> SearchResult:
         # int8/int4: f32 queries into the exact rescore (bf16-rounding the
         # query shifts near-ties — see HybridRetriever.prepare)
@@ -399,10 +510,32 @@ class DenseRetriever:
         )
         q = jnp.asarray(query_emb, dtype)
         if filter_mask is not None:
-            mask = _as_doc_mask(filter_mask, self.index.n_docs)
-            vals, ids = self._masked_topk(q, jnp.asarray(mask), k)
-        else:
-            vals, ids = self._topk(q, k)
+            b = q.shape[0]
+            masks, groups = _as_group_masks(
+                filter_mask, filter_group, self.index.n_docs, b
+            )
+            if masks.shape[0] == 1:
+                vals, ids = self._masked_topk(q, jnp.asarray(masks[0]), k)
+                return SearchResult(
+                    ids=np.asarray(ids), scores=np.asarray(vals)
+                )
+            # per-query groups: the dense filtered surface is an exact
+            # masked brute-force scan, so one dispatch per DISTINCT mask
+            # over that group's query rows is the natural program shape
+            kk = min(k, self.index.n_docs)
+            out_ids = np.empty((b, kk), np.int32)
+            out_vals = np.empty((b, kk), np.float32)
+            for g in np.unique(groups):
+                rows = np.flatnonzero(groups == g)
+                vals, ids = self._masked_topk(
+                    q[rows], jnp.asarray(masks[g]), k
+                )
+                out_ids[rows] = np.asarray(ids)
+                out_vals[rows] = np.asarray(vals)
+            return SearchResult(ids=out_ids, scores=out_vals)
+        if filter_group is not None:
+            raise ValueError("filter_group requires filter_mask")
+        vals, ids = self._topk(q, k)
         return SearchResult(ids=np.asarray(ids), scores=np.asarray(vals))
 
     def search(
@@ -411,9 +544,11 @@ class DenseRetriever:
         k: int = 10,
         *,
         filter_mask=None,
+        filter_group=None,
     ) -> SearchResult:
         return self.search_embeddings(
-            self.embedder(list(queries)), k, filter_mask=filter_mask
+            self.embedder(list(queries)), k, filter_mask=filter_mask,
+            filter_group=filter_group,
         )
 
 
@@ -545,18 +680,22 @@ class HybridRetriever:
                 "block_c",
             ),
         )
-        def fused(emb_op, rescore_op, mask_dev, qbs, qbs8, dis, ws, *, k, c,
-                  c_fetch, n_docs, presorted, max_run, block_c):
+        def fused(emb_op, rescore_op, mask_dev, gbs, qbs, qbs8, dis, ws, *,
+                  k, c, c_fetch, n_docs, presorted, max_run, block_c):
+            # (G, n_docs) masks flattened once; each query row gathers its
+            # own mask row via flat index g * n_docs + doc_id (per-query
+            # filters ride as ONE int per query, never a (B, n_docs) mask)
+            mask_flat = mask_dev.reshape(-1)
+
             def body(carry, xs):
-                qb, qb8, di, w = xs
+                qb, qb8, gb, di, w = xs
                 _, d_ids = dense_arm_topk(
                     kernel, emb_op, qb, c_fetch,
                     n_docs=n_docs, interpret=interpret, block_c=block_c,
                     candidates=c_fetch, rescore_op=rescore_op, q8=qb8,
                 )
-                keep = jnp.take(mask_dev, jnp.maximum(d_ids, 0)) & (
-                    d_ids >= 0
-                )
+                flat_ix = gb[:, None] * n_docs + jnp.maximum(d_ids, 0)
+                keep = jnp.take(mask_flat, flat_ix) & (d_ids >= 0)
                 d_ids_f, d_surv = mask_compact_ranked(d_ids, keep, c)
                 b_vals, b_ids = bm25_topk_device(
                     di, w, n_docs, c, presorted=presorted, max_run=max_run
@@ -565,7 +704,7 @@ class HybridRetriever:
                 return carry, (vals, ids, d_surv)
 
             _, (vals, ids, surv) = jax.lax.scan(
-                body, jnp.int32(0), (qbs, qbs8, dis, ws)
+                body, jnp.int32(0), (qbs, qbs8, gbs, dis, ws)
             )
             return vals, ids, surv
 
@@ -583,12 +722,14 @@ class HybridRetriever:
         query_embeddings: Optional[np.ndarray] = None,
         candidates_per_arm: Optional[int] = None,
         filter_mask=None,
+        filter_group=None,
     ) -> SearchResult:
         """``filter_mask`` (bool (n_docs,); build one with
         :func:`make_filter_mask`) restricts results to unmasked docs —
         exact filtered retrieval (each arm ranks the filtered corpus under
         full-corpus statistics, then fuses; docs/specs/filtered-search.md).
-        """
+        Per-query filters: pass (G, n_docs) masks + ``filter_group`` (one
+        mask row index per query — the multi-tenant shape)."""
         b = len(queries)
         if b == 0:
             return SearchResult(
@@ -602,6 +743,7 @@ class HybridRetriever:
             term_ids, query_embeddings, k=k,
             candidates_per_arm=candidates_per_arm,
             filter_mask=filter_mask,
+            filter_group=filter_group,
         )
 
     def prepare(
@@ -613,6 +755,7 @@ class HybridRetriever:
         candidates_per_arm: Optional[int] = None,
         device_batch: Optional[int] = None,
         filter_mask=None,
+        filter_group=None,
     ) -> "PreparedBatch":
         """Host-side query preparation: build the (pruned, presorted) BM25
         plan over ALL queries, chunk everything into device sub-batches,
@@ -621,17 +764,21 @@ class HybridRetriever:
         ``device_batch`` overrides the instance sub-batch size (bench uses
         this to measure small-batch scaling through the same surface).
         ``filter_mask`` stages a filtered batch: the plan is built
-        mask-aware and the mask rides along as a device operand."""
+        mask-aware and the mask rides along as a device operand; with
+        (G, n_docs) masks + ``filter_group`` each query carries its own
+        mask row index (per-query filters)."""
         index = self.bm25.index
         n_docs = index.n_docs
         b = len(term_ids)
         c = min(candidates_per_arm or k, n_docs)
         k = min(k, n_docs)
-        doc_mask = (
-            _as_doc_mask(filter_mask, n_docs)
-            if filter_mask is not None
-            else None
-        )
+        doc_masks = groups = None
+        if filter_mask is not None:
+            doc_masks, groups = _as_group_masks(
+                filter_mask, filter_group, n_docs, b
+            )
+        elif filter_group is not None:
+            raise ValueError("filter_group requires filter_mask")
         if b == 0:
             dim = self.dense.index.dim
             return PreparedBatch(
@@ -646,13 +793,22 @@ class HybridRetriever:
         db = min(device_batch or self.device_batch, b)
         pad = (-b) % db
         term_ids = list(term_ids) + [[]] * pad
-        plan = build_query_plan(
-            index,
-            term_ids,
-            max_postings_per_term=auto_prune_m(n_docs, c),
-            multi_budget=max(256, c),
-            doc_mask=doc_mask,
-        )
+        if doc_masks is not None:
+            # padding rows carry group 0 — their plans are empty and their
+            # results are discarded, so the row only needs a VALID mask row
+            groups = np.concatenate([groups, np.zeros(pad, np.int32)])
+            plan = grouped_query_plan(
+                index, term_ids, doc_masks, groups,
+                max_postings_per_term=auto_prune_m(n_docs, c),
+                multi_budget=max(256, c),
+            )
+        else:
+            plan = build_query_plan(
+                index,
+                term_ids,
+                max_postings_per_term=auto_prune_m(n_docs, c),
+                multi_budget=max(256, c),
+            )
         nb = (b + pad) // db
         w = plan.doc_ids.shape[1]
         q = np.asarray(query_embeddings, np.float32)
@@ -679,7 +835,18 @@ class HybridRetriever:
             # full-size zeros array would stage b*dim dead bytes per search)
             qbs8 = jnp.zeros((nb, db, 1), jnp.int8)
             qbs = jnp.asarray(q.reshape(nb, db, dim), dense._emb_device.dtype)
-        n_unmasked = int(doc_mask.sum()) if doc_mask is not None else 0
+        group_unmasked = (
+            doc_masks.sum(axis=1).astype(np.int64)
+            if doc_masks is not None
+            else None
+        )
+        # over-fetch width sized for the most selective group ACTUALLY in
+        # the batch (only real rows — padding rows never gate the width)
+        n_unmasked = (
+            int(group_unmasked[np.unique(groups[:b])].min())
+            if doc_masks is not None
+            else 0
+        )
         return PreparedBatch(
             queries=qbs,
             queries_i8=qbs8,
@@ -691,12 +858,18 @@ class HybridRetriever:
             presorted=plan.presorted,
             max_run=plan.max_terms,
             filter_mask=(
-                jnp.asarray(doc_mask) if doc_mask is not None else None
+                jnp.asarray(doc_masks) if doc_masks is not None else None
             ),
+            filter_group=(
+                jnp.asarray(groups.reshape(nb, db))
+                if doc_masks is not None
+                else None
+            ),
+            group_unmasked=group_unmasked,
             n_unmasked=n_unmasked,
             c_fetch=(
                 filtered_fetch_width(c, n_docs, n_unmasked)
-                if doc_mask is not None
+                if doc_masks is not None
                 else 0
             ),
         )
@@ -725,6 +898,12 @@ class HybridRetriever:
             presorted=prep.presorted,
             max_run=prep.max_run,
             filter_mask=prep.filter_mask,
+            filter_group=(
+                chunk(prep.filter_group)
+                if prep.filter_group is not None
+                else None
+            ),
+            group_unmasked=prep.group_unmasked,
             n_unmasked=prep.n_unmasked,
             c_fetch=prep.c_fetch,
         )
@@ -751,6 +930,7 @@ class HybridRetriever:
                 dense._emb_device,
                 rescore_op,
                 prep.filter_mask,
+                prep.filter_group,
                 prep.queries,
                 prep.queries_i8,
                 prep.plan_doc_ids,
@@ -791,18 +971,31 @@ class HybridRetriever:
         dim = prep.queries.shape[2]
         w = prep.plan_doc_ids.shape[2]
         c, k = prep.candidates_per_arm, prep.k
-        q = prep.queries.reshape(nb * db, dim)[rows]
-        d_vals, d_ids = self.dense._masked_topk(q, prep.filter_mask, c)
-        b_vals, b_ids = bm25_topk_device(
-            prep.plan_doc_ids.reshape(nb * db, w)[rows],
-            prep.plan_weights.reshape(nb * db, w)[rows],
-            self.n_docs,
-            c,
-            presorted=prep.presorted,
-            max_run=prep.max_run,
-        )
-        vals, ids = rrf_fuse_device(b_ids, d_ids, k, self.rrf_k)
-        return SearchResult(ids=np.asarray(ids), scores=np.asarray(vals))
+        groups_flat = np.asarray(prep.filter_group).reshape(nb * db)
+        out_ids = np.empty((rows.size, k), np.int32)
+        out_vals = np.empty((rows.size, k), np.float32)
+        # one masked scan per DISTINCT mask row among the starved queries
+        # (starvation is rare and group-correlated — a tiny include-list
+        # starves every query of its group at once)
+        for g in np.unique(groups_flat[rows]):
+            sub = np.flatnonzero(groups_flat[rows] == g)
+            sel = rows[sub]
+            q = prep.queries.reshape(nb * db, dim)[sel]
+            d_vals, d_ids = self.dense._masked_topk(
+                q, prep.filter_mask[g], c
+            )
+            b_vals, b_ids = bm25_topk_device(
+                prep.plan_doc_ids.reshape(nb * db, w)[sel],
+                prep.plan_weights.reshape(nb * db, w)[sel],
+                self.n_docs,
+                c,
+                presorted=prep.presorted,
+                max_run=prep.max_run,
+            )
+            vals, ids = rrf_fuse_device(b_ids, d_ids, k, self.rrf_k)
+            out_ids[sub] = np.asarray(ids)
+            out_vals[sub] = np.asarray(vals)
+        return SearchResult(ids=out_ids, scores=out_vals)
 
     def run_prepared(self, prep: "PreparedBatch") -> SearchResult:
         """``run_prepared_device`` + host copy-back of the (b, k) result.
@@ -824,7 +1017,13 @@ class HybridRetriever:
             # the starved rows get patched in place below
             ids_np = np.array(ids).reshape(nb * db, k)
             vals_np = np.array(vals).reshape(nb * db, k)
-            need = min(prep.candidates_per_arm, prep.n_unmasked)
+            # per-query need: a query's pool is complete iff it kept
+            # min(c, its OWN group's unmasked count) survivors
+            groups_flat = np.asarray(prep.filter_group).reshape(nb * db)
+            need = np.minimum(
+                prep.candidates_per_arm,
+                prep.group_unmasked[groups_flat[:b]],
+            )
             starved = np.flatnonzero(
                 np.asarray(surv).reshape(nb * db)[:b] < need
             )
@@ -847,6 +1046,7 @@ class HybridRetriever:
         *,
         candidates_per_arm: Optional[int] = None,
         filter_mask=None,
+        filter_group=None,
     ) -> SearchResult:
         """The fused search step on pre-encoded queries (term ids +
         embeddings)."""
@@ -855,5 +1055,6 @@ class HybridRetriever:
                 term_ids, query_embeddings, k=k,
                 candidates_per_arm=candidates_per_arm,
                 filter_mask=filter_mask,
+                filter_group=filter_group,
             )
         )

@@ -252,3 +252,144 @@ def test_hybrid_unfiltered_path_unchanged(corpus, queries):
     b = h.search(queries, k=10, candidates_per_arm=20, filter_mask=None)
     np.testing.assert_array_equal(a.ids, b.ids)
     np.testing.assert_array_equal(a.scores, b.scores)
+
+
+# ------------------------------------------- per-query filters (mask groups)
+# The strong contract: a grouped batch must equal, per query, a separate
+# single-mask search with that query's OWN mask — groups change the program
+# shape (one (G, N) operand + one int per query), never the semantics.
+
+
+def _three_masks(n):
+    rng = np.random.default_rng(53)
+    return np.stack([rng.random(n) < p for p in (0.5, 0.25, 0.75)])
+
+
+def _groups_for(b):
+    return np.arange(b, dtype=np.int32) % 3
+
+
+def test_group_masks_validation(corpus):
+    _, postings, dense, embedder = corpus
+    h = HybridRetriever(postings, dense, embedder, kernel="xla")
+    masks = _three_masks(N)
+    with pytest.raises(ValueError, match="filter_group requires"):
+        h.search(["a", "b"], filter_mask=masks[0], filter_group=[0, 0])
+    with pytest.raises(ValueError, match="filter_group .*required"):
+        h.search(["a", "b"], filter_mask=masks)
+    with pytest.raises(ValueError, match="length"):
+        h.search(["a", "b"], filter_mask=masks, filter_group=[0])
+    with pytest.raises(ValueError, match="out of range"):
+        h.search(["a", "b"], filter_mask=masks, filter_group=[0, 3])
+    with pytest.raises(ValueError, match="requires filter_mask"):
+        h.search(["a", "b"], filter_group=[0, 0])
+    with pytest.raises(ValueError, match="!= \\(G >= 1"):
+        h.search(["a"], filter_mask=masks[:, : N - 1], filter_group=[0])
+
+
+def test_grouped_single_row_equals_batch_mask(corpus, queries):
+    """(1, N) masks without filter_group == the plain (N,) batch mask."""
+    _, postings, dense, embedder = corpus
+    mask = _half_mask(N)
+    h = HybridRetriever(postings, dense, embedder, kernel="xla")
+    a = h.search(queries, k=10, candidates_per_arm=20, filter_mask=mask)
+    b = h.search(
+        queries, k=10, candidates_per_arm=20, filter_mask=mask[None, :]
+    )
+    np.testing.assert_array_equal(a.ids, b.ids)
+    np.testing.assert_allclose(a.scores, b.scores, rtol=1e-6)
+
+
+def test_bm25_grouped_matches_per_mask(corpus, queries):
+    _, postings, _, _ = corpus
+    masks, groups = _three_masks(N), _groups_for(len(queries))
+    r = BM25Retriever(postings)
+    got = r.search(queries, k=10, filter_mask=masks, filter_group=groups)
+    for b, q in enumerate(queries):
+        want = r.search([q], k=10, filter_mask=masks[groups[b]])
+        np.testing.assert_array_equal(got.ids[b], want.ids[0])
+        np.testing.assert_allclose(
+            got.scores[b], want.scores[0], rtol=1e-5, atol=1e-6
+        )
+
+
+@pytest.mark.parametrize("kernel", ["xla", "int8"])
+def test_dense_grouped_matches_per_mask(corpus, queries, kernel):
+    _, _, dense, embedder = corpus
+    masks, groups = _three_masks(N), _groups_for(len(queries))
+    r = DenseRetriever(dense, embedder, kernel=kernel)
+    got = r.search(queries, k=10, filter_mask=masks, filter_group=groups)
+    for b, q in enumerate(queries):
+        want = r.search([q], k=10, filter_mask=masks[groups[b]])
+        np.testing.assert_array_equal(got.ids[b], want.ids[0])
+        np.testing.assert_allclose(
+            got.scores[b], want.scores[0], rtol=1e-4, atol=1e-5
+        )
+
+
+@pytest.mark.parametrize("kernel", ["xla", "int8"])
+def test_hybrid_grouped_matches_per_mask(corpus, queries, kernel):
+    """One fused dispatch with 3 mask groups == three single-mask searches
+    (each already oracle-exact per the tests above)."""
+    _, postings, dense, embedder = corpus
+    masks, groups = _three_masks(N), _groups_for(len(queries))
+    h = HybridRetriever(postings, dense, embedder, kernel=kernel)
+    got = h.search(
+        queries, k=10, candidates_per_arm=20,
+        filter_mask=masks, filter_group=groups,
+    )
+    for b, q in enumerate(queries):
+        want = h.search(
+            [q], k=10, candidates_per_arm=20, filter_mask=masks[groups[b]]
+        )
+        np.testing.assert_array_equal(got.ids[b], want.ids[0])
+        np.testing.assert_allclose(
+            got.scores[b], want.scores[0], rtol=1e-5, atol=1e-7
+        )
+
+
+def test_hybrid_grouped_mixed_starvation(corpus, queries):
+    """Groups with wildly different selectivity in ONE batch: the tiny
+    include-list group starves (exact fallback), the half-corpus group
+    doesn't — each query still equals its own single-mask search."""
+    _, postings, dense, embedder = corpus
+    masks = np.stack([
+        _half_mask(N),
+        make_filter_mask(N, include_ids=[3, 50, 111, 222, 333, 444, 555]),
+    ])
+    groups = np.arange(len(queries), dtype=np.int32) % 2
+    h = HybridRetriever(postings, dense, embedder, kernel="xla")
+    got = h.search(
+        queries, k=10, candidates_per_arm=20,
+        filter_mask=masks, filter_group=groups,
+    )
+    for b, q in enumerate(queries):
+        want = h.search(
+            [q], k=10, candidates_per_arm=20, filter_mask=masks[groups[b]]
+        )
+        np.testing.assert_array_equal(got.ids[b], want.ids[0])
+        np.testing.assert_allclose(
+            got.scores[b], want.scores[0], rtol=1e-5, atol=1e-7
+        )
+
+
+def test_hybrid_grouped_multibatch_matches_single(corpus):
+    """Grouped filters across several device sub-batches + padding rows
+    equal the one-batch run (the group vector chunks with the queries)."""
+    docs, postings, dense, embedder = corpus
+    qs = synthetic_queries_from_docs(docs, 13, seed=33)  # 13 % 4 != 0
+    masks, groups = _three_masks(N), _groups_for(13)
+    big = HybridRetriever(postings, dense, embedder, kernel="xla")
+    chunked = HybridRetriever(
+        postings, dense, embedder, kernel="xla", device_batch=4
+    )
+    want = big.search(
+        qs, k=10, candidates_per_arm=20,
+        filter_mask=masks, filter_group=groups,
+    )
+    got = chunked.search(
+        qs, k=10, candidates_per_arm=20,
+        filter_mask=masks, filter_group=groups,
+    )
+    np.testing.assert_array_equal(got.ids, want.ids)
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-5, atol=1e-6)
