@@ -225,6 +225,28 @@ SEARCH_TOOL_SPEC: dict[str, Any] = {
                     "already-seen results; composes with include_ids)."
                 ),
             },
+            "filters": {
+                "type": "array",
+                "items": {
+                    "type": ["object", "null"],
+                    "properties": {
+                        "include_ids": {
+                            "type": "array", "items": {"type": "integer"}
+                        },
+                        "exclude_ids": {
+                            "type": "array", "items": {"type": "integer"}
+                        },
+                    },
+                },
+                "description": (
+                    "PER-QUERY filters: one entry per query (aligned with "
+                    "`queries`; null = that query searches the whole "
+                    "corpus). Identical entries share one device mask, so "
+                    "a batch over a few tenants costs a few masks. "
+                    "Mutually exclusive with the call-wide "
+                    "include_ids/exclude_ids."
+                ),
+            },
         },
         "required": ["queries"],
     },

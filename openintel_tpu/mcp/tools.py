@@ -210,6 +210,58 @@ async def run_pulse(args: dict[str, Any], feed: InfluencerFeed) -> dict[str, Any
     return {"summary": summary, "report": report.to_dict(), "disclaimer": DISCLAIMER}
 
 
+def build_filter_groups(filters, n_queries: int, n_docs: int):
+    """Per-query filter specs -> ((G, n_docs) bool masks, (B,) int32
+    groups) for the retrievers' grouped-filter surface.
+
+    ``filters`` is a list aligned with ``queries``: each entry an object
+    ``{"include_ids"?, "exclude_ids"?}`` or null (that query searches the
+    whole corpus — an all-True mask row). Identical specs DEDUPE into one
+    mask row, so the device operand scales with DISTINCT filters (the
+    multi-tenant shape), never with the query count."""
+    import numpy as np
+
+    from openintel_tpu.models.retrievers import make_filter_mask
+
+    if not isinstance(filters, list) or len(filters) != n_queries:
+        raise ValueError(
+            f"filters must be a list of {n_queries} entries — one per "
+            "query, null for unfiltered"
+        )
+    keys: dict[tuple, int] = {}
+    masks: list[np.ndarray] = []
+    groups: list[int] = []
+    for i, spec in enumerate(filters):
+        if spec is None:
+            spec = {}
+        if not isinstance(spec, dict):
+            raise ValueError(f"filters[{i}] must be an object or null")
+        unknown = set(spec) - {"include_ids", "exclude_ids"}
+        if unknown:
+            raise ValueError(f"filters[{i}]: unknown keys {sorted(unknown)}")
+        inc, exc = spec.get("include_ids"), spec.get("exclude_ids")
+        key = (
+            tuple(sorted(int(x) for x in inc)) if inc is not None else None,
+            tuple(sorted(int(x) for x in exc)) if exc is not None else None,
+        )
+        g = keys.get(key)
+        if g is None:
+            g = keys[key] = len(masks)
+            if key == (None, None):
+                masks.append(np.ones(n_docs, bool))
+            else:
+                try:
+                    masks.append(
+                        make_filter_mask(
+                            n_docs, include_ids=inc, exclude_ids=exc
+                        )
+                    )
+                except ValueError as e:
+                    raise ValueError(f"filters[{i}]: {e}") from e
+        groups.append(g)
+    return np.stack(masks), np.asarray(groups, np.int32)
+
+
 def run_search_corpus(
     args: dict[str, Any], retriever, docs=None, reranker=None, coalescer=None
 ) -> dict[str, Any]:
@@ -219,8 +271,9 @@ def run_search_corpus(
     When the server wires a ``BatchCoalescer`` (production default), hybrid
     searches route through it so concurrent callers fuse into one device
     batch; the single-arm modes go straight to the retriever. Filtered
-    searches (``include_ids``/``exclude_ids``) also bypass the coalescer:
-    the mask is per-call and cannot ride a cross-caller fused batch."""
+    searches (``include_ids``/``exclude_ids``, or the per-query ``filters``
+    list) bypass the coalescer: the masks are per-call and cannot ride a
+    cross-caller fused batch."""
     queries = list(args.get("queries") or [])
     if not queries:
         raise ValueError("queries must be a non-empty list of strings")
@@ -230,8 +283,20 @@ def run_search_corpus(
     mode = (args.get("mode") or "hybrid").lower()
     if mode not in ("hybrid", "bm25", "dense"):
         raise ValueError("mode must be hybrid, bm25, or dense")
-    filter_mask = None
-    if args.get("include_ids") is not None or args.get("exclude_ids") is not None:
+    filter_mask = filter_group = None
+    if args.get("filters") is not None:
+        if (
+            args.get("include_ids") is not None
+            or args.get("exclude_ids") is not None
+        ):
+            raise ValueError(
+                "pass either filters (per-query) or include_ids/exclude_ids "
+                "(whole call), not both"
+            )
+        filter_mask, filter_group = build_filter_groups(
+            args["filters"], len(queries), retriever.n_docs
+        )
+    elif args.get("include_ids") is not None or args.get("exclude_ids") is not None:
         from openintel_tpu.models.retrievers import make_filter_mask
 
         filter_mask = make_filter_mask(
@@ -246,15 +311,20 @@ def run_search_corpus(
         # device program (parallel.retriever.ShardedHybridRetriever)
         res = retriever.search(
             queries, k=k, candidates_per_arm=2 * k, mode=mode,
-            filter_mask=filter_mask,
+            filter_mask=filter_mask, filter_group=filter_group,
         )
     elif mode == "bm25":
-        res = retriever.bm25.search(queries, k=k, filter_mask=filter_mask)
+        res = retriever.bm25.search(
+            queries, k=k, filter_mask=filter_mask, filter_group=filter_group
+        )
     elif mode == "dense":
-        res = retriever.dense.search(queries, k=k, filter_mask=filter_mask)
+        res = retriever.dense.search(
+            queries, k=k, filter_mask=filter_mask, filter_group=filter_group
+        )
     else:
         res = retriever.search(
-            queries, k=k, candidates_per_arm=2 * k, filter_mask=filter_mask
+            queries, k=k, candidates_per_arm=2 * k,
+            filter_mask=filter_mask, filter_group=filter_group,
         )
     reranked = False
     if reranker is not None and docs is not None:

@@ -77,6 +77,8 @@ def shard_query_plans(
     multi_budget: int = 256,
     min_width: int = 128,
     doc_mask: Optional[np.ndarray] = None,
+    doc_masks: Optional[np.ndarray] = None,
+    groups: Optional[np.ndarray] = None,
 ) -> tuple[np.ndarray, np.ndarray, ShardedPlanMeta]:
     """Build ONE global query plan and split it at shard boundaries.
 
@@ -91,15 +93,26 @@ def shard_query_plans(
 
     ``doc_mask`` builds a FILTERED global plan (masked docs never enter;
     same semantics as the single-chip plan — docs/specs/filtered-search.md),
-    then splits it identically."""
-    plan = build_query_plan(
-        index,
-        queries_term_ids,
-        max_postings_per_term=max_postings_per_term,
-        multi_budget=multi_budget,
-        sort=True,
-        doc_mask=doc_mask,
-    )
+    then splits it identically. ``doc_masks`` (G, n_docs) + ``groups``
+    (B,) build the grouped per-query-filter plan
+    (models.retrievers.grouped_query_plan) instead."""
+    if doc_masks is not None:
+        from openintel_tpu.models.retrievers import grouped_query_plan
+
+        plan = grouped_query_plan(
+            index, queries_term_ids, doc_masks, groups,
+            max_postings_per_term=max_postings_per_term,
+            multi_budget=multi_budget,
+        )
+    else:
+        plan = build_query_plan(
+            index,
+            queries_term_ids,
+            max_postings_per_term=max_postings_per_term,
+            multi_budget=multi_budget,
+            sort=True,
+            doc_mask=doc_mask,
+        )
     if shard_size is None:
         shard_size = -(-index.n_docs // n_shards)
     b, _ = plan.doc_ids.shape
@@ -342,16 +355,27 @@ class ShardedHybridRetriever:
             return self._rescore, False
         return self._emb, self.kernel == "pallas_fast"
 
+    def _mask_row_dev(self, padded_masks: np.ndarray, g: int) -> jax.Array:
+        """Stage ONE padded mask row corpus-sharded — the (N_pad,) operand
+        of :func:`sharded_dense_topk_masked` (exact masked scans run per
+        distinct mask row)."""
+        return jax.device_put(
+            jnp.asarray(padded_masks[g]),
+            NamedSharding(self.mesh, P(CORPUS_AXIS)),
+        )
+
     def _search_hybrid_filtered(
-        self, q, q8, pdi, pw, meta, mask_dev, shard_unmasked,
+        self, q, q8, pdi, pw, meta, mask_dev, groups, padded_masks,
+        shard_unmasked,
         *, b: int, k: int, c: int, nb: int, db: int,
     ) -> SearchResult:
         """Filtered sharded hybrid: one bounded dispatch per sub-batch of
         the filtered program, then the host starvation check — any query
-        whose pool under-filled on SOME shard (survivors < min(c,
-        shard_unmasked)) re-runs through the exact masked fallback
-        (sharded masked dense + the mask-aware BM25 plan rows + RRF).
-        Exact at any selectivity, like the single-chip surface."""
+        whose pool under-filled on SOME shard (survivors < min(c, its own
+        group's per-shard unmasked count)) re-runs through the exact masked
+        fallback (sharded masked dense over its group's mask row + the
+        mask-aware BM25 plan rows + RRF). Exact at any selectivity, like
+        the single-chip surface."""
         from openintel_tpu.models.retrievers import filtered_fetch_width
         from openintel_tpu.ops.fusion import rrf_fuse_device
         from openintel_tpu.parallel.sharded import (
@@ -360,17 +384,21 @@ class ShardedHybridRetriever:
             sharded_hybrid_filtered_topk,
         )
 
-        n_unmasked = int(shard_unmasked.sum())
+        # over-fetch width sized for the most selective group ACTUALLY in
+        # the batch (padding rows excluded)
+        group_unmasked = shard_unmasked.sum(axis=0)  # (G,)
+        n_unmasked = int(group_unmasked[np.unique(groups[:b])].min())
         c_fetch = min(
             filtered_fetch_width(c, self.n_docs, n_unmasked), self.shard_size
         )
         pdi_d, pw_d = jnp.asarray(pdi), jnp.asarray(pw)
+        g_dev = jnp.asarray(groups)
         outs = []  # device arrays only — convert AFTER the loop so the
         for lo in range(0, nb * db, db):  # sub-batch dispatches pipeline
             outs.append(sharded_hybrid_filtered_topk(
                 self.mesh, self._emb, q[lo : lo + db],
                 pdi_d[:, lo : lo + db], pw_d[:, lo : lo + db],
-                mask_dev, k,
+                mask_dev, g_dev[lo : lo + db], k,
                 candidates_per_arm=c, c_fetch=c_fetch, rrf_k=self.rrf_k,
                 block_size=self.block_size, kernel=self.kernel,
                 presorted=meta.presorted, max_run=meta.max_terms,
@@ -385,30 +413,34 @@ class ShardedHybridRetriever:
         )
 
         # Per-shard starvation: a shard's compacted list is exact-or-
-        # complete iff it kept min(c, its unmasked count) survivors; a
-        # query starved on ANY shard may be missing true filtered top-c
-        # docs from that shard. Padding rows (>= b) never re-run.
-        need = np.minimum(c, shard_unmasked)[:, None]  # (S, 1)
+        # complete iff it kept min(c, its OWN group's unmasked count on
+        # that shard) survivors; a query starved on ANY shard may be
+        # missing true filtered top-c docs from that shard. Padding rows
+        # (>= b) never re-run.
+        need = np.minimum(c, shard_unmasked[:, groups[:b]])  # (S, b)
         starved = np.flatnonzero((surv_np[:, :b] < need).any(axis=0))
         if starved.size:
-            r = starved.size
-            r_pad = -(-r // self.data_size) * self.data_size
-            rows = np.concatenate([starved, np.zeros(r_pad - r, np.int64)])
             op, transposed = self._masked_dense_operand()
-            _, d_ids = sharded_dense_topk_masked(
-                self.mesh, op, q[rows], mask_dev, c,
-                transposed=transposed, block_size=self.block_size,
-            )
-            _, b_ids = sharded_bm25_topk(
-                self.mesh,
-                pdi_d[:, rows], pw_d[:, rows], self.shard_size, c,
-                presorted=meta.presorted, max_run=meta.max_terms,
-            )
-            fvals, fids = rrf_fuse_device(
-                jnp.asarray(b_ids), jnp.asarray(d_ids), k, self.rrf_k
-            )
-            vals_np[starved] = np.asarray(fvals)[:r]
-            ids_np[starved] = np.asarray(fids)[:r]
+            for g in np.unique(groups[starved]):
+                sub = starved[groups[starved] == g]
+                r = sub.size
+                r_pad = -(-r // self.data_size) * self.data_size
+                rows = np.concatenate([sub, np.zeros(r_pad - r, np.int64)])
+                _, d_ids = sharded_dense_topk_masked(
+                    self.mesh, op, q[rows],
+                    self._mask_row_dev(padded_masks, g), c,
+                    transposed=transposed, block_size=self.block_size,
+                )
+                _, b_ids = sharded_bm25_topk(
+                    self.mesh,
+                    pdi_d[:, rows], pw_d[:, rows], self.shard_size, c,
+                    presorted=meta.presorted, max_run=meta.max_terms,
+                )
+                fvals, fids = rrf_fuse_device(
+                    jnp.asarray(b_ids), jnp.asarray(d_ids), k, self.rrf_k
+                )
+                vals_np[sub] = np.asarray(fvals)[:r]
+                ids_np[sub] = np.asarray(fids)[:r]
         return self._postprocess(vals_np, ids_np, b, k)
 
     def search(
@@ -420,6 +452,7 @@ class ShardedHybridRetriever:
         candidates_per_arm: Optional[int] = None,
         mode: str = "hybrid",
         filter_mask=None,
+        filter_group=None,
     ) -> SearchResult:
         """Batched retrieval through the sharded device program.
 
@@ -433,7 +466,9 @@ class ShardedHybridRetriever:
         per-shard starvation check re-runs under-filled queries through the
         exact masked sharded fallback. Filtered hybrid runs one bounded
         dispatch per sub-batch (no scan fusion — the starvation check is
-        per sub-batch host work)."""
+        per sub-batch host work). Per-query filters: (G, n_docs) masks +
+        ``filter_group`` (one mask row index per query); the mask stack
+        shards with the corpus and each query gathers its own row."""
         assert mode in ("hybrid", "bm25", "dense"), mode
         b = len(queries)
         if b == 0:
@@ -443,23 +478,35 @@ class ShardedHybridRetriever:
         k = min(k, self.n_docs)
         c = min(candidates_per_arm or k, self.n_docs)
 
-        doc_mask = None
-        mask_dev = None
-        shard_unmasked = None
+        doc_masks = groups = None
+        padded_masks = None  # (G, shard_size * n_shards) host bools
+        mask_dev = None  # (G, N_pad) device, corpus-sharded on axis 1
+        shard_unmasked = None  # (S, G) per-shard unmasked count per group
         if filter_mask is not None:
-            from openintel_tpu.models.retrievers import _as_doc_mask
+            from openintel_tpu.models.retrievers import _as_group_masks
 
-            doc_mask = _as_doc_mask(filter_mask, self.n_docs)
-            padded_mask = np.zeros(self.shard_size * self.n_shards, bool)
-            padded_mask[: self.n_docs] = doc_mask
-            mask_dev = jax.device_put(
-                jnp.asarray(padded_mask),
-                NamedSharding(self.mesh, P(CORPUS_AXIS)),
+            doc_masks, groups = _as_group_masks(
+                filter_mask, filter_group, self.n_docs, b
             )
-            shard_unmasked = np.add.reduceat(
-                padded_mask,
-                np.arange(0, padded_mask.size, self.shard_size),
-            ).astype(np.int64)
+            padded_masks = np.zeros(
+                (doc_masks.shape[0], self.shard_size * self.n_shards), bool
+            )
+            padded_masks[:, : self.n_docs] = doc_masks
+            mask_dev = jax.device_put(
+                jnp.asarray(padded_masks),
+                NamedSharding(self.mesh, P(None, CORPUS_AXIS)),
+            )
+            shard_unmasked = (
+                np.add.reduceat(
+                    padded_masks,
+                    np.arange(0, padded_masks.shape[1], self.shard_size),
+                    axis=1,
+                )
+                .astype(np.int64)
+                .T
+            )
+        elif filter_group is not None:
+            raise ValueError("filter_group requires filter_mask")
 
         # Sub-batching: requests beyond ``device_batch`` queries scan
         # inside ONE device dispatch (sharded analogue of
@@ -469,6 +516,11 @@ class ShardedHybridRetriever:
         db = -(-db // self.data_size) * self.data_size
         pad = (-b) % db
         nb = (b + pad) // db
+        if groups is not None:
+            # padding rows carry group 0 (valid row; results discarded)
+            groups = np.concatenate(
+                [groups, np.zeros(nb * db - b, np.int32)]
+            )
 
         q8 = None
         if mode in ("hybrid", "dense"):
@@ -510,12 +562,14 @@ class ShardedHybridRetriever:
                 shard_size=self.shard_size,
                 max_postings_per_term=prune_m,
                 multi_budget=max(self.multi_budget, c),
-                doc_mask=doc_mask,
+                doc_masks=doc_masks,
+                groups=groups,
             )
 
-        if mode == "hybrid" and doc_mask is not None:
+        if mode == "hybrid" and doc_masks is not None:
             return self._search_hybrid_filtered(
-                q, q8, pdi, pw, meta, mask_dev, shard_unmasked,
+                q, q8, pdi, pw, meta, mask_dev, groups, padded_masks,
+                shard_unmasked,
                 b=b, k=k, c=c, nb=nb, db=db,
             )
 
@@ -545,22 +599,36 @@ class ShardedHybridRetriever:
                 b, k,
             )
 
-        if mode == "dense" and doc_mask is not None:
+        if mode == "dense" and doc_masks is not None:
             # exact masked brute-force over the shards (the single-arm
             # filtered surface, like DenseRetriever._masked_topk); the
-            # quantised kernels route through their f32 rescore rows
+            # quantised kernels route through their f32 rescore rows. One
+            # bounded sub-batch loop per DISTINCT mask row (the masked
+            # scan kernels take one (N,) mask).
             from openintel_tpu.parallel.sharded import sharded_dense_topk_masked
 
             op, transposed = self._masked_dense_operand()
-            outs = [
-                sharded_dense_topk_masked(
-                    self.mesh, op, q[lo : lo + db], mask_dev, k,
-                    transposed=transposed, block_size=self.block_size,
-                )
-                for lo in range(0, nb * db, db)
-            ]
-            vals = np.concatenate([np.asarray(v) for v, _ in outs])
-            ids = np.concatenate([np.asarray(i) for _, i in outs])
+            vals = np.empty((nb * db, k), np.float32)
+            ids = np.empty((nb * db, k), np.int32)
+            for g in np.unique(groups):
+                grows = np.flatnonzero(groups == g)
+                r = grows.size
+                r_pad = -(-r // self.data_size) * self.data_size
+                sel = np.concatenate([grows, np.zeros(r_pad - r, np.int64)])
+                mrow = self._mask_row_dev(padded_masks, g)
+                outs = [
+                    sharded_dense_topk_masked(
+                        self.mesh, op, q[sel[lo : lo + db]], mrow, k,
+                        transposed=transposed, block_size=self.block_size,
+                    )
+                    for lo in range(0, r_pad, db)
+                ]
+                vals[grows] = np.concatenate(
+                    [np.asarray(v) for v, _ in outs]
+                )[:r]
+                ids[grows] = np.concatenate(
+                    [np.asarray(i) for _, i in outs]
+                )[:r]
         elif mode == "dense":
             # bounded sub-batches: one jitted program per db-sized chunk
             # (a single giant dispatch would spike the b x shard_size score

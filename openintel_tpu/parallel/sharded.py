@@ -404,7 +404,8 @@ def sharded_hybrid_filtered_topk(
     queries: jax.Array,  # (B, D)
     plan_doc_ids: jax.Array,  # (S, B, Pw) MASK-AWARE per-shard plans
     plan_weights: jax.Array,  # (S, B, Pw)
-    doc_mask: jax.Array,  # (N_padded,) bool, corpus-sharded; padding False
+    doc_mask: jax.Array,  # (G, N_padded) bool, corpus-sharded; padding False
+    groups: jax.Array,  # (B,) int32 mask row per query (data-sharded)
     k: int,
     *,
     candidates_per_arm: Optional[int] = None,
@@ -424,16 +425,19 @@ def sharded_hybrid_filtered_topk(
     - BM25 arm: the split plans are already mask-aware (masked docs never
       reached them), so the per-shard reduction is unchanged;
     - dense arm: each shard over-fetches ``c_fetch`` unfiltered candidates,
-      gathers its LOCAL mask slice at the candidate ids (corpus padding is
+      gathers its LOCAL slice of the query's OWN mask row at the candidate
+      ids (flat index ``group * shard_size + local_id``; corpus padding is
       mask-False, which subsumes the padding clamp), and rank-compacts the
       survivors to ``c`` with scores (``mask_compact_ranked_vals``);
     - the compacted per-shard survivor lists all-gather and merge exactly
       like the unfiltered program; per-shard survivor counts all-gather to
       every chip so the HOST can run the starvation check.
 
-    Returns (vals (B, k), ids (B, k), survivors (S, B) int32). Exact
-    whenever every shard's pool holds >= min(c, shard_unmasked) survivors;
-    the caller re-runs starved queries through
+    Per-query filters ride as ONE int per query (``groups``) against the
+    (G, N) resident mask stack — never a (B, N) operand. Returns (vals
+    (B, k), ids (B, k), survivors (S, B) int32). Exact whenever every
+    shard's pool holds >= min(c, shard_unmasked[group]) survivors; the
+    caller re-runs starved queries through
     :func:`sharded_dense_topk_masked` + the mask-aware BM25 arm."""
     c = candidates_per_arm or k
     cf = c_fetch or c
@@ -451,8 +455,8 @@ def sharded_hybrid_filtered_topk(
         presorted, max_run, interpret,
     )
     return f(
-        doc_emb, queries, plan_doc_ids, plan_weights, rescore, queries_i8,
-        doc_mask,
+        doc_emb, queries, groups, plan_doc_ids, plan_weights, rescore,
+        queries_i8, doc_mask,
     )
 
 
@@ -464,14 +468,18 @@ def _hybrid_filtered_program(
     from openintel_tpu.ops.bm25 import bm25_topk_device
     from openintel_tpu.ops.fusion import mask_compact_ranked_vals
 
-    def local(emb_local, q_local, ids_local, w_local, rs_local, q8_local,
-              mask_local):
+    def local(emb_local, q_local, g_local, ids_local, w_local, rs_local,
+              q8_local, mask_local):
         shard = jax.lax.axis_index(CORPUS_AXIS)
         d_vals, d_ids = _local_dense_topk(
             emb_local, q_local, c_fetch, kernel, block_size, interpret,
             rescore_local=rs_local, q_i8_local=q8_local, candidates=c_fetch,
         )
-        keep = jnp.take(mask_local, jnp.maximum(d_ids, 0)) & (d_ids >= 0)
+        # each query row gathers its OWN mask row's local slice: flat index
+        # group * shard_size + local_id into the (G, shard_size) slice
+        mask_flat = mask_local.reshape(-1)
+        flat_ix = g_local[:, None] * shard_size + jnp.maximum(d_ids, 0)
+        keep = jnp.take(mask_flat, flat_ix) & (d_ids >= 0)
         cvals, cids, surv = mask_compact_ranked_vals(d_ids, d_vals, keep, c)
         d_gids = jnp.where(cids >= 0, cids + shard * shard_size, -1)
         b_vals, b_lids = bm25_topk_device(
@@ -497,11 +505,12 @@ def _hybrid_filtered_program(
             in_specs=(
                 _emb_spec(kernel),
                 P(DATA_AXIS, None),
+                P(DATA_AXIS),
                 P(CORPUS_AXIS, DATA_AXIS, None),
                 P(CORPUS_AXIS, DATA_AXIS, None),
                 P(CORPUS_AXIS, None),
                 P(DATA_AXIS, None),
-                P(CORPUS_AXIS),
+                P(None, CORPUS_AXIS),
             ),
             out_specs=(
                 P(DATA_AXIS, None),

@@ -325,7 +325,7 @@ def test_search_corpus_filtered():
         n_docs = 4
 
         def search(self, queries, k=10, candidates_per_arm=None,
-                   mode="hybrid", filter_mask=None):
+                   mode="hybrid", filter_mask=None, filter_group=None):
             assert filter_mask is not None and filter_mask.tolist() == [
                 True, False, True, True,
             ]
@@ -340,3 +340,75 @@ def test_search_corpus_filtered():
         {"queries": ["x"], "exclude_ids": [1]}, FakeSharded(), docs
     )
     assert out["results"][0]["hits"] == []  # mask reached the sharded surface
+
+
+def test_build_filter_groups_dedup_and_validation():
+    import numpy as np
+    import pytest
+
+    from openintel_tpu.mcp.tools import build_filter_groups
+
+    masks, groups = build_filter_groups(
+        [
+            {"include_ids": [1, 3]},
+            None,
+            {"include_ids": [3, 1]},  # same set, different order -> dedupes
+            {"exclude_ids": [0]},
+        ],
+        4,
+        5,
+    )
+    assert masks.shape == (3, 5) and groups.tolist() == [0, 1, 0, 2]
+    assert masks[1].all()  # null entry = whole corpus
+    assert set(np.flatnonzero(masks[0]).tolist()) == {1, 3}
+    assert not masks[2][0] and masks[2][1:].all()
+
+    with pytest.raises(ValueError, match="one per query"):
+        build_filter_groups([None], 2, 5)
+    with pytest.raises(ValueError, match="object or null"):
+        build_filter_groups([[1, 2]], 1, 5)
+    with pytest.raises(ValueError, match="unknown keys"):
+        build_filter_groups([{"ids": [1]}], 1, 5)
+    with pytest.raises(ValueError, match=r"filters\[0\].*out of range"):
+        build_filter_groups([{"include_ids": [9]}], 1, 5)
+
+
+def test_search_corpus_per_query_filters():
+    """The `filters` list applies a DIFFERENT mask per query in one call —
+    and is mutually exclusive with the call-wide id lists."""
+    import pytest
+
+    from openintel_tpu.mcp.tools import run_search_corpus
+    from openintel_tpu.models.retrievers import HybridRetriever
+
+    docs = ["the quick brown fox", "lazy dogs sleep", "fox dog fox", "markets"]
+    r = HybridRetriever.build(docs, dim=32)
+    out = run_search_corpus(
+        {
+            "queries": ["fox", "fox", "fox"],
+            "k": 4,
+            "filters": [
+                {"include_ids": [0, 1]},
+                {"include_ids": [2, 3]},
+                None,
+            ],
+        },
+        r,
+        docs,
+    )
+    ids = [
+        {h["doc_id"] for h in row["hits"]} for row in out["results"]
+    ]
+    assert ids[0] <= {0, 1} and ids[1] <= {2, 3}
+    assert ids[2] >= {0, 2}  # unfiltered row still sees every fox doc
+
+    with pytest.raises(ValueError, match="not both"):
+        run_search_corpus(
+            {
+                "queries": ["x"],
+                "filters": [None],
+                "exclude_ids": [0],
+            },
+            r,
+            docs,
+        )

@@ -520,3 +520,117 @@ def test_filtered_int8_sharded_no_leaks(corpus):
     res2 = r.search(queries, k=10, filter_mask=m2)
     for row in res2.ids:
         assert set(row[row >= 0].tolist()) == set(keep)
+
+
+# ----------------------------- per-query filters (mask groups), sharded
+# Contract: the sharded grouped surface is bit-identical to the single-chip
+# grouped surface (itself proven per-query equal to single-mask searches in
+# tests/test_filtered_search.py). The (G, N) mask stack shards with the
+# corpus; each query carries one mask row index.
+
+
+def _group_masks(seed=61):
+    from openintel_tpu.models.retrievers import make_filter_mask
+
+    rng = np.random.default_rng(seed)
+    return np.stack([
+        rng.random(N) < 0.5,
+        rng.random(N) < 0.25,
+        make_filter_mask(N, include_ids=[3, 130, 260, 390, 520, 650, 999]),
+    ])
+
+
+def test_grouped_hybrid_matches_single_chip(corpus, sharded):
+    """Mixed selectivity in one batch — including a 7-doc group that
+    starves every shard (exact per-group fallback)."""
+    docs, postings, dense, embedder = corpus
+    queries = synthetic_queries_from_docs(docs, 7, seed=62)
+    masks = _group_masks()
+    groups = np.arange(7, dtype=np.int32) % 3
+    got = sharded.search(
+        queries, k=10, candidates_per_arm=20,
+        filter_mask=masks, filter_group=groups,
+    )
+    want = HybridRetriever(postings, dense, embedder, use_pallas=False).search(
+        queries, k=10, candidates_per_arm=20,
+        filter_mask=masks, filter_group=groups,
+    )
+    np.testing.assert_array_equal(got.ids, want.ids)
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-5, atol=1e-6)
+
+
+def test_grouped_bm25_mode_matches_single_chip(corpus, sharded):
+    docs, postings, _, _ = corpus
+    queries = synthetic_queries_from_docs(docs, 6, seed=63)
+    masks = _group_masks(64)
+    groups = np.arange(6, dtype=np.int32) % 3
+    got = sharded.search(
+        queries, k=10, mode="bm25", filter_mask=masks, filter_group=groups
+    )
+    want = BM25Retriever(postings).search(
+        queries, k=10, filter_mask=masks, filter_group=groups
+    )
+    np.testing.assert_array_equal(got.ids, want.ids)
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-5, atol=1e-6)
+
+
+def test_grouped_dense_mode_matches_single_chip(corpus, sharded):
+    docs, _, dense, embedder = corpus
+    queries = synthetic_queries_from_docs(docs, 6, seed=65)
+    masks = _group_masks(66)
+    groups = np.arange(6, dtype=np.int32) % 3
+    got = sharded.search(
+        queries, k=10, mode="dense", filter_mask=masks, filter_group=groups
+    )
+    want = DenseRetriever(dense, embedder, use_pallas=False).search(
+        queries, k=10, filter_mask=masks, filter_group=groups
+    )
+    np.testing.assert_array_equal(got.ids, want.ids)
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-4, atol=1e-5)
+
+
+def test_grouped_multibatch_matches_big(corpus):
+    """Grouped filters across several bounded sub-batches equal one big
+    dispatch (the group vector slices with the query batch)."""
+    docs, postings, dense, embedder = corpus
+    queries = synthetic_queries_from_docs(docs, 11, seed=67)
+    masks = _group_masks(68)[:2]  # skip the starving group here
+    groups = np.arange(11, dtype=np.int32) % 2
+    big = ShardedHybridRetriever(
+        postings, dense, embedder, data=2, corpus=4, kernel="xla",
+        block_size=128,
+    )
+    small = ShardedHybridRetriever(
+        postings, dense, embedder, data=2, corpus=4, kernel="xla",
+        block_size=128, device_batch=4,
+    )
+    want = big.search(
+        queries, k=10, candidates_per_arm=20,
+        filter_mask=masks, filter_group=groups,
+    )
+    got = small.search(
+        queries, k=10, candidates_per_arm=20,
+        filter_mask=masks, filter_group=groups,
+    )
+    np.testing.assert_array_equal(got.ids, want.ids)
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-5, atol=1e-6)
+
+
+def test_grouped_int8_sharded_no_leaks(corpus):
+    """Quantised kernel on the grouped sharded path (interpret mode): no
+    query ever surfaces a doc its OWN group masked."""
+    docs, postings, dense, embedder = corpus
+    queries = synthetic_queries_from_docs(docs, 4, seed=69)
+    r = ShardedHybridRetriever(
+        postings, dense, embedder, data=2, corpus=4, kernel="int8",
+        block_size=128,
+    )
+    masks = _group_masks(70)
+    groups = np.array([0, 1, 2, 0], np.int32)
+    res = r.search(
+        queries, k=10, candidates_per_arm=20,
+        filter_mask=masks, filter_group=groups,
+    )
+    for b in range(4):
+        kept = res.ids[b][res.ids[b] >= 0]
+        assert kept.size and np.all(masks[groups[b]][kept])
