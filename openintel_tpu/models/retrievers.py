@@ -131,7 +131,15 @@ def _as_group_masks(
                 f"filter_mask has {masks.shape[0]} > 1 rows"
             )
         return masks, np.zeros(b, np.int32)
-    groups = np.asarray(list(filter_group), dtype=np.int32)
+    raw = np.asarray(list(filter_group))
+    if not np.issubdtype(raw.dtype, np.integer):
+        # a truncating cast would silently apply the WRONG tenant's mask —
+        # the exact "filter looks applied when it wasn't" failure this
+        # module's validation exists to prevent
+        raise TypeError(
+            f"filter_group must be integers, got dtype {raw.dtype}"
+        )
+    groups = raw.astype(np.int32)
     if groups.shape != (b,):
         raise ValueError(
             f"filter_group length {groups.shape} != ({b},) queries"
@@ -140,6 +148,12 @@ def _as_group_masks(
         raise ValueError(
             f"filter_group out of range [0, {masks.shape[0]}): "
             f"[{groups.min()}, {groups.max()}]"
+        )
+    if masks.shape[0] * n_docs >= 2**31:
+        # the device programs gather mask_flat[g * n_docs + id] in int32
+        raise ValueError(
+            f"{masks.shape[0]} mask rows x {n_docs} docs overflows the "
+            "int32 flat mask index; use fewer distinct filter groups"
         )
     return masks, groups
 
@@ -181,6 +195,23 @@ def make_filter_mask(
     return mask
 
 
+def run_per_group(
+    groups: np.ndarray, k: int, fn
+) -> tuple[np.ndarray, np.ndarray]:
+    """Run ``fn(g, rows) -> ((len(rows), k) vals, (len(rows), k) ids)``
+    once per DISTINCT mask group and scatter the results back into row
+    order — the shared row bookkeeping of every per-group dispatch loop
+    (grouped dense search, starvation fallbacks, sharded dense mode)."""
+    out_vals = np.empty((groups.shape[0], k), np.float32)
+    out_ids = np.empty((groups.shape[0], k), np.int32)
+    for g in np.unique(groups):
+        rows = np.flatnonzero(groups == g)
+        vals, ids = fn(int(g), rows)
+        out_vals[rows] = vals
+        out_ids[rows] = ids
+    return out_vals, out_ids
+
+
 def grouped_query_plan(
     index,
     term_ids: Sequence[Sequence[int]],
@@ -210,7 +241,10 @@ def grouped_query_plan(
             [term_ids[i] for i in rows],
             max_postings_per_term=max_postings_per_term,
             multi_budget=multi_budget,
-            doc_mask=masks[g],
+            # all-True rows (null filters in a mixed batch) are the
+            # UNFILTERED plan — keep them on the native C++ planner
+            # instead of the mask-aware NumPy path
+            doc_mask=masks[g] if not masks[g].all() else None,
         )
         per_group.append((rows, plan))
         presorted = presorted and plan.presorted
@@ -522,16 +556,15 @@ class DenseRetriever:
             # per-query groups: the dense filtered surface is an exact
             # masked brute-force scan, so one dispatch per DISTINCT mask
             # over that group's query rows is the natural program shape
-            kk = min(k, self.index.n_docs)
-            out_ids = np.empty((b, kk), np.int32)
-            out_vals = np.empty((b, kk), np.float32)
-            for g in np.unique(groups):
-                rows = np.flatnonzero(groups == g)
+            def arm(g, rows):
                 vals, ids = self._masked_topk(
                     q[rows], jnp.asarray(masks[g]), k
                 )
-                out_ids[rows] = np.asarray(ids)
-                out_vals[rows] = np.asarray(vals)
+                return np.asarray(vals), np.asarray(ids)
+
+            out_vals, out_ids = run_per_group(
+                groups, min(k, self.index.n_docs), arm
+            )
             return SearchResult(ids=out_ids, scores=out_vals)
         if filter_group is not None:
             raise ValueError("filter_group requires filter_mask")
@@ -972,13 +1005,11 @@ class HybridRetriever:
         w = prep.plan_doc_ids.shape[2]
         c, k = prep.candidates_per_arm, prep.k
         groups_flat = np.asarray(prep.filter_group).reshape(nb * db)
-        out_ids = np.empty((rows.size, k), np.int32)
-        out_vals = np.empty((rows.size, k), np.float32)
+
         # one masked scan per DISTINCT mask row among the starved queries
         # (starvation is rare and group-correlated — a tiny include-list
         # starves every query of its group at once)
-        for g in np.unique(groups_flat[rows]):
-            sub = np.flatnonzero(groups_flat[rows] == g)
+        def arm(g, sub):
             sel = rows[sub]
             q = prep.queries.reshape(nb * db, dim)[sel]
             d_vals, d_ids = self.dense._masked_topk(
@@ -993,8 +1024,9 @@ class HybridRetriever:
                 max_run=prep.max_run,
             )
             vals, ids = rrf_fuse_device(b_ids, d_ids, k, self.rrf_k)
-            out_ids[sub] = np.asarray(ids)
-            out_vals[sub] = np.asarray(vals)
+            return np.asarray(vals), np.asarray(ids)
+
+        out_vals, out_ids = run_per_group(groups_flat[rows], k, arm)
         return SearchResult(ids=out_ids, scores=out_vals)
 
     def run_prepared(self, prep: "PreparedBatch") -> SearchResult:

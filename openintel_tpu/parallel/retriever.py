@@ -364,9 +364,28 @@ class ShardedHybridRetriever:
             NamedSharding(self.mesh, P(CORPUS_AXIS)),
         )
 
+    def _pad_group_rows(
+        self, rows: np.ndarray, db: int
+    ) -> tuple[np.ndarray, int]:
+        """Pad a group's row indices so dispatch shapes stay BUCKETED (the
+        jit cache grows per distinct batch shape): counts >= db pad to a
+        db multiple (chunks are exactly db); smaller counts pad to the
+        next power-of-two multiple of the data axis, capped at db — at
+        most log2(db/data) compiled sizes instead of one per count.
+        Returns (padded index array, true row count); padding rows repeat
+        index 0 and their results are discarded."""
+        r = rows.size
+        if r >= db:
+            r_pad = -(-r // db) * db
+        else:
+            r_pad = self.data_size
+            while r_pad < r:
+                r_pad *= 2
+            r_pad = min(r_pad, db)
+        return np.concatenate([rows, np.zeros(r_pad - r, np.int64)]), r
+
     def _search_hybrid_filtered(
-        self, q, q8, pdi, pw, meta, mask_dev, groups, padded_masks,
-        shard_unmasked,
+        self, q, q8, pdi, pw, meta, mask_dev, groups, shard_unmasked,
         *, b: int, k: int, c: int, nb: int, db: int,
     ) -> SearchResult:
         """Filtered sharded hybrid: one bounded dispatch per sub-batch of
@@ -420,15 +439,16 @@ class ShardedHybridRetriever:
         need = np.minimum(c, shard_unmasked[:, groups[:b]])  # (S, b)
         starved = np.flatnonzero((surv_np[:, :b] < need).any(axis=0))
         if starved.size:
+            from openintel_tpu.models.retrievers import run_per_group
+
             op, transposed = self._masked_dense_operand()
-            for g in np.unique(groups[starved]):
-                sub = starved[groups[starved] == g]
-                r = sub.size
-                r_pad = -(-r // self.data_size) * self.data_size
-                rows = np.concatenate([sub, np.zeros(r_pad - r, np.int64)])
+
+            def arm(g, sub):
+                rows, r = self._pad_group_rows(starved[sub], db)
                 _, d_ids = sharded_dense_topk_masked(
                     self.mesh, op, q[rows],
-                    self._mask_row_dev(padded_masks, g), c,
+                    mask_dev[g],  # row slice of the resident device stack
+                    c,
                     transposed=transposed, block_size=self.block_size,
                 )
                 _, b_ids = sharded_bm25_topk(
@@ -439,8 +459,11 @@ class ShardedHybridRetriever:
                 fvals, fids = rrf_fuse_device(
                     jnp.asarray(b_ids), jnp.asarray(d_ids), k, self.rrf_k
                 )
-                vals_np[sub] = np.asarray(fvals)[:r]
-                ids_np[sub] = np.asarray(fids)[:r]
+                return np.asarray(fvals)[:r], np.asarray(fids)[:r]
+
+            fvals, fids = run_per_group(groups[starved], k, arm)
+            vals_np[starved] = fvals
+            ids_np[starved] = fids
         return self._postprocess(vals_np, ids_np, b, k)
 
     def search(
@@ -492,10 +515,14 @@ class ShardedHybridRetriever:
                 (doc_masks.shape[0], self.shard_size * self.n_shards), bool
             )
             padded_masks[:, : self.n_docs] = doc_masks
-            mask_dev = jax.device_put(
-                jnp.asarray(padded_masks),
-                NamedSharding(self.mesh, P(None, CORPUS_AXIS)),
-            )
+            if mode == "hybrid":
+                # only the fused hybrid program reads the full stack on
+                # device; dense mode stages single rows (_mask_row_dev)
+                # and the BM25 arm filters in the plan — no operand at all
+                mask_dev = jax.device_put(
+                    jnp.asarray(padded_masks),
+                    NamedSharding(self.mesh, P(None, CORPUS_AXIS)),
+                )
             shard_unmasked = (
                 np.add.reduceat(
                     padded_masks,
@@ -568,8 +595,7 @@ class ShardedHybridRetriever:
 
         if mode == "hybrid" and doc_masks is not None:
             return self._search_hybrid_filtered(
-                q, q8, pdi, pw, meta, mask_dev, groups, padded_masks,
-                shard_unmasked,
+                q, q8, pdi, pw, meta, mask_dev, groups, shard_unmasked,
                 b=b, k=k, c=c, nb=nb, db=db,
             )
 
@@ -607,28 +633,26 @@ class ShardedHybridRetriever:
             # scan kernels take one (N,) mask).
             from openintel_tpu.parallel.sharded import sharded_dense_topk_masked
 
+            from openintel_tpu.models.retrievers import run_per_group
+
             op, transposed = self._masked_dense_operand()
-            vals = np.empty((nb * db, k), np.float32)
-            ids = np.empty((nb * db, k), np.int32)
-            for g in np.unique(groups):
-                grows = np.flatnonzero(groups == g)
-                r = grows.size
-                r_pad = -(-r // self.data_size) * self.data_size
-                sel = np.concatenate([grows, np.zeros(r_pad - r, np.int64)])
+
+            def arm(g, grows):
+                sel, r = self._pad_group_rows(grows, db)
                 mrow = self._mask_row_dev(padded_masks, g)
                 outs = [
                     sharded_dense_topk_masked(
                         self.mesh, op, q[sel[lo : lo + db]], mrow, k,
                         transposed=transposed, block_size=self.block_size,
                     )
-                    for lo in range(0, r_pad, db)
+                    for lo in range(0, sel.size, db)
                 ]
-                vals[grows] = np.concatenate(
-                    [np.asarray(v) for v, _ in outs]
-                )[:r]
-                ids[grows] = np.concatenate(
-                    [np.asarray(i) for _, i in outs]
-                )[:r]
+                return (
+                    np.concatenate([np.asarray(v) for v, _ in outs])[:r],
+                    np.concatenate([np.asarray(i) for _, i in outs])[:r],
+                )
+
+            vals, ids = run_per_group(groups, k, arm)
         elif mode == "dense":
             # bounded sub-batches: one jitted program per db-sized chunk
             # (a single giant dispatch would spike the b x shard_size score

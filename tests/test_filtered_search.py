@@ -393,3 +393,14 @@ def test_hybrid_grouped_multibatch_matches_single(corpus):
     )
     np.testing.assert_array_equal(got.ids, want.ids)
     np.testing.assert_allclose(got.scores, want.scores, rtol=1e-5, atol=1e-6)
+
+
+def test_group_masks_reject_float_groups(corpus):
+    """A truncating cast would silently apply the wrong tenant's mask."""
+    _, postings, dense, embedder = corpus
+    h = HybridRetriever(postings, dense, embedder, kernel="xla")
+    masks = _three_masks(N)
+    with pytest.raises(TypeError, match="integers"):
+        h.search(
+            ["a", "b"], filter_mask=masks, filter_group=[0.9, 1.2]
+        )
