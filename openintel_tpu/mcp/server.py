@@ -547,8 +547,12 @@ def build_server(
         # docs/benchmarks.md "Batch-64").
         from openintel_tpu.serving import BatchCoalescer
 
-        def _hybrid_search(queries, k=10):
-            return retriever.search(queries, k=k, candidates_per_arm=2 * k)
+        def _hybrid_search(queries, k=10, **filter_kw):
+            # filter_kw: the coalescer's fused filter_mask/filter_group
+            # when a wave carries filtered requests (serving.py)
+            return retriever.search(
+                queries, k=k, candidates_per_arm=2 * k, **filter_kw
+            )
 
         coalescer = BatchCoalescer(
             _hybrid_search,

@@ -210,17 +210,16 @@ async def run_pulse(args: dict[str, Any], feed: InfluencerFeed) -> dict[str, Any
     return {"summary": summary, "report": report.to_dict(), "disclaimer": DISCLAIMER}
 
 
-def build_filter_groups(filters, n_queries: int, n_docs: int):
-    """Per-query filter specs -> ((G, n_docs) bool masks, (B,) int32
-    groups) for the retrievers' grouped-filter surface.
+def build_filter_entries(filters, n_queries: int, n_docs: int):
+    """Per-query filter specs -> a list of ``serving.FilterEntry`` (None
+    for unfiltered queries, ``(hashable key, (n_docs,) bool mask)``
+    otherwise) aligned with the query batch.
 
     ``filters`` is a list aligned with ``queries``: each entry an object
     ``{"include_ids"?, "exclude_ids"?}`` or null (that query searches the
-    whole corpus — an all-True mask row). Identical specs DEDUPE into one
-    mask row, so the device operand scales with DISTINCT filters (the
+    whole corpus). Identical specs share ONE key + mask object, so device
+    operands and coalescer dedup scale with DISTINCT filters (the
     multi-tenant shape), never with the query count."""
-    import numpy as np
-
     from openintel_tpu.models.retrievers import make_filter_mask
 
     if not isinstance(filters, list) or len(filters) != n_queries:
@@ -228,9 +227,8 @@ def build_filter_groups(filters, n_queries: int, n_docs: int):
             f"filters must be a list of {n_queries} entries — one per "
             "query, null for unfiltered"
         )
-    keys: dict[tuple, int] = {}
-    masks: list[np.ndarray] = []
-    groups: list[int] = []
+    cache: dict[tuple, Any] = {}
+    entries = []
     for i, spec in enumerate(filters):
         if spec is None:
             spec = {}
@@ -244,22 +242,31 @@ def build_filter_groups(filters, n_queries: int, n_docs: int):
             tuple(sorted(int(x) for x in inc)) if inc is not None else None,
             tuple(sorted(int(x) for x in exc)) if exc is not None else None,
         )
-        g = keys.get(key)
-        if g is None:
-            g = keys[key] = len(masks)
-            if key == (None, None):
-                masks.append(np.ones(n_docs, bool))
-            else:
-                try:
-                    masks.append(
-                        make_filter_mask(
-                            n_docs, include_ids=inc, exclude_ids=exc
-                        )
-                    )
-                except ValueError as e:
-                    raise ValueError(f"filters[{i}]: {e}") from e
-        groups.append(g)
-    return np.stack(masks), np.asarray(groups, np.int32)
+        if key == (None, None):
+            entries.append(None)
+            continue
+        mask = cache.get(key)
+        if mask is None:
+            try:
+                mask = cache[key] = make_filter_mask(
+                    n_docs, include_ids=inc, exclude_ids=exc
+                )
+            except ValueError as e:
+                raise ValueError(f"filters[{i}]: {e}") from e
+        entries.append((key, mask))
+    return entries
+
+
+def build_filter_groups(filters, n_queries: int, n_docs: int):
+    """Per-query filter specs -> ((G, n_docs) bool masks, (B,) int32
+    groups) for the retrievers' grouped-filter surface — or (None, None)
+    when every entry is null (plain unfiltered search). See
+    :func:`build_filter_entries` for the spec format."""
+    from openintel_tpu.serving import fuse_filter_entries
+
+    return fuse_filter_entries(
+        build_filter_entries(filters, n_queries, n_docs)
+    )
 
 
 def run_search_corpus(
@@ -270,10 +277,10 @@ def run_search_corpus(
 
     When the server wires a ``BatchCoalescer`` (production default), hybrid
     searches route through it so concurrent callers fuse into one device
-    batch; the single-arm modes go straight to the retriever. Filtered
-    searches (``include_ids``/``exclude_ids``, or the per-query ``filters``
-    list) bypass the coalescer: the masks are per-call and cannot ride a
-    cross-caller fused batch."""
+    batch — FILTERED ones included: per-query/per-call filters ride the
+    wave as (key, mask) entries and fuse into one grouped-filter dispatch
+    (``serving.fuse_filter_entries``), so concurrent tenants still share a
+    device batch. The single-arm modes go straight to the retriever."""
     queries = list(args.get("queries") or [])
     if not queries:
         raise ValueError("queries must be a non-empty list of strings")
@@ -283,7 +290,7 @@ def run_search_corpus(
     mode = (args.get("mode") or "hybrid").lower()
     if mode not in ("hybrid", "bm25", "dense"):
         raise ValueError("mode must be hybrid, bm25, or dense")
-    filter_mask = filter_group = None
+    filter_mask = filter_group = filter_entries = None
     if args.get("filters") is not None:
         if (
             args.get("include_ids") is not None
@@ -293,19 +300,26 @@ def run_search_corpus(
                 "pass either filters (per-query) or include_ids/exclude_ids "
                 "(whole call), not both"
             )
-        filter_mask, filter_group = build_filter_groups(
+        from openintel_tpu.serving import fuse_filter_entries
+
+        filter_entries = build_filter_entries(
             args["filters"], len(queries), retriever.n_docs
         )
+        filter_mask, filter_group = fuse_filter_entries(filter_entries)
     elif args.get("include_ids") is not None or args.get("exclude_ids") is not None:
         from openintel_tpu.models.retrievers import make_filter_mask
 
+        inc, exc = args.get("include_ids"), args.get("exclude_ids")
         filter_mask = make_filter_mask(
-            retriever.n_docs,
-            include_ids=args.get("include_ids"),
-            exclude_ids=args.get("exclude_ids"),
+            retriever.n_docs, include_ids=inc, exclude_ids=exc
         )
-    if mode == "hybrid" and coalescer is not None and filter_mask is None:
-        res = coalescer.search(queries, k=k)
+        key = (
+            tuple(sorted(int(x) for x in inc)) if inc is not None else None,
+            tuple(sorted(int(x) for x in exc)) if exc is not None else None,
+        )
+        filter_entries = [(key, filter_mask)] * len(queries)
+    if mode == "hybrid" and coalescer is not None:
+        res = coalescer.search(queries, k=k, filters=filter_entries)
     elif not hasattr(retriever, "bm25"):
         # mesh-sharded retriever: every arm serves through the one sharded
         # device program (parallel.retriever.ShardedHybridRetriever)

@@ -20,19 +20,59 @@ approaches the full-batch rate as concurrency rises.
 from __future__ import annotations
 
 import threading
-from typing import Callable, Sequence
+from typing import Callable, Optional, Sequence
 
 import numpy as np
 
 from openintel_tpu.models.retrievers import SearchResult
 
+# A per-query filter entry for coalesced serving: None (unfiltered) or
+# (hashable key identifying the filter, (n_docs,) bool mask). The KEY is
+# what waves dedupe on — two callers sending the same tenant filter share
+# one mask row without comparing N-sized arrays.
+FilterEntry = Optional[tuple]
+
+
+def fuse_filter_entries(
+    entries: Sequence[FilterEntry],
+) -> tuple[Optional[np.ndarray], Optional[np.ndarray]]:
+    """Fuse per-query filter entries into the retrievers' grouped-filter
+    operands ((G, n_docs) masks, (B,) int32 groups) — deduped by key, with
+    one shared all-True row for the unfiltered queries of a mixed wave.
+    Returns (None, None) when every entry is None (callers should run the
+    plain unfiltered program)."""
+    if all(e is None for e in entries):
+        return None, None
+    keys: dict = {}
+    masks: list[np.ndarray] = []
+    groups: list[int] = []
+    n_docs = next(e for e in entries if e is not None)[1].shape[0]
+    for e in entries:
+        key, mask = ("__unfiltered__", None) if e is None else e
+        g = keys.get(key)
+        if g is None:
+            g = keys[key] = len(masks)
+            masks.append(
+                np.ones(n_docs, bool) if mask is None else np.asarray(mask)
+            )
+        groups.append(g)
+    return np.stack(masks), np.asarray(groups, np.int32)
+
 
 class _Pending:
-    __slots__ = ("queries", "k", "event", "result", "error")
+    __slots__ = ("queries", "k", "filters", "event", "result", "error")
 
-    def __init__(self, queries: Sequence[str], k: int):
+    def __init__(
+        self,
+        queries: Sequence[str],
+        k: int,
+        filters: Optional[Sequence[FilterEntry]] = None,
+    ):
         self.queries = list(queries)
         self.k = k
+        self.filters: list[FilterEntry] = (
+            list(filters) if filters is not None else [None] * len(self.queries)
+        )
         self.event = threading.Event()
         self.result: SearchResult | None = None
         self.error: BaseException | None = None
@@ -71,13 +111,27 @@ class BatchCoalescer:
         # the stdio loop itself stays responsive (ping is host-only).
         self._inflight: dict[int, float] = {}
 
-    def search(self, queries: Sequence[str], k: int = 10) -> SearchResult:
-        """Blocking, thread-safe. Returns this caller's ranked results."""
+    def search(
+        self,
+        queries: Sequence[str],
+        k: int = 10,
+        filters: Optional[Sequence[FilterEntry]] = None,
+    ) -> SearchResult:
+        """Blocking, thread-safe. Returns this caller's ranked results.
+
+        ``filters`` (one :data:`FilterEntry` per query) lets FILTERED
+        searches coalesce too: the wave fuses every caller's entries into
+        one grouped-filter device batch (``fuse_filter_entries``), deduped
+        by key, so concurrent tenants share a dispatch. Requires the
+        wrapped ``search_fn`` to accept ``filter_mask``/``filter_group``
+        (both production retrievers do)."""
         if not queries:
             return SearchResult(
                 ids=np.zeros((0, k), np.int32),
                 scores=np.zeros((0, k), np.float32),
             )
+        if filters is not None and len(filters) != len(queries):
+            raise ValueError("filters must align with queries")
         if len(queries) >= self.max_batch:
             # already a full wave: run it directly, no queueing latency
             import time
@@ -88,11 +142,13 @@ class BatchCoalescer:
                 self.queries_run += len(queries)
                 self._inflight[id(token)] = time.monotonic()
             try:
-                return self._search(list(queries), k=k)
+                return self._search(
+                    list(queries), k=k, **self._filter_kwargs(filters)
+                )
             finally:
                 with self._lock:
                     self._inflight.pop(id(token), None)
-        req = _Pending(queries, k)
+        req = _Pending(queries, k, filters)
         with self._lock:
             self._queue.append(req)
             self._queued += len(req.queries)
@@ -162,6 +218,17 @@ class BatchCoalescer:
             # the signal orchestrators restart on
             return time.monotonic() - min(self._inflight.values())
 
+    @staticmethod
+    def _filter_kwargs(filters: Optional[Sequence[FilterEntry]]) -> dict:
+        """Grouped-filter kwargs for the wrapped search_fn; {} when the
+        wave is entirely unfiltered (the plain program keeps serving)."""
+        if filters is None:
+            return {}
+        masks, groups = fuse_filter_entries(filters)
+        if masks is None:
+            return {}
+        return {"filter_mask": masks, "filter_group": groups}
+
     def _run_wave(self, wave: list[_Pending]) -> None:
         import time
 
@@ -172,7 +239,13 @@ class BatchCoalescer:
             self.queries_run += len(all_q)
             self._inflight[id(wave)] = time.monotonic()
         try:
-            res = self._search(all_q, k=k_max)
+            res = self._search(
+                all_q,
+                k=k_max,
+                **self._filter_kwargs(
+                    [f for r in wave for f in r.filters]
+                ),
+            )
         except BaseException as e:  # noqa: BLE001 — delivered to each caller
             for r in wave:
                 r.error = e

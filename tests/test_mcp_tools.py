@@ -289,8 +289,8 @@ def test_run_server_stats():
 
 def test_search_corpus_filtered():
     """include_ids/exclude_ids give exact filtered retrieval through the MCP
-    tool; filtered calls bypass the coalescer (per-call mask cannot ride a
-    cross-caller batch); mesh-sharded servers reject the filter cleanly."""
+    tool; filtered calls ride the coalescer as grouped-filter waves; the
+    mask reaches mesh-sharded retrievers too."""
     import pytest
 
     from openintel_tpu.mcp.tools import run_search_corpus
@@ -310,13 +310,18 @@ def test_search_corpus_filtered():
     assert {h["doc_id"] for h in out["results"][0]["hits"]} <= {1, 3}
 
     co = BatchCoalescer(
-        lambda queries, k=10: r.search(queries, k=k, candidates_per_arm=2 * k),
+        lambda queries, k=10, **kw: r.search(
+            queries, k=k, candidates_per_arm=2 * k, **kw
+        ),
         max_batch=8, max_wait_ms=1.0,
     )
-    run_search_corpus(
+    out = run_search_corpus(
         {"queries": ["quick fox"], "exclude_ids": [0]}, r, docs, None, co
     )
-    assert co.queries_run == 0  # bypassed
+    assert co.queries_run == 1  # filtered searches coalesce too
+    assert all(
+        h["doc_id"] != 0 for h in out["results"][0]["hits"]
+    )
 
     with pytest.raises(ValueError, match="out of range"):
         run_search_corpus({"queries": ["x"], "include_ids": [99]}, r, docs)
@@ -412,3 +417,52 @@ def test_search_corpus_per_query_filters():
             r,
             docs,
         )
+
+
+def test_concurrent_filtered_searches_fuse_one_device_batch():
+    """Serving integration: concurrent search_corpus calls with DIFFERENT
+    filters coalesce into one grouped-filter device batch, and every
+    caller's hits respect its own filter."""
+    import threading
+
+    from openintel_tpu.mcp.tools import run_search_corpus
+    from openintel_tpu.models.retrievers import HybridRetriever
+    from openintel_tpu.serving import BatchCoalescer
+
+    docs = [f"fox document number {i}" for i in range(12)]
+    r = HybridRetriever.build(docs, dim=32)
+    co = BatchCoalescer(
+        lambda queries, k=10, **kw: r.search(
+            queries, k=k, candidates_per_arm=2 * k, **kw
+        ),
+        max_batch=3, max_wait_ms=50.0,
+    )
+    results = {}
+
+    def call(name, args):
+        results[name] = run_search_corpus(args, r, docs, None, co)
+
+    threads = [
+        threading.Thread(target=call, args=(
+            "low", {"queries": ["fox document"], "k": 6,
+                    "include_ids": [0, 1, 2, 3]},
+        )),
+        threading.Thread(target=call, args=(
+            "high", {"queries": ["fox document"], "k": 6,
+                     "include_ids": [8, 9, 10, 11]},
+        )),
+        threading.Thread(target=call, args=(
+            "plain", {"queries": ["fox document"], "k": 6},
+        )),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=10)
+
+    assert co.batches_run == 1 and co.queries_run == 3
+    low = {h["doc_id"] for h in results["low"]["results"][0]["hits"]}
+    high = {h["doc_id"] for h in results["high"]["results"][0]["hits"]}
+    plain = {h["doc_id"] for h in results["plain"]["results"][0]["hits"]}
+    assert low == {0, 1, 2, 3} and high == {8, 9, 10, 11}
+    assert len(plain) == 6  # unfiltered caller unaffected by the wave

@@ -198,3 +198,101 @@ def test_oldest_inflight_tracks_hung_device_calls():
     release.set()
     t.join(timeout=5)
     assert co.oldest_inflight_s() is None  # cleared on completion
+
+
+def test_fuse_filter_entries():
+    from openintel_tpu.serving import fuse_filter_entries
+
+    m1 = np.array([True, False, True])
+    m2 = np.array([False, True, True])
+    # all-None -> unfiltered program
+    assert fuse_filter_entries([None, None]) == (None, None)
+    # dedup by KEY (mask arrays are never compared)
+    masks, groups = fuse_filter_entries(
+        [("a", m1), None, ("b", m2), ("a", m1)]
+    )
+    assert masks.shape == (3, 3) and groups.tolist() == [0, 1, 2, 0]
+    np.testing.assert_array_equal(masks[0], m1)
+    assert masks[1].all()  # shared all-True row for unfiltered queries
+    np.testing.assert_array_equal(masks[2], m2)
+
+
+def test_filtered_requests_coalesce():
+    """Concurrent callers with DIFFERENT filters fuse into ONE grouped
+    device batch; each caller's rows come back filtered by its own mask."""
+    import threading
+
+    from openintel_tpu.models.retrievers import SearchResult
+    from openintel_tpu.serving import BatchCoalescer
+
+    calls = []
+
+    def search_fn(queries, k=10, filter_mask=None, filter_group=None):
+        calls.append((list(queries), filter_mask, filter_group))
+        n = len(queries)
+        # echo each query's group index as its top doc id (pseudo-search
+        # that proves the right mask row reached the right query)
+        g = (
+            filter_group
+            if filter_group is not None
+            else np.zeros(n, np.int32)
+        )
+        ids = np.tile(np.arange(k, dtype=np.int32), (n, 1))
+        ids[:, 0] = g
+        return SearchResult(
+            ids=ids, scores=np.zeros((n, k), np.float32)
+        )
+
+    co = BatchCoalescer(search_fn, max_batch=4, max_wait_ms=50.0)
+    n_docs = 6
+    mask_a = np.zeros(n_docs, bool)
+    mask_b = np.ones(n_docs, bool)
+    results = {}
+
+    def call(name, filters):
+        results[name] = co.search(["q_" + name], k=3, filters=filters)
+
+    threads = [
+        threading.Thread(target=call, args=("a", [(("a",), mask_a)])),
+        threading.Thread(target=call, args=("b", [(("b",), mask_b)])),
+        threading.Thread(target=call, args=("plain", None)),
+        threading.Thread(target=call, args=("a2", [(("a",), mask_a)])),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=10)
+
+    assert co.batches_run == 1 and co.queries_run == 4  # ONE fused wave
+    queries, masks, groups = calls[0]
+    assert masks.shape[0] == 3  # a, b, unfiltered — deduped by key
+    by_q = dict(zip(queries, groups.tolist()))
+    assert by_q["q_a"] == by_q["q_a2"] != by_q["q_b"]
+    # each caller got its own group's row back
+    assert results["a"].ids[0, 0] == by_q["q_a"]
+    assert results["b"].ids[0, 0] == by_q["q_b"]
+    assert results["plain"].ids[0, 0] == by_q["q_plain"]
+
+
+def test_unfiltered_wave_stays_on_plain_program():
+    """A wave with no filtered requests must call search_fn WITHOUT filter
+    kwargs — the unfiltered fused program keeps serving."""
+    from openintel_tpu.models.retrievers import SearchResult
+    from openintel_tpu.serving import BatchCoalescer
+
+    seen = []
+
+    def search_fn(queries, k=10, **kw):
+        seen.append(kw)
+        n = len(queries)
+        return SearchResult(
+            ids=np.zeros((n, k), np.int32),
+            scores=np.zeros((n, k), np.float32),
+        )
+
+    co = BatchCoalescer(search_fn, max_batch=2, max_wait_ms=5.0)
+    co.search(["a", "b"], k=3, filters=[None, None])
+    assert seen == [{}]
+
+    with pytest.raises(ValueError, match="align"):
+        co.search(["a", "b"], k=3, filters=[None])
