@@ -210,6 +210,17 @@ async def run_pulse(args: dict[str, Any], feed: InfluencerFeed) -> dict[str, Any
     return {"summary": summary, "report": report.to_dict(), "disclaimer": DISCLAIMER}
 
 
+def _filter_key(inc, exc) -> tuple:
+    """Canonical hashable identity of an include/exclude filter spec —
+    the coalescer dedupes waves by THIS key, so the per-query and
+    whole-call paths must build it identically or cross-caller dedup
+    silently degrades."""
+    return (
+        tuple(sorted(int(x) for x in inc)) if inc is not None else None,
+        tuple(sorted(int(x) for x in exc)) if exc is not None else None,
+    )
+
+
 def build_filter_entries(filters, n_queries: int, n_docs: int):
     """Per-query filter specs -> a list of ``serving.FilterEntry`` (None
     for unfiltered queries, ``(hashable key, (n_docs,) bool mask)``
@@ -238,10 +249,7 @@ def build_filter_entries(filters, n_queries: int, n_docs: int):
         if unknown:
             raise ValueError(f"filters[{i}]: unknown keys {sorted(unknown)}")
         inc, exc = spec.get("include_ids"), spec.get("exclude_ids")
-        key = (
-            tuple(sorted(int(x) for x in inc)) if inc is not None else None,
-            tuple(sorted(int(x) for x in exc)) if exc is not None else None,
-        )
+        key = _filter_key(inc, exc)
         if key == (None, None):
             entries.append(None)
             continue
@@ -290,7 +298,8 @@ def run_search_corpus(
     mode = (args.get("mode") or "hybrid").lower()
     if mode not in ("hybrid", "bm25", "dense"):
         raise ValueError("mode must be hybrid, bm25, or dense")
-    filter_mask = filter_group = filter_entries = None
+    filter_entries = None
+    single_mask = None  # the whole-call (n_docs,) mask, when given as ids
     if args.get("filters") is not None:
         if (
             args.get("include_ids") is not None
@@ -300,24 +309,33 @@ def run_search_corpus(
                 "pass either filters (per-query) or include_ids/exclude_ids "
                 "(whole call), not both"
             )
-        from openintel_tpu.serving import fuse_filter_entries
-
         filter_entries = build_filter_entries(
             args["filters"], len(queries), retriever.n_docs
         )
-        filter_mask, filter_group = fuse_filter_entries(filter_entries)
     elif args.get("include_ids") is not None or args.get("exclude_ids") is not None:
         from openintel_tpu.models.retrievers import make_filter_mask
 
         inc, exc = args.get("include_ids"), args.get("exclude_ids")
-        filter_mask = make_filter_mask(
+        single_mask = make_filter_mask(
             retriever.n_docs, include_ids=inc, exclude_ids=exc
         )
-        key = (
-            tuple(sorted(int(x) for x in inc)) if inc is not None else None,
-            tuple(sorted(int(x) for x in exc)) if exc is not None else None,
-        )
-        filter_entries = [(key, filter_mask)] * len(queries)
+        filter_entries = [(_filter_key(inc, exc), single_mask)] * len(queries)
+
+    def _direct_filter_kwargs() -> dict[str, Any]:
+        # grouped operands for the NON-coalesced branches only — the
+        # coalescer path fuses per wave, so stacking masks here would be
+        # wasted work on the production hot path
+        if filter_entries is None:
+            return {}
+        if single_mask is not None:
+            return {"filter_mask": single_mask}
+        from openintel_tpu.serving import fuse_filter_entries
+
+        masks, groups = fuse_filter_entries(filter_entries)
+        if masks is None:
+            return {}
+        return {"filter_mask": masks, "filter_group": groups}
+
     if mode == "hybrid" and coalescer is not None:
         res = coalescer.search(queries, k=k, filters=filter_entries)
     elif not hasattr(retriever, "bm25"):
@@ -325,20 +343,15 @@ def run_search_corpus(
         # device program (parallel.retriever.ShardedHybridRetriever)
         res = retriever.search(
             queries, k=k, candidates_per_arm=2 * k, mode=mode,
-            filter_mask=filter_mask, filter_group=filter_group,
+            **_direct_filter_kwargs(),
         )
     elif mode == "bm25":
-        res = retriever.bm25.search(
-            queries, k=k, filter_mask=filter_mask, filter_group=filter_group
-        )
+        res = retriever.bm25.search(queries, k=k, **_direct_filter_kwargs())
     elif mode == "dense":
-        res = retriever.dense.search(
-            queries, k=k, filter_mask=filter_mask, filter_group=filter_group
-        )
+        res = retriever.dense.search(queries, k=k, **_direct_filter_kwargs())
     else:
         res = retriever.search(
-            queries, k=k, candidates_per_arm=2 * k,
-            filter_mask=filter_mask, filter_group=filter_group,
+            queries, k=k, candidates_per_arm=2 * k, **_direct_filter_kwargs()
         )
     reranked = False
     if reranker is not None and docs is not None:

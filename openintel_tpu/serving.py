@@ -29,8 +29,16 @@ from openintel_tpu.models.retrievers import SearchResult
 # A per-query filter entry for coalesced serving: None (unfiltered) or
 # (hashable key identifying the filter, (n_docs,) bool mask). The KEY is
 # what waves dedupe on — two callers sending the same tenant filter share
-# one mask row without comparing N-sized arrays.
+# one mask row without comparing N-sized arrays. CONTRACT: a key must
+# uniquely identify the mask's CONTENT (e.g. the canonical id tuples the
+# MCP layer uses, or a tenant id + ACL version) — two entries with equal
+# keys but different masks in one wave would silently serve the
+# first-seen mask to both callers.
 FilterEntry = Optional[tuple]
+
+# Unfiltered queries in a mixed wave dedupe under this PRIVATE sentinel —
+# an object() can never collide with a caller-supplied hashable key
+_UNFILTERED_KEY = object()
 
 
 def fuse_filter_entries(
@@ -46,9 +54,11 @@ def fuse_filter_entries(
     keys: dict = {}
     masks: list[np.ndarray] = []
     groups: list[int] = []
-    n_docs = next(e for e in entries if e is not None)[1].shape[0]
+    n_docs = np.asarray(
+        next(e for e in entries if e is not None)[1]
+    ).shape[0]
     for e in entries:
-        key, mask = ("__unfiltered__", None) if e is None else e
+        key, mask = (_UNFILTERED_KEY, None) if e is None else e
         g = keys.get(key)
         if g is None:
             g = keys[key] = len(masks)
