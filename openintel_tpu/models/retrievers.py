@@ -242,8 +242,7 @@ def grouped_query_plan(
             max_postings_per_term=max_postings_per_term,
             multi_budget=multi_budget,
             # all-True rows (null filters in a mixed batch) are the
-            # UNFILTERED plan — keep them on the native C++ planner
-            # instead of the mask-aware NumPy path
+            # UNFILTERED plan — skip the pointless per-posting mask work
             doc_mask=masks[g] if not masks[g].all() else None,
         )
         per_group.append((rows, plan))

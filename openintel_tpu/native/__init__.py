@@ -94,6 +94,14 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.c_int64, ctypes.c_int64,
         i32p, f32p, ctypes.c_int64, i64p, ctypes.c_int64,
     ]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.plan_build_masked.restype = ctypes.c_int64
+    lib.plan_build_masked.argtypes = [
+        i64p, i32p, f32p, i64p, f32p, ctypes.c_int64,
+        i32p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, u8p,
+        i32p, f32p, ctypes.c_int64, i64p, ctypes.c_int64,
+    ]
     return lib
 
 
@@ -204,11 +212,14 @@ def native_build_query_plan(
     max_postings_per_term: int,
     multi_budget: int,
     n_threads: int = 0,  # 0 = hardware concurrency
+    doc_mask=None,  # (n_docs,) bool — filtered plans (planner.cpp)
 ):
     """C++ pruned-plan assembly (see planner.cpp); returns
     (doc_ids (B, W) int32 sentinel-padded, weights (B, W) f32, max_terms,
     max_width) or None when the library is unavailable. Candidate sets are
-    identical to the NumPy path (asserted in tests)."""
+    identical to the NumPy path (asserted in tests), including under
+    ``doc_mask`` (filtered-corpus plans, same per-term top-M-unmasked
+    pruning and multi-term tie-breaking)."""
     import numpy as np
 
     lib = _load()
@@ -234,12 +245,18 @@ def native_build_query_plan(
     idf = np.ascontiguousarray(index.idf, dtype=np.float32)
     n_terms_vocab = term_offsets.shape[0] - 1
 
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    mask_u8 = (
+        np.ascontiguousarray(doc_mask, dtype=np.uint8)
+        if doc_mask is not None
+        else None
+    )
     cap = int(t_max * (max_postings_per_term + multi_budget))
     while True:
         out_ids = np.full((b, cap), index.n_docs, dtype=np.int32)
         out_w = np.zeros((b, cap), dtype=np.float32)
         widths = np.zeros(b, dtype=np.int64)
-        rc = lib.plan_build(
+        rc = lib.plan_build_masked(
             term_offsets.ctypes.data_as(i64p),
             doc_ids.ctypes.data_as(i32p),
             impact.ctypes.data_as(f32p),
@@ -251,6 +268,7 @@ def native_build_query_plan(
             t_max,
             max_postings_per_term,
             multi_budget,
+            mask_u8.ctypes.data_as(u8p) if mask_u8 is not None else None,
             out_ids.ctypes.data_as(i32p),
             out_w.ctypes.data_as(f32p),
             cap,

@@ -46,11 +46,20 @@ struct WorstFirst {
 namespace {
 
 // Builds plans for queries [b_lo, b_hi); returns max width or -(needed).
+// `doc_mask` (nullable, n_docs bytes, 1 = eligible) builds the FILTERED
+// plan with the NumPy reference's semantics (ops/bm25.py::build_query_plan
+// doc_mask): masked docs never enter the plan; the prune flag still uses
+// the RAW df; per-term pruning keeps the top-M *unmasked* impacts (the
+// impact-descending walk under the mask, identical tie-breaking); the
+// multi-term merge considers unmasked docs only. Masking is per-doc, so
+// an unmasked doc's postings are exactly its raw postings — matched
+// counts and scores need no further adjustment.
 int64_t plan_build_range(const int64_t* term_offsets, const int32_t* doc_ids,
                          const float* impact, const int64_t* impact_order,
                          const float* idf, int64_t n_terms_vocab,
                          const int32_t* q_terms, int64_t b_lo, int64_t b_hi,
                          int64_t T, int64_t max_m, int64_t multi_budget,
+                         const uint8_t* doc_mask,
                          int32_t* out_ids, float* out_w, int64_t cap,
                          int64_t* out_widths) {
   std::vector<int32_t> terms;
@@ -142,7 +151,7 @@ int64_t plan_build_range(const int64_t* term_offsets, const int32_t* doc_ids,
           score += static_cast<double>(impact[pos - doc_ids]) * big_w;
           matched++;
         }
-        if (matched >= 2) {
+        if (matched >= 2 && (doc_mask == nullptr || doc_mask[m])) {
           MultiDoc cand{score, m};
           if (static_cast<int64_t>(heap.size()) < multi_budget) {
             heap.push(cand);
@@ -171,14 +180,24 @@ int64_t plan_build_range(const int64_t* term_offsets, const int32_t* doc_ids,
       const int64_t df = hi - lo;
       if (!prune || df <= max_m) {
         for (int64_t p = lo; p < hi; ++p)
-          row.emplace_back(doc_ids[p], impact[p] * w);
+          if (doc_mask == nullptr || doc_mask[doc_ids[p]])
+            row.emplace_back(doc_ids[p], impact[p] * w);
         continue;
       }
-      // top-M by impact (order array is (-impact, doc)-sorted per segment)
+      // top-M by impact (order array is (-impact, doc)-sorted per segment);
+      // under a mask: the first M UNMASKED entries of the impact walk
       topm_ids.clear();
       topm_ids.reserve(max_m);
-      for (int64_t p = 0; p < max_m; ++p)
-        topm_ids.push_back(doc_ids[impact_order[lo + p]]);
+      if (doc_mask == nullptr) {
+        for (int64_t p = 0; p < max_m; ++p)
+          topm_ids.push_back(doc_ids[impact_order[lo + p]]);
+      } else {
+        for (int64_t p = 0;
+             p < df && static_cast<int64_t>(topm_ids.size()) < max_m; ++p) {
+          const int32_t d = doc_ids[impact_order[lo + p]];
+          if (doc_mask[d]) topm_ids.push_back(d);
+        }
+      }
       std::sort(topm_ids.begin(), topm_ids.end());
       // union with this term's postings for the forced multi docs; both
       // lists ascending -> merged walk against the full segment to fetch
@@ -227,14 +246,16 @@ extern "C" {
 // `cap` (caller re-allocates and retries). All outputs caller-allocated:
 // out_ids/out_w are (B, cap) row-major, out_widths is (B,). Parallel over
 // queries with `n_threads` (0 = hardware concurrency); rows are disjoint so
-// workers share nothing but read-only index arrays.
-int64_t plan_build(const int64_t* term_offsets, const int32_t* doc_ids,
-                   const float* impact, const int64_t* impact_order,
-                   const float* idf, int64_t n_terms_vocab,
-                   const int32_t* q_terms, int64_t B, int64_t T,
-                   int64_t max_m, int64_t multi_budget,
-                   int32_t* out_ids, float* out_w, int64_t cap,
-                   int64_t* out_widths, int64_t n_threads) {
+// workers share nothing but read-only index arrays. `doc_mask` (nullable,
+// n_docs bytes) builds the filtered plan — see plan_build_range.
+int64_t plan_build_masked(const int64_t* term_offsets, const int32_t* doc_ids,
+                          const float* impact, const int64_t* impact_order,
+                          const float* idf, int64_t n_terms_vocab,
+                          const int32_t* q_terms, int64_t B, int64_t T,
+                          int64_t max_m, int64_t multi_budget,
+                          const uint8_t* doc_mask,
+                          int32_t* out_ids, float* out_w, int64_t cap,
+                          int64_t* out_widths, int64_t n_threads) {
   if (n_threads <= 0) {
     n_threads = static_cast<int64_t>(std::thread::hardware_concurrency());
     if (n_threads <= 0) n_threads = 1;
@@ -243,7 +264,8 @@ int64_t plan_build(const int64_t* term_offsets, const int32_t* doc_ids,
   if (n_threads == 1) {
     return plan_build_range(term_offsets, doc_ids, impact, impact_order, idf,
                             n_terms_vocab, q_terms, 0, B, T, max_m,
-                            multi_budget, out_ids, out_w, cap, out_widths);
+                            multi_budget, doc_mask, out_ids, out_w, cap,
+                            out_widths);
   }
   std::vector<int64_t> results(n_threads, 0);
   std::vector<std::thread> workers;
@@ -254,8 +276,8 @@ int64_t plan_build(const int64_t* term_offsets, const int32_t* doc_ids,
     workers.emplace_back([=, &results]() {
       results[w] = plan_build_range(term_offsets, doc_ids, impact,
                                     impact_order, idf, n_terms_vocab, q_terms,
-                                    lo, hi, T, max_m, multi_budget, out_ids,
-                                    out_w, cap, out_widths);
+                                    lo, hi, T, max_m, multi_budget, doc_mask,
+                                    out_ids, out_w, cap, out_widths);
     });
   }
   for (auto& t : workers) t.join();
@@ -265,6 +287,20 @@ int64_t plan_build(const int64_t* term_offsets, const int32_t* doc_ids,
     max_width = std::max(max_width, r);
   }
   return max_width;
+}
+
+// Unfiltered entry (kept for .so compatibility with older bindings).
+int64_t plan_build(const int64_t* term_offsets, const int32_t* doc_ids,
+                   const float* impact, const int64_t* impact_order,
+                   const float* idf, int64_t n_terms_vocab,
+                   const int32_t* q_terms, int64_t B, int64_t T,
+                   int64_t max_m, int64_t multi_budget,
+                   int32_t* out_ids, float* out_w, int64_t cap,
+                   int64_t* out_widths, int64_t n_threads) {
+  return plan_build_masked(term_offsets, doc_ids, impact, impact_order, idf,
+                           n_terms_vocab, q_terms, B, T, max_m, multi_budget,
+                           nullptr, out_ids, out_w, cap, out_widths,
+                           n_threads);
 }
 
 }  // extern "C"

@@ -100,8 +100,10 @@ def build_query_plan(
     permutation walked under the mask — identical (-impact, doc asc)
     tie-breaking as the unfiltered path), and multi-term forcing scores only
     unmasked docs, so the pruned-exactness argument above holds verbatim
-    with "corpus" read as "filtered corpus". Filtered plans route through
-    this NumPy builder (the C++ planner is mask-unaware, v1).
+    with "corpus" read as "filtered corpus". Filtered pruned plans route
+    through the C++ planner too (planner.cpp ``plan_build_masked``, same
+    candidate sets — asserted in tests); this NumPy path is the reference
+    and the no-toolchain fallback.
 
     ``max_postings_per_term`` enables impact-ordered pruning: each term
     contributes only its top-M postings by impact (bounds the plan width for
@@ -135,7 +137,6 @@ def build_query_plan(
             raise ValueError(
                 f"doc_mask shape {doc_mask.shape} != ({index.n_docs},)"
             )
-        use_native = False  # the C++ planner is mask-unaware (v1)
 
     def _postings(t: int) -> tuple[np.ndarray, np.ndarray]:
         ids, imp = index.postings(t)
@@ -164,6 +165,7 @@ def build_query_plan(
             queries_term_ids,
             max_postings_per_term,
             multi_budget if include_multi_term else 0,
+            doc_mask=doc_mask,
         )
         if res is not None:
             out_ids, out_w, max_terms, max_width = res

@@ -151,3 +151,81 @@ def test_native_plan_zero_budget_matches_reference():
             rows.append(sorted(zip(r_ids[real].tolist(), r_w[real].tolist())))
         plans[use_native] = rows
     assert plans[True] == plans[False]
+
+
+# --------------------------- masked (filtered) plans
+
+
+def test_native_masked_plan_candidate_sets_identical(lib, idx):
+    """plan_build_masked == the NumPy mask-aware reference: identical
+    (doc, weight) candidate sets under a random half-corpus mask."""
+    rng = np.random.default_rng(57)
+    term_ids = _queries(rng, 12)
+    mask = rng.random(idx.n_docs) < 0.5
+    p_nat = build_query_plan(
+        idx, term_ids, max_postings_per_term=64, doc_mask=mask
+    )
+    p_py = build_query_plan(
+        idx, term_ids, max_postings_per_term=64, doc_mask=mask,
+        use_native=False,
+    )
+    assert p_nat.presorted and p_py.presorted
+    for b in range(len(term_ids)):
+        nat = {
+            (int(d), round(float(w), 5))
+            for d, w in zip(p_nat.doc_ids[b], p_nat.weights[b])
+            if d < idx.n_docs
+        }
+        py = {
+            (int(d), round(float(w), 5))
+            for d, w in zip(p_py.doc_ids[b], p_py.weights[b])
+            if d < idx.n_docs
+        }
+        assert nat == py
+        assert all(mask[d] for d, _ in nat)  # no masked doc leaks
+
+
+def test_native_masked_plan_device_results_match(lib, idx):
+    """End to end: masked native plans produce the same device top-k as
+    masked NumPy plans, including a tiny include-list (extreme
+    selectivity, pruning + multi-term forcing fully masked)."""
+    rng = np.random.default_rng(58)
+    term_ids = _queries(rng, 8)
+    for mask in (
+        rng.random(idx.n_docs) < 0.2,
+        np.isin(np.arange(idx.n_docs), rng.integers(0, idx.n_docs, 25)),
+    ):
+        p_nat = build_query_plan(
+            idx, term_ids, max_postings_per_term=48, doc_mask=mask
+        )
+        p_py = build_query_plan(
+            idx, term_ids, max_postings_per_term=48, doc_mask=mask,
+            use_native=False,
+        )
+        vn, in_ = bm25_topk_device(
+            p_nat.doc_ids, p_nat.weights, idx.n_docs, 10,
+            presorted=True, max_run=p_nat.max_terms,
+        )
+        vp, ip = bm25_topk_device(
+            p_py.doc_ids, p_py.weights, idx.n_docs, 10,
+            presorted=True, max_run=p_py.max_terms,
+        )
+        np.testing.assert_array_equal(np.asarray(in_), np.asarray(ip))
+        np.testing.assert_allclose(np.asarray(vn), np.asarray(vp), rtol=1e-6)
+
+
+def test_native_masked_plan_matches_oracle(lib, idx):
+    """Masked native plans reproduce the full-scan filtered oracle top-k
+    exactly (pruned exactness holds on the filtered corpus)."""
+    rng = np.random.default_rng(59)
+    term_ids = _queries(rng, 6)
+    mask = rng.random(idx.n_docs) < 0.3
+    p = build_query_plan(idx, term_ids, max_postings_per_term=64, doc_mask=mask)
+    vals, ids = bm25_topk_device(
+        p.doc_ids, p.weights, idx.n_docs, 10,
+        presorted=True, max_run=p.max_terms,
+    )
+    ids = np.asarray(ids)
+    for b, terms in enumerate(term_ids):
+        rv, ri = ref.bm25_topk(idx, terms, 10, doc_mask=mask)
+        np.testing.assert_array_equal(ids[b], ri)
