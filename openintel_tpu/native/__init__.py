@@ -246,11 +246,15 @@ def native_build_query_plan(
     n_terms_vocab = term_offsets.shape[0] - 1
 
     u8p = ctypes.POINTER(ctypes.c_uint8)
-    mask_u8 = (
-        np.ascontiguousarray(doc_mask, dtype=np.uint8)
-        if doc_mask is not None
-        else None
-    )
+    mask_u8 = None
+    if doc_mask is not None:
+        mask_u8 = np.ascontiguousarray(doc_mask, dtype=np.uint8)
+        if mask_u8.shape != (index.n_docs,):
+            # the C side indexes doc_mask[d] for d < n_docs — a short
+            # buffer would be an out-of-bounds read, not a Python error
+            raise ValueError(
+                f"doc_mask shape {mask_u8.shape} != ({index.n_docs},)"
+            )
     cap = int(t_max * (max_postings_per_term + multi_budget))
     while True:
         out_ids = np.full((b, cap), index.n_docs, dtype=np.int32)

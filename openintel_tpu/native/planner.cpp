@@ -132,18 +132,23 @@ int64_t plan_build_range(const int64_t* term_offsets, const int32_t* doc_ids,
           if (lo < term_offsets[terms[j] + 1]) m = std::min(m, doc_ids[lo]);
         }
         if (m == INT32_MAX) break;
+        // a masked doc can never enter the plan: advance the cursors but
+        // skip the score accumulation and the big-list binary search
+        const bool eligible = doc_mask == nullptr || doc_mask[m];
         int matched = 0;
         double score = 0.0;
         for (size_t j = 0; j < nt; ++j) {
           if (j == big) continue;
           int64_t lo = term_offsets[terms[j]] + cursor[j];
           if (lo < term_offsets[terms[j] + 1] && doc_ids[lo] == m) {
-            score += static_cast<double>(impact[lo]) *
-                     static_cast<double>(idf[terms[j]]) * qtf[j];
+            if (eligible)
+              score += static_cast<double>(impact[lo]) *
+                       static_cast<double>(idf[terms[j]]) * qtf[j];
             cursor[j]++;
             matched++;
           }
         }
+        if (!eligible) continue;
         // membership in the largest list via binary search
         const int32_t* pos =
             std::lower_bound(doc_ids + big_lo, doc_ids + big_hi, m);
@@ -151,7 +156,7 @@ int64_t plan_build_range(const int64_t* term_offsets, const int32_t* doc_ids,
           score += static_cast<double>(impact[pos - doc_ids]) * big_w;
           matched++;
         }
-        if (matched >= 2 && (doc_mask == nullptr || doc_mask[m])) {
+        if (matched >= 2) {
           MultiDoc cand{score, m};
           if (static_cast<int64_t>(heap.size()) < multi_budget) {
             heap.push(cand);

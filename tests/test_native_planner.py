@@ -226,6 +226,8 @@ def test_native_masked_plan_matches_oracle(lib, idx):
         presorted=True, max_run=p.max_terms,
     )
     ids = np.asarray(ids)
+    vals = np.asarray(vals)
     for b, terms in enumerate(term_ids):
         rv, ri = ref.bm25_topk(idx, terms, 10, doc_mask=mask)
         np.testing.assert_array_equal(ids[b], ri)
+        np.testing.assert_allclose(vals[b], rv, rtol=1e-5, atol=1e-6)
