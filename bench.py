@@ -277,6 +277,28 @@ def main() -> None:
             f"{qps_b64/qps:.2f}x)"
         )
 
+    # Filtered-search cost (docs/specs/filtered-search.md): the SAME query
+    # load under a 50%-selectivity mask through the same served surface
+    # (mask-aware C++ plans + dense over-fetch c_fetch=2c + rank
+    # compaction, one fused scan dispatch). Reported as a ratio so the
+    # feature's overhead is a measured number, not a prose claim.
+    qps_filtered = None
+    if os.environ.get("BENCH_FILTERED", "1") != "0":
+        fmask = rng.random(n_docs) < 0.5
+        t0 = time.time()
+        prep_f = retriever.prepare(
+            term_ids, q, k=k, candidates_per_arm=c_arm, filter_mask=fmask
+        )
+        plan_f_secs = time.time() - t0
+        best_f, _ = timeit_prepared(prep_f, reps=4)
+        qps_filtered = nq / best_f
+        log(
+            f"filtered  : {best_f/n_batches*1e3:8.3f} ms/batch  "
+            f"{qps_filtered:>12,.0f} QPS raw at 50% selectivity "
+            f"(c_fetch={prep_f.c_fetch}; {qps_filtered/qps:.2f}x of "
+            f"unfiltered; masked plan build {plan_f_secs:.1f}s)"
+        )
+
     # Recall@10 parity vs the exact reference scorer on a query sample,
     # against two references: the f32 index (idealised) and the same
     # bf16-stored index scored exactly (equal-memory parity per BASELINE.md).
@@ -393,6 +415,9 @@ def main() -> None:
     if qps_b64 is not None:
         result["qps_b64"] = round(qps_b64, 1)
         result["b64_per_query_efficiency"] = round((qps_b64 / qps), 4)
+    if qps_filtered is not None:
+        result["filtered_qps_raw"] = round(qps_filtered, 1)
+        result["filtered_vs_unfiltered"] = round(qps_filtered / qps, 4)
     print(json.dumps(result), flush=True)
 
 
