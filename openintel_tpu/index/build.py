@@ -38,6 +38,7 @@ def build_postings_index(
     vocab: Optional[Vocab] = None,
     config: BM25Config = BM25Config(),
     use_native: bool = True,
+    avgdl_override: Optional[float] = None,
 ) -> PostingsIndex:
     """Build a term-major CSR postings index with fused impacts.
 
@@ -46,8 +47,11 @@ def build_postings_index(
     Pure-ASCII corpora with no fixed vocab stream through the C++ builder
     (openintel_tpu/native/postings.cpp) when it is built — identical output,
     asserted in tests.
-    """
-    if vocab is None and use_native:
+
+    ``avgdl_override`` bakes the given avgdl into the fused impacts instead
+    of this corpus's own mean (incremental delta segments freeze the base
+    index's avgdl so scores stay comparable — models/updatable.py)."""
+    if vocab is None and use_native and avgdl_override is None:
         try:
             from openintel_tpu import native
 
@@ -93,6 +97,8 @@ def build_postings_index(
     n_docs = len(token_lists)
     doc_len = np.array([len(t) for t in token_lists], dtype=np.float32)
     avgdl = float(doc_len.astype(np.float64).mean()) if n_docs else 0.0
+    if avgdl_override is not None:
+        avgdl = float(avgdl_override)
 
     # Count (term, doc) pairs. Unknown tokens (id 0) count toward doc_len but
     # never enter the postings (they can never be queried).

@@ -1,0 +1,491 @@
+"""Incremental index updates: add / delete documents without a rebuild.
+
+The reference is stateless per invocation (no persistence in v1 —
+/root/reference/docs/superpowers/specs/2026-06-24-openintel-speculation-cli-design.md);
+a production retrieval deployment additionally needs a corpus that MOVES:
+new documents become searchable immediately, deletions stop surfacing
+immediately, and neither forces re-staging the multi-GB device-resident
+index. This module is the classic main + delta + tombstones design
+(immutable big segment, small mutable segment, logical deletes), mapped
+TPU-first onto machinery this framework already has:
+
+- **Deletes are tombstones riding the filtered-search engine**
+  (docs/specs/filtered-search.md): the alive mask composes (AND) with any
+  user ``filter_mask``, the BM25 arm drops dead docs in the (mask-aware,
+  C++) plan, and the dense arm over-fetches + rank-compacts with the
+  exact masked fallback — deletes cost what a filter costs, nothing is
+  re-staged, exactness at any tombstone density.
+- **Adds go to a small delta segment** (own postings + dense rows,
+  rebuilt per add batch — O(delta), not O(corpus)) whose BM25 impacts
+  freeze the base index's ``avgdl`` and whose idf is the COMBINED-corpus
+  idf, recomputed per add from df sums alone. The main segment's arrays
+  are untouched: idf lives outside the fused impacts, so global statistic
+  updates never touch the device-resident corpus (the design reason
+  impacts and idf are stored separately).
+- **The merge is the sharded merge**: main and delta are searched as two
+  unequal shards — per-arm top-c with scores, merged by (score desc,
+  doc asc) exactly like the cross-shard ICI merge, then RRF — so the
+  combined ranking is IDENTICAL to a from-scratch index over
+  main + delta with the same frozen statistics (`merge_postings` builds
+  that oracle; asserted in tests/test_updatable.py).
+
+Statistics contract (Lucene-like, documented not hidden): ``avgdl`` stays
+the base segment's value and deleted docs keep counting in df/idf until
+``compact()``, which folds everything into one fresh segment with true
+statistics (and renumbered ids — the returned map says where docs went).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from openintel_tpu.index.build import bm25_idf, bm25_impact, build_postings_index
+from openintel_tpu.index.schema import DenseIndex, PostingsIndex
+from openintel_tpu.models.retrievers import (
+    DenseRetriever,
+    HybridRetriever,
+    SearchResult,
+    _as_doc_mask,
+    auto_prune_m,
+    filtered_fetch_width,
+)
+from openintel_tpu.ops.bm25 import bm25_topk_device, build_query_plan
+from openintel_tpu.ops.fusion import RRF_K, rrf_fuse_device
+from openintel_tpu.ops.tokenizer import Vocab, tokenize_batch
+
+
+def _merge_ranked(
+    vals_a: np.ndarray, ids_a: np.ndarray,
+    vals_b: np.ndarray, ids_b: np.ndarray,
+    c: int,
+) -> np.ndarray:
+    """Merge two per-arm ranked lists by (score desc, doc asc) — the host
+    analogue of the sharded program's cross-shard merge, so incremental
+    results are bit-identical to a single combined index. -1 ids are
+    padding (score forced to -inf). Returns (B, c) merged ids."""
+    av = np.concatenate([vals_a, vals_b], axis=1).astype(np.float64)
+    ai = np.concatenate([ids_a, ids_b], axis=1)
+    av = np.where(ai < 0, -np.inf, av)
+    order = np.lexsort((ai, -av), axis=1)[:, :c]
+    merged = np.take_along_axis(ai, order, axis=1)
+    merged_v = np.take_along_axis(av, order, axis=1)
+    return np.where(np.isfinite(merged_v), merged, -1).astype(np.int32)
+
+
+def extend_vocab(base: Vocab, token_lists) -> Vocab:
+    """A COPY of ``base`` extended with any new tokens (new ids appended,
+    existing ids unchanged — the delta segment shares the base id space)."""
+    v = Vocab(token_to_id=dict(base.token_to_id))
+    for tokens in token_lists:
+        for t in tokens:
+            v.add(t)
+    return v
+
+
+def merge_postings(
+    main: PostingsIndex, delta: Optional[PostingsIndex], n_total: int
+) -> PostingsIndex:
+    """ONE combined CSR index over main + delta with FROZEN statistics
+    (main's avgdl baked in both segments' impacts; combined df/idf) —
+    what ``UpdatableHybridRetriever.search`` must be indistinguishable
+    from, and the first half of ``compact()``. Delta doc ids offset by
+    ``main.n_docs``; per-term segments stay doc-ascending because delta
+    ids are strictly larger. Pass segments with their LOCAL df (the base
+    index, not the combined-idf search view) — dfs are summed here."""
+    v = max(
+        main.term_offsets.shape[0] - 1,
+        delta.term_offsets.shape[0] - 1 if delta is not None else 0,
+    )
+    offsets = np.zeros(v + 1, np.int64)
+    ids_parts, tf_parts, imp_parts = [], [], []
+    total = 0
+    for t in range(v):
+        for seg, off in ((main, 0), (delta, main.n_docs)):
+            if seg is None or t >= seg.term_offsets.shape[0] - 1:
+                continue
+            lo, hi = int(seg.term_offsets[t]), int(seg.term_offsets[t + 1])
+            if hi > lo:
+                ids_parts.append(seg.doc_ids[lo:hi] + off)
+                tf_parts.append(seg.tf[lo:hi])
+                imp_parts.append(seg.impact[lo:hi])
+                total += hi - lo
+        offsets[t + 1] = total
+    df_main = np.zeros(v, np.int32)
+    df_main[: main.df.shape[0]] = main.df
+    df = df_main.copy()
+    doc_len = np.zeros(n_total, np.float32)
+    doc_len[: main.n_docs] = main.doc_len
+    vocab = main.vocab
+    if delta is not None:
+        df[: delta.df.shape[0]] += delta.df
+        doc_len[main.n_docs : main.n_docs + delta.n_docs] = delta.doc_len
+        vocab = delta.vocab  # the extended (superset) table
+    cat = lambda parts, dt: (  # noqa: E731
+        np.concatenate(parts).astype(dt) if parts else np.zeros(0, dt)
+    )
+    return PostingsIndex(
+        term_offsets=offsets,
+        doc_ids=cat(ids_parts, np.int32),
+        tf=cat(tf_parts, np.float32),
+        impact=cat(imp_parts, np.float32),
+        df=df,
+        idf=bm25_idf(df, n_total),
+        doc_len=doc_len,
+        avgdl=main.avgdl,  # frozen-statistics contract
+        n_docs=n_total,
+        vocab=vocab,
+        config=main.config,
+    )
+
+
+class UpdatableHybridRetriever:
+    """Hybrid retrieval over a corpus that accepts adds and deletes.
+
+    Same ``search(queries, k, candidates_per_arm, filter_mask)`` results
+    as a :class:`HybridRetriever` over the equivalent frozen-statistics
+    combined index (``merge_postings`` + concatenated dense rows) —
+    asserted exactly in tests. ``filter_group`` (per-query masks) is not
+    supported on this surface yet; compose tenant filters per call.
+
+    Cost model: adds rebuild only the delta segment (O(delta docs));
+    deletes flip bits; searches pay one extra small-arm dispatch per arm
+    plus a host merge while a delta exists, and the filtered path's
+    over-fetch/compaction while tombstones exist. ``compact()`` folds
+    everything back into one segment (then a fresh instance serves it).
+    """
+
+    def __init__(
+        self,
+        postings: PostingsIndex,
+        dense: DenseIndex,
+        embedder: Optional[Callable[[Sequence[str]], np.ndarray]] = None,
+        *,
+        kernel: Optional[str] = None,
+        rrf_k: float = RRF_K,
+        device_batch: int = 256,
+    ):
+        self.base = HybridRetriever(
+            postings, dense, embedder,
+            kernel=kernel, rrf_k=rrf_k, device_batch=device_batch,
+        )
+        self.rrf_k = rrf_k
+        self._n_main = postings.n_docs
+        self._alive = np.ones(postings.n_docs, bool)
+        self._delta_texts: list[str] = []
+        self._delta_emb = np.zeros((0, dense.dim), np.float32)
+        self._delta_postings: Optional[PostingsIndex] = None
+        self._delta_dense: Optional[DenseRetriever] = None
+        self._vocab = postings.vocab
+        self._main_view = postings  # re-derived per add (shares arrays)
+        self._store_dtype = np.asarray(dense.embeddings).dtype
+
+    # ------------------------------------------------------------ state
+
+    @property
+    def n_docs(self) -> int:
+        """Total id space (main + delta), INCLUDING tombstoned docs —
+        result ids index this space."""
+        return self._n_main + len(self._delta_texts)
+
+    @property
+    def n_alive(self) -> int:
+        return int(self._alive.sum())
+
+    @property
+    def stats(self) -> dict:
+        return {
+            "n_main": self._n_main,
+            "n_delta": len(self._delta_texts),
+            "n_deleted": int((~self._alive).sum()),
+            "n_alive": self.n_alive,
+        }
+
+    # ------------------------------------------------------------ updates
+
+    def add_documents(
+        self, texts: Sequence[str], embeddings: Optional[np.ndarray] = None
+    ) -> np.ndarray:
+        """Append documents; returns their (stable) global doc ids. The
+        delta segment rebuilds from all pending delta texts — O(delta) —
+        and combined idf is refreshed from df sums; the main segment's
+        arrays are untouched."""
+        texts = list(texts)
+        if not texts:
+            return np.zeros(0, np.int64)
+        ids = np.arange(self.n_docs, self.n_docs + len(texts), dtype=np.int64)
+        if embeddings is None:
+            embeddings = self.base.dense.embedder(texts)
+        emb = np.asarray(embeddings, np.float32)
+        if emb.shape != (len(texts), self._delta_emb.shape[1]):
+            raise ValueError(
+                f"embeddings shape {emb.shape} != "
+                f"({len(texts)}, {self._delta_emb.shape[1]})"
+            )
+        self._delta_texts.extend(texts)
+        self._delta_emb = np.concatenate([self._delta_emb, emb])
+        self._alive = np.concatenate(
+            [self._alive, np.ones(len(texts), bool)]
+        )
+        self._rebuild_delta()
+        return ids
+
+    def delete_ids(self, ids: Sequence[int]) -> None:
+        """Tombstone documents (main or delta). Idempotent; out-of-range
+        ids raise — a silently ignored delete must be impossible."""
+        arr = np.asarray(list(ids), np.int64)
+        if arr.size and (arr.min() < 0 or arr.max() >= self.n_docs):
+            raise ValueError(
+                f"delete_ids out of range [0, {self.n_docs}): "
+                f"[{arr.min()}, {arr.max()}]"
+            )
+        self._alive[arr] = False
+
+    def _rebuild_delta(self) -> None:
+        token_lists = tokenize_batch(self._delta_texts)
+        self._vocab = extend_vocab(self.base.bm25.index.vocab, token_lists)
+        base_idx = self.base.bm25.index
+        delta = build_postings_index(
+            self._delta_texts,
+            vocab=self._vocab,
+            config=base_idx.config,
+            avgdl_override=base_idx.avgdl,  # frozen-statistics contract
+        )
+        # combined df -> combined idf over the full id space (deleted docs
+        # keep counting until compact(), like unmerged Lucene segments).
+        # Term-slot arrays (df/idf) include the padding slot 0.
+        v = self._vocab.size
+        df = np.zeros(v, np.int32)
+        df[: base_idx.df.shape[0]] = base_idx.df
+        df[: delta.df.shape[0]] += delta.df
+        idf = bm25_idf(df, self.n_docs)
+        # main view: same postings arrays, vocab-extended offsets (empty
+        # segments for new terms), combined df/idf. impact_order is a
+        # per-term-segment permutation and segments are unchanged, so the
+        # base's lazily-built order carries over as-is.
+        pad = v - (base_idx.term_offsets.shape[0] - 1)
+        self._main_view = PostingsIndex(
+            term_offsets=np.concatenate(
+                [base_idx.term_offsets,
+                 np.full(pad, base_idx.term_offsets[-1], np.int64)]
+            ) if pad > 0 else base_idx.term_offsets,
+            doc_ids=base_idx.doc_ids,
+            tf=base_idx.tf,
+            impact=base_idx.impact,
+            df=df[: v],
+            idf=idf,
+            doc_len=base_idx.doc_len,
+            avgdl=base_idx.avgdl,
+            n_docs=base_idx.n_docs,
+            vocab=self._vocab,
+            config=base_idx.config,
+            impact_order=base_idx.ensure_impact_order(),
+        )
+        # delta KEEPS its local df (merge_postings sums segment dfs; the
+        # pruning trip-wire is per segment anyway) but scores with the
+        # COMBINED idf so both arms share one statistic
+        delta.idf = idf[: delta.idf.shape[0]]
+        self._delta_postings = delta
+        self._delta_dense = DenseRetriever(
+            DenseIndex.from_embeddings(
+                self._delta_emb, dtype=self._store_dtype
+            ),
+            self.base.dense.embedder,
+            kernel="xla",  # delta is small: the exact kernel, no staging
+        )
+
+    # ------------------------------------------------------------ search
+
+    def _dense_arm(
+        self, retr: DenseRetriever, q: jnp.ndarray, c: int,
+        mask: Optional[np.ndarray],
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """One dense arm with optional mask: over-fetch + host compaction
+        (tombstones are usually sparse) with the exact masked scan as the
+        starvation fallback — the single-chip filtered design at host
+        altitude."""
+        n = retr.index.n_docs
+        c = min(c, n)
+        if mask is None:
+            vals, ids = retr._topk(q, c)
+            return np.asarray(vals), np.asarray(ids)
+        unmasked = int(mask.sum())
+        c_fetch = filtered_fetch_width(c, n, unmasked)
+        vals, ids = retr._topk(q, c_fetch)
+        vals, ids = np.array(vals), np.array(ids)
+        keep = (ids >= 0) & mask[np.maximum(ids, 0)]
+        # rank-compact survivors; count per query
+        out_v = np.full((ids.shape[0], c), -np.inf, np.float32)
+        out_i = np.full((ids.shape[0], c), -1, np.int32)
+        surv = keep.sum(axis=1)
+        for b in range(ids.shape[0]):
+            kept = np.flatnonzero(keep[b])[:c]
+            out_v[b, : kept.size] = vals[b, kept]
+            out_i[b, : kept.size] = ids[b, kept]
+        starved = np.flatnonzero(surv < min(c, unmasked))
+        if starved.size:
+            mv, mi = retr._masked_topk(q[starved], jnp.asarray(mask), c)
+            mv, mi = np.asarray(mv), np.asarray(mi)
+            out_v[starved] = np.where(mi < 0, -np.inf, mv)
+            out_i[starved] = mi
+        return out_v, out_i
+
+    def search(
+        self,
+        queries: Sequence[str],
+        k: int = 10,
+        *,
+        candidates_per_arm: Optional[int] = None,
+        filter_mask=None,
+        query_embeddings: Optional[np.ndarray] = None,
+    ) -> SearchResult:
+        b = len(queries)
+        if b == 0:
+            return SearchResult(
+                ids=np.zeros((0, k), np.int32),
+                scores=np.zeros((0, k), np.float32),
+            )
+        n_total = self.n_docs
+        n_delta = len(self._delta_texts)
+        mask = (
+            _as_doc_mask(filter_mask, n_total)
+            if filter_mask is not None
+            else None
+        )
+        if not self._alive.all():
+            mask = self._alive.copy() if mask is None else (mask & self._alive)
+        if n_delta == 0 and mask is None:
+            return self.base.search(
+                queries, k=k, candidates_per_arm=candidates_per_arm,
+                query_embeddings=query_embeddings,
+            )
+        if n_delta == 0:
+            return self.base.search(
+                queries, k=k, candidates_per_arm=candidates_per_arm,
+                filter_mask=mask, query_embeddings=query_embeddings,
+            )
+
+        k = min(k, n_total)
+        c = min(candidates_per_arm or k, n_total)
+        main_view = self._main_view
+        delta_idx = self._delta_postings
+        mask_main = mask[: self._n_main] if mask is not None else None
+        mask_delta = mask[self._n_main :] if mask is not None else None
+
+        # ---- BM25: two mask-aware plans (main keeps the C++ planner),
+        # two device reductions, sharded-style merge by (score, doc)
+        from openintel_tpu.ops.bm25 import encode_query
+
+        term_ids = [encode_query(main_view, q) for q in queries]
+        prune_m = auto_prune_m(n_total, c)
+        mb = max(256, c)
+        plan_m = build_query_plan(
+            main_view, term_ids, max_postings_per_term=prune_m,
+            multi_budget=mb, doc_mask=mask_main,
+        )
+        bv_m, bi_m = bm25_topk_device(
+            plan_m.doc_ids, plan_m.weights, main_view.n_docs,
+            min(c, self._n_main),
+            presorted=plan_m.presorted, max_run=plan_m.max_terms,
+        )
+        plan_d = build_query_plan(
+            delta_idx, term_ids, max_postings_per_term=prune_m,
+            multi_budget=mb, doc_mask=mask_delta,
+        )
+        bv_d, bi_d = bm25_topk_device(
+            plan_d.doc_ids, plan_d.weights, delta_idx.n_docs,
+            min(c, n_delta),
+            presorted=plan_d.presorted, max_run=plan_d.max_terms,
+        )
+        bi_d = np.asarray(bi_d)
+        bi_d = np.where(bi_d >= 0, bi_d + self._n_main, -1)
+        b_ids = _merge_ranked(
+            np.asarray(bv_m), np.asarray(bi_m), np.asarray(bv_d), bi_d, c
+        )
+
+        # ---- dense: main arm (configured kernel) + small exact delta arm
+        if query_embeddings is None:
+            query_embeddings = self.base.dense.embedder(list(queries))
+        q_np = np.asarray(query_embeddings, np.float32)
+        dense_main = self.base.dense
+        dtype = (
+            jnp.float32
+            if dense_main.kernel in ("int8", "int4")
+            else dense_main._emb_device.dtype
+        )
+        dv_m, di_m = self._dense_arm(
+            dense_main, jnp.asarray(q_np, dtype), c, mask_main
+        )
+        dv_d, di_d = self._dense_arm(
+            self._delta_dense,
+            jnp.asarray(q_np, self._delta_dense._emb_device.dtype),
+            c, mask_delta,
+        )
+        di_d = np.where(di_d >= 0, di_d + self._n_main, -1)
+        d_ids = _merge_ranked(dv_m, di_m, dv_d, di_d, c)
+
+        vals, ids = rrf_fuse_device(
+            jnp.asarray(b_ids), jnp.asarray(d_ids), k, self.rrf_k
+        )
+        return SearchResult(ids=np.asarray(ids), scores=np.asarray(vals))
+
+    # ------------------------------------------------------------ compact
+
+    def compact(self) -> tuple[PostingsIndex, DenseIndex, np.ndarray]:
+        """Fold main + delta − tombstones into ONE fresh segment with TRUE
+        statistics (avgdl/df/idf recomputed over the surviving docs,
+        impacts re-saturated from the stored tf) and densely renumbered
+        ids. Returns (postings, dense, id_map) where ``id_map[old] = new``
+        (-1 for deleted); serve the result with a fresh retriever."""
+        merged = merge_postings(
+            self.base.bm25.index, self._delta_postings, self.n_docs
+        )
+        alive = self._alive
+        id_map = np.full(self.n_docs, -1, np.int64)
+        id_map[alive] = np.arange(int(alive.sum()))
+        n_new = int(alive.sum())
+        keep_post = alive[merged.doc_ids]
+        doc_ids = id_map[merged.doc_ids[keep_post]].astype(np.int32)
+        tf = merged.tf[keep_post]
+        # recompute per-term offsets/df over surviving postings
+        v = merged.term_offsets.shape[0] - 1
+        term_of_post = np.repeat(
+            np.arange(v), np.diff(merged.term_offsets)
+        )[keep_post]
+        df = np.bincount(term_of_post, minlength=v).astype(np.int32)
+        offsets = np.zeros(v + 1, np.int64)
+        np.cumsum(df, out=offsets[1:])
+        doc_len = merged.doc_len[alive]
+        avgdl = float(doc_len.astype(np.float64).mean()) if n_new else 0.0
+        impact = (
+            bm25_impact(tf, doc_len[doc_ids], avgdl, merged.config)
+            if tf.size
+            else np.zeros(0, np.float32)
+        )
+        postings = PostingsIndex(
+            term_offsets=offsets,
+            doc_ids=doc_ids,
+            tf=tf,
+            impact=impact,
+            df=df,
+            idf=bm25_idf(df, n_new),
+            doc_len=doc_len,
+            avgdl=avgdl,
+            n_docs=n_new,
+            vocab=merged.vocab,
+            config=merged.config,
+        )
+        all_emb = np.concatenate(
+            [
+                np.asarray(
+                    self.base.dense.index.embeddings, np.float32
+                ),
+                self._delta_emb,
+            ]
+        )
+        dense = DenseIndex.from_embeddings(
+            all_emb[alive], dtype=self._store_dtype
+        )
+        return postings, dense, id_map

@@ -1,0 +1,234 @@
+"""Incremental updates (add/delete) — the strong contract: the updatable
+retriever is INDISTINGUISHABLE from a HybridRetriever over the equivalent
+frozen-statistics combined index (models/updatable.py::merge_postings),
+with tombstones behaving exactly like a filter over that index; and
+compact() equals a true from-scratch rebuild of the surviving docs.
+Design: docs/specs/incremental-updates.md."""
+
+import numpy as np
+import pytest
+
+from openintel_tpu.index.build import build_postings_index
+from openintel_tpu.index.schema import DenseIndex
+from openintel_tpu.index.synthetic import (
+    synthetic_embeddings,
+    synthetic_queries_from_docs,
+    synthetic_token_corpus,
+)
+from openintel_tpu.models.embedding import HashingEmbedder
+from openintel_tpu.models.retrievers import HybridRetriever, make_filter_mask
+from openintel_tpu.models.updatable import (
+    UpdatableHybridRetriever,
+    merge_postings,
+)
+
+N, D = 500, 64
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    docs = synthetic_token_corpus(N, vocab_size=350, seed=71)
+    postings = build_postings_index(docs)
+    dense = DenseIndex.from_embeddings(synthetic_embeddings(N, dim=D, seed=72))
+    embedder = HashingEmbedder(dim=D)
+    return docs, postings, dense, embedder
+
+
+@pytest.fixture()
+def extra_docs(corpus):
+    # overlapping vocabulary + some brand-new tokens
+    docs = synthetic_token_corpus(40, vocab_size=350, seed=73)
+    return [d + " freshterm" + str(i % 5) for i, d in enumerate(docs)]
+
+
+def _oracle(upd):
+    """HybridRetriever over the frozen-statistics combined index."""
+    merged = merge_postings(
+        upd.base.bm25.index, upd._delta_postings, upd.n_docs
+    )
+    all_emb = np.concatenate(
+        [np.asarray(upd.base.dense.index.embeddings, np.float32),
+         upd._delta_emb]
+    )
+    dense = DenseIndex.from_embeddings(all_emb, dtype=upd._store_dtype)
+    return HybridRetriever(
+        merged, dense, upd.base.dense.embedder, kernel="xla"
+    )
+
+
+def test_no_updates_delegates_to_base(corpus):
+    docs, postings, dense, embedder = corpus
+    upd = UpdatableHybridRetriever(postings, dense, embedder, kernel="xla")
+    queries = synthetic_queries_from_docs(docs, 4, seed=74)
+    got = upd.search(queries, k=10, candidates_per_arm=20)
+    want = upd.base.search(queries, k=10, candidates_per_arm=20)
+    np.testing.assert_array_equal(got.ids, want.ids)
+    np.testing.assert_array_equal(got.scores, want.scores)
+
+
+def test_added_docs_match_combined_oracle(corpus, extra_docs):
+    """After an add, results equal a from-scratch retriever over the
+    frozen-statistics merged index — including queries that hit the new
+    docs' brand-new vocabulary."""
+    docs, postings, dense, embedder = corpus
+    upd = UpdatableHybridRetriever(postings, dense, embedder, kernel="xla")
+    ids = upd.add_documents(extra_docs)
+    assert ids.tolist() == list(range(N, N + len(extra_docs)))
+    assert upd.n_docs == N + len(extra_docs)
+
+    oracle = _oracle(upd)
+    queries = synthetic_queries_from_docs(docs, 4, seed=75)
+    queries += ["freshterm1 freshterm2", extra_docs[3][:40]]
+    got = upd.search(queries, k=10, candidates_per_arm=20)
+    want = oracle.search(queries, k=10, candidates_per_arm=20)
+    np.testing.assert_array_equal(got.ids, want.ids)
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-5, atol=1e-7)
+    # new docs are actually retrievable
+    assert (got.ids >= N).any()
+
+
+def test_multiple_add_batches_match_oracle(corpus, extra_docs):
+    docs, postings, dense, embedder = corpus
+    upd = UpdatableHybridRetriever(postings, dense, embedder, kernel="xla")
+    upd.add_documents(extra_docs[:15])
+    upd.add_documents(extra_docs[15:])
+    oracle = _oracle(upd)
+    queries = synthetic_queries_from_docs(docs, 3, seed=76) + ["freshterm4"]
+    got = upd.search(queries, k=10, candidates_per_arm=20)
+    want = oracle.search(queries, k=10, candidates_per_arm=20)
+    np.testing.assert_array_equal(got.ids, want.ids)
+
+
+def test_deletes_are_tombstones(corpus, extra_docs):
+    """Deleted docs (main AND delta) stop surfacing immediately; results
+    equal the oracle filtered by the alive mask."""
+    docs, postings, dense, embedder = corpus
+    upd = UpdatableHybridRetriever(postings, dense, embedder, kernel="xla")
+    upd.add_documents(extra_docs)
+    queries = synthetic_queries_from_docs(docs, 5, seed=77)
+    before = upd.search(queries, k=10, candidates_per_arm=20)
+    victims = {int(before.ids[0, 0]), int(before.ids[1, 0]), N + 2}
+    upd.delete_ids(sorted(victims))
+    got = upd.search(queries, k=10, candidates_per_arm=20)
+    surfaced = set(got.ids[got.ids >= 0].ravel().tolist())
+    assert not (surfaced & victims)
+    alive = np.ones(upd.n_docs, bool)
+    alive[sorted(victims)] = False
+    want = _oracle(upd).search(
+        queries, k=10, candidates_per_arm=20, filter_mask=alive
+    )
+    np.testing.assert_array_equal(got.ids, want.ids)
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-5, atol=1e-7)
+    assert upd.stats["n_deleted"] == len(victims)
+
+
+def test_deletes_only_use_filtered_base_path(corpus):
+    """Tombstones with NO delta ride the base retriever's filtered
+    program directly."""
+    docs, postings, dense, embedder = corpus
+    upd = UpdatableHybridRetriever(postings, dense, embedder, kernel="xla")
+    queries = synthetic_queries_from_docs(docs, 4, seed=78)
+    before = upd.search(queries, k=5)
+    victim = int(before.ids[0, 0])
+    upd.delete_ids([victim])
+    got = upd.search(queries, k=5)
+    assert victim not in set(got.ids.ravel().tolist())
+    want = upd.base.search(
+        queries, k=5, filter_mask=upd._alive
+    )
+    np.testing.assert_array_equal(got.ids, want.ids)
+
+
+def test_user_filter_composes_with_tombstones(corpus, extra_docs):
+    docs, postings, dense, embedder = corpus
+    upd = UpdatableHybridRetriever(postings, dense, embedder, kernel="xla")
+    upd.add_documents(extra_docs)
+    upd.delete_ids([0, 1, N])
+    user = make_filter_mask(upd.n_docs, exclude_ids=[2, 3, N + 1])
+    queries = synthetic_queries_from_docs(docs, 4, seed=79)
+    got = upd.search(queries, k=10, candidates_per_arm=20, filter_mask=user)
+    surfaced = set(got.ids[got.ids >= 0].ravel().tolist())
+    assert not (surfaced & {0, 1, 2, 3, N, N + 1})
+    alive = upd._alive & user
+    want = _oracle(upd).search(
+        queries, k=10, candidates_per_arm=20, filter_mask=alive
+    )
+    np.testing.assert_array_equal(got.ids, want.ids)
+
+
+def test_tiny_include_filter_starves_exactly(corpus, extra_docs):
+    """Extreme selectivity across BOTH segments exercises the dense-arm
+    starvation fallback on the updatable path."""
+    docs, postings, dense, embedder = corpus
+    upd = UpdatableHybridRetriever(postings, dense, embedder, kernel="xla")
+    upd.add_documents(extra_docs)
+    keep = [3, 77, 200, 333, N + 1, N + 17]
+    user = make_filter_mask(upd.n_docs, include_ids=keep)
+    queries = synthetic_queries_from_docs(docs, 4, seed=80)
+    got = upd.search(queries, k=10, candidates_per_arm=20, filter_mask=user)
+    want = _oracle(upd).search(
+        queries, k=10, candidates_per_arm=20, filter_mask=user
+    )
+    np.testing.assert_array_equal(got.ids, want.ids)
+    assert set(got.ids[got.ids >= 0].ravel().tolist()) <= set(keep)
+
+
+def test_validation(corpus):
+    docs, postings, dense, embedder = corpus
+    upd = UpdatableHybridRetriever(postings, dense, embedder, kernel="xla")
+    with pytest.raises(ValueError, match="out of range"):
+        upd.delete_ids([N])
+    with pytest.raises(ValueError, match="embeddings shape"):
+        upd.add_documents(["a"], embeddings=np.zeros((2, D), np.float32))
+    assert upd.add_documents([]).size == 0
+
+
+def test_compact_equals_fresh_rebuild(corpus, extra_docs):
+    """compact() == build_postings_index over the surviving texts (true
+    statistics, dense renumbering), searched identically."""
+    docs, postings, dense, embedder = corpus
+    upd = UpdatableHybridRetriever(postings, dense, embedder, kernel="xla")
+    upd.add_documents(extra_docs)
+    dead = [0, 5, N + 3]
+    upd.delete_ids(dead)
+    cpost, cdense, id_map = upd.compact()
+
+    all_texts = list(docs) + list(extra_docs)
+    alive_texts = [t for i, t in enumerate(all_texts) if i not in set(dead)]
+    want_post = build_postings_index(alive_texts)
+    assert cpost.n_docs == len(alive_texts) == cdense.n_docs
+    assert abs(cpost.avgdl - want_post.avgdl) < 1e-6
+    np.testing.assert_array_equal(id_map[dead], -1)
+    assert id_map.max() == len(alive_texts) - 1
+
+    # identical search behavior through fresh retrievers (vocab ids differ
+    # between the two builds, so compare RESULTS, not raw arrays)
+    queries = synthetic_queries_from_docs(docs, 4, seed=81) + ["freshterm2"]
+    got = HybridRetriever(cpost, cdense, embedder, kernel="xla").search(
+        queries, k=10, candidates_per_arm=20
+    )
+    emb_alive = np.stack([
+        np.asarray(dense.embeddings, np.float32)[i] if i < N
+        else upd._delta_emb[i - N]
+        for i in range(upd.n_docs) if id_map[i] >= 0
+    ])
+    want = HybridRetriever(
+        want_post, DenseIndex.from_embeddings(emb_alive), embedder,
+        kernel="xla",
+    ).search(queries, k=10, candidates_per_arm=20)
+    np.testing.assert_array_equal(got.ids, want.ids)
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-5, atol=1e-7)
+
+
+def test_int8_kernel_path_no_leaks(corpus, extra_docs):
+    """Quantised main kernel (interpret mode): adds retrievable, deletes
+    never surface, filters honored — the serving-kernel configuration."""
+    docs, postings, dense, embedder = corpus
+    upd = UpdatableHybridRetriever(postings, dense, embedder, kernel="int8")
+    upd.add_documents(extra_docs)
+    upd.delete_ids([2, N + 1])
+    queries = synthetic_queries_from_docs(docs, 3, seed=82) + ["freshterm3"]
+    got = upd.search(queries, k=10, candidates_per_arm=20)
+    surfaced = set(got.ids[got.ids >= 0].ravel().tolist())
+    assert surfaced and not (surfaced & {2, N + 1})
+    assert (got.ids >= N).any()
