@@ -39,6 +39,7 @@ def build_postings_index(
     config: BM25Config = BM25Config(),
     use_native: bool = True,
     avgdl_override: Optional[float] = None,
+    pretokenized: Optional[Sequence[Sequence[str]]] = None,
 ) -> PostingsIndex:
     """Build a term-major CSR postings index with fused impacts.
 
@@ -50,8 +51,13 @@ def build_postings_index(
 
     ``avgdl_override`` bakes the given avgdl into the fused impacts instead
     of this corpus's own mean (incremental delta segments freeze the base
-    index's avgdl so scores stay comparable — models/updatable.py)."""
-    if vocab is None and use_native and avgdl_override is None:
+    index's avgdl so scores stay comparable — models/updatable.py).
+    ``pretokenized`` skips tokenisation when the caller already holds the
+    token lists (must align with ``texts``)."""
+    if (
+        vocab is None and use_native and avgdl_override is None
+        and pretokenized is None
+    ):
         try:
             from openintel_tpu import native
 
@@ -90,7 +96,9 @@ def build_postings_index(
                 config=config,
             )
 
-    token_lists = tokenize_batch(texts)
+    token_lists = (
+        list(pretokenized) if pretokenized is not None else tokenize_batch(texts)
+    )
     if vocab is None:
         vocab = Vocab.build(token_lists)
 

@@ -95,42 +95,39 @@ def merge_postings(
     ``main.n_docs``; per-term segments stay doc-ascending because delta
     ids are strictly larger. Pass segments with their LOCAL df (the base
     index, not the combined-idf search view) — dfs are summed here."""
-    v = max(
-        main.term_offsets.shape[0] - 1,
-        delta.term_offsets.shape[0] - 1 if delta is not None else 0,
-    )
-    offsets = np.zeros(v + 1, np.int64)
-    ids_parts, tf_parts, imp_parts = [], [], []
-    total = 0
-    for t in range(v):
-        for seg, off in ((main, 0), (delta, main.n_docs)):
-            if seg is None or t >= seg.term_offsets.shape[0] - 1:
-                continue
-            lo, hi = int(seg.term_offsets[t]), int(seg.term_offsets[t + 1])
-            if hi > lo:
-                ids_parts.append(seg.doc_ids[lo:hi] + off)
-                tf_parts.append(seg.tf[lo:hi])
-                imp_parts.append(seg.impact[lo:hi])
-                total += hi - lo
-        offsets[t + 1] = total
-    df_main = np.zeros(v, np.int32)
-    df_main[: main.df.shape[0]] = main.df
-    df = df_main.copy()
+    v_main = main.term_offsets.shape[0] - 1
+    v = max(v_main, delta.term_offsets.shape[0] - 1 if delta is not None else 0)
+    # Vectorised CSR interleave (no V-length Python loop): per-posting term
+    # ids, then ONE stable argsort by term. Within a term the concatenation
+    # order (main postings, then delta postings — both doc-ascending, delta
+    # ids strictly larger) is already doc-ascending, and stable sort keeps
+    # it.
+    terms = np.repeat(np.arange(v_main), np.diff(main.term_offsets))
+    ids = main.doc_ids
+    tf = main.tf
+    imp = main.impact
     doc_len = np.zeros(n_total, np.float32)
     doc_len[: main.n_docs] = main.doc_len
     vocab = main.vocab
     if delta is not None:
-        df[: delta.df.shape[0]] += delta.df
+        v_d = delta.term_offsets.shape[0] - 1
+        terms = np.concatenate(
+            [terms, np.repeat(np.arange(v_d), np.diff(delta.term_offsets))]
+        )
+        ids = np.concatenate([ids, delta.doc_ids + main.n_docs])
+        tf = np.concatenate([tf, delta.tf])
+        imp = np.concatenate([imp, delta.impact])
         doc_len[main.n_docs : main.n_docs + delta.n_docs] = delta.doc_len
         vocab = delta.vocab  # the extended (superset) table
-    cat = lambda parts, dt: (  # noqa: E731
-        np.concatenate(parts).astype(dt) if parts else np.zeros(0, dt)
-    )
+    order = np.argsort(terms, kind="stable")
+    df = np.bincount(terms, minlength=v).astype(np.int32)
+    offsets = np.zeros(v + 1, np.int64)
+    np.cumsum(df, out=offsets[1:])
     return PostingsIndex(
         term_offsets=offsets,
-        doc_ids=cat(ids_parts, np.int32),
-        tf=cat(tf_parts, np.float32),
-        impact=cat(imp_parts, np.float32),
+        doc_ids=ids[order].astype(np.int32),
+        tf=tf[order].astype(np.float32),
+        impact=imp[order].astype(np.float32),
         df=df,
         idf=bm25_idf(df, n_total),
         doc_len=doc_len,
@@ -175,10 +172,11 @@ class UpdatableHybridRetriever:
         self._n_main = postings.n_docs
         self._alive = np.ones(postings.n_docs, bool)
         self._delta_texts: list[str] = []
+        self._delta_tokens: list[list[str]] = []  # tokenized ONCE per add
         self._delta_emb = np.zeros((0, dense.dim), np.float32)
         self._delta_postings: Optional[PostingsIndex] = None
         self._delta_dense: Optional[DenseRetriever] = None
-        self._vocab = postings.vocab
+        self._vocab = postings.vocab  # copied lazily on first add
         self._main_view = postings  # re-derived per add (shares arrays)
         self._store_dtype = np.asarray(dense.embeddings).dtype
 
@@ -224,7 +222,18 @@ class UpdatableHybridRetriever:
                 f"embeddings shape {emb.shape} != "
                 f"({len(texts)}, {self._delta_emb.shape[1]})"
             )
+        if not self._delta_texts:
+            # first add: snapshot the base vocabulary (extended in place
+            # from here on — never re-copied per add batch)
+            self._vocab = Vocab(
+                token_to_id=dict(self.base.bm25.index.vocab.token_to_id)
+            )
+        new_tokens = tokenize_batch(texts)
+        for tokens in new_tokens:
+            for t in tokens:
+                self._vocab.add(t)
         self._delta_texts.extend(texts)
+        self._delta_tokens.extend(new_tokens)
         self._delta_emb = np.concatenate([self._delta_emb, emb])
         self._alive = np.concatenate(
             [self._alive, np.ones(len(texts), bool)]
@@ -244,14 +253,13 @@ class UpdatableHybridRetriever:
         self._alive[arr] = False
 
     def _rebuild_delta(self) -> None:
-        token_lists = tokenize_batch(self._delta_texts)
-        self._vocab = extend_vocab(self.base.bm25.index.vocab, token_lists)
         base_idx = self.base.bm25.index
         delta = build_postings_index(
             self._delta_texts,
             vocab=self._vocab,
             config=base_idx.config,
             avgdl_override=base_idx.avgdl,  # frozen-statistics contract
+            pretokenized=self._delta_tokens,  # tokenized once at add time
         )
         # combined df -> combined idf over the full id space (deleted docs
         # keep counting until compact(), like unmerged Lucene segments).
@@ -369,17 +377,58 @@ class UpdatableHybridRetriever:
 
         k = min(k, n_total)
         c = min(candidates_per_arm or k, n_total)
+        # a segment slice that masks NOTHING is the unfiltered path for
+        # that segment (same trick as grouped_query_plan's all-True rows)
+        mask_main = mask[: self._n_main] if mask is not None else None
+        if mask_main is not None and mask_main.all():
+            mask_main = None
+        mask_delta = mask[self._n_main :] if mask is not None else None
+        if mask_delta is not None and mask_delta.all():
+            mask_delta = None
+
+        from openintel_tpu.ops.bm25 import encode_query
+
+        term_ids = [encode_query(self._main_view, q) for q in queries]
+        if query_embeddings is None:
+            query_embeddings = self.base.dense.embedder(list(queries))
+        q_np = np.asarray(query_embeddings, np.float32)
+
+        # Bounded sub-batches (the base class's device_batch discipline:
+        # fixed-shape dispatches, bounded jit cache / working set).
+        # Padding rows are empty queries; results sliced back to b.
+        db = min(self.base.device_batch, b)
+        pad = (-b) % db
+        if pad:
+            term_ids = term_ids + [[]] * pad
+            q_np = np.concatenate(
+                [q_np, np.zeros((pad, q_np.shape[1]), np.float32)]
+            )
+        vals_chunks, ids_chunks = [], []
+        for lo in range(0, b + pad, db):
+            vals, ids = self._search_chunk(
+                term_ids[lo : lo + db], q_np[lo : lo + db],
+                k, c, mask_main, mask_delta,
+            )
+            vals_chunks.append(vals)
+            ids_chunks.append(ids)
+        return SearchResult(
+            ids=np.concatenate(ids_chunks)[:b],
+            scores=np.concatenate(vals_chunks)[:b],
+        )
+
+    def _search_chunk(
+        self, term_ids, q_np, k, c, mask_main, mask_delta
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """One device-batch chunk of the two-segment search: per-segment
+        BM25 reductions + dense arms, sharded-style (score, doc) merges,
+        device RRF."""
         main_view = self._main_view
         delta_idx = self._delta_postings
-        mask_main = mask[: self._n_main] if mask is not None else None
-        mask_delta = mask[self._n_main :] if mask is not None else None
+        n_delta = delta_idx.n_docs
 
         # ---- BM25: two mask-aware plans (main keeps the C++ planner),
         # two device reductions, sharded-style merge by (score, doc)
-        from openintel_tpu.ops.bm25 import encode_query
-
-        term_ids = [encode_query(main_view, q) for q in queries]
-        prune_m = auto_prune_m(n_total, c)
+        prune_m = auto_prune_m(self.n_docs, c)
         mb = max(256, c)
         plan_m = build_query_plan(
             main_view, term_ids, max_postings_per_term=prune_m,
@@ -405,31 +454,28 @@ class UpdatableHybridRetriever:
             np.asarray(bv_m), np.asarray(bi_m), np.asarray(bv_d), bi_d, c
         )
 
-        # ---- dense: main arm (configured kernel) + small exact delta arm
-        if query_embeddings is None:
-            query_embeddings = self.base.dense.embedder(list(queries))
-        q_np = np.asarray(query_embeddings, np.float32)
+        # ---- dense: main arm (configured kernel) + small exact delta
+        # arm. ONE query dtype for both segments — the quantised kernels
+        # rescore with f32 queries, and a delta arm rounding its queries
+        # differently would break cross-segment score comparability at
+        # merge time (near-ties would order differently than the
+        # combined-index oracle).
         dense_main = self.base.dense
         dtype = (
             jnp.float32
             if dense_main.kernel in ("int8", "int4")
             else dense_main._emb_device.dtype
         )
-        dv_m, di_m = self._dense_arm(
-            dense_main, jnp.asarray(q_np, dtype), c, mask_main
-        )
-        dv_d, di_d = self._dense_arm(
-            self._delta_dense,
-            jnp.asarray(q_np, self._delta_dense._emb_device.dtype),
-            c, mask_delta,
-        )
+        q_dev = jnp.asarray(q_np, dtype)
+        dv_m, di_m = self._dense_arm(dense_main, q_dev, c, mask_main)
+        dv_d, di_d = self._dense_arm(self._delta_dense, q_dev, c, mask_delta)
         di_d = np.where(di_d >= 0, di_d + self._n_main, -1)
         d_ids = _merge_ranked(dv_m, di_m, dv_d, di_d, c)
 
         vals, ids = rrf_fuse_device(
             jnp.asarray(b_ids), jnp.asarray(d_ids), k, self.rrf_k
         )
-        return SearchResult(ids=np.asarray(ids), scores=np.asarray(vals))
+        return np.asarray(vals), np.asarray(ids)
 
     # ------------------------------------------------------------ compact
 

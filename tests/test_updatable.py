@@ -232,3 +232,43 @@ def test_int8_kernel_path_no_leaks(corpus, extra_docs):
     surfaced = set(got.ids[got.ids >= 0].ravel().tolist())
     assert surfaced and not (surfaced & {2, N + 1})
     assert (got.ids >= N).any()
+
+
+def test_pruned_plans_match_oracle(corpus, extra_docs, monkeypatch):
+    """Force impact-ordered pruning (as at production corpus scale) so the
+    pruned-plan + native-planner machinery runs against the vocab-extended
+    main view and the delta segment — results must still equal the oracle
+    (pruned top-k is exact for k <= min(M, multi_budget))."""
+    import openintel_tpu.models.updatable as upd_mod
+
+    docs, postings, dense, embedder = corpus
+    upd = UpdatableHybridRetriever(postings, dense, embedder, kernel="xla")
+    upd.add_documents(extra_docs)
+    upd.delete_ids([4, N + 7])
+    monkeypatch.setattr(upd_mod, "auto_prune_m", lambda n, k: max(32, k))
+    queries = synthetic_queries_from_docs(docs, 4, seed=83) + ["freshterm0"]
+    got = upd.search(queries, k=10, candidates_per_arm=20)
+    alive = np.ones(upd.n_docs, bool)
+    alive[[4, N + 7]] = False
+    want = _oracle(upd).search(
+        queries, k=10, candidates_per_arm=20, filter_mask=alive
+    )
+    np.testing.assert_array_equal(got.ids, want.ids)
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-5, atol=1e-7)
+
+
+def test_multibatch_chunks_match_big(corpus, extra_docs):
+    """The two-segment search honors device_batch: chunked == one batch."""
+    docs, postings, dense, embedder = corpus
+    big = UpdatableHybridRetriever(postings, dense, embedder, kernel="xla")
+    small = UpdatableHybridRetriever(
+        postings, dense, embedder, kernel="xla", device_batch=4
+    )
+    for u in (big, small):
+        u.add_documents(extra_docs)
+        u.delete_ids([9])
+    queries = synthetic_queries_from_docs(docs, 11, seed=84)  # 11 % 4 != 0
+    want = big.search(queries, k=10, candidates_per_arm=20)
+    got = small.search(queries, k=10, candidates_per_arm=20)
+    np.testing.assert_array_equal(got.ids, want.ids)
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-6)
