@@ -37,7 +37,8 @@ statistics (and renumbered ids — the returned map says where docs went).
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+import threading
+from typing import Callable, NamedTuple, Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np
@@ -138,6 +139,19 @@ def merge_postings(
     )
 
 
+class _Epoch(NamedTuple):
+    """One immutable snapshot of the updatable retriever's mutable state
+    (published atomically; see UpdatableHybridRetriever.__init__)."""
+
+    alive: np.ndarray  # (n_total,) bool — treated immutable once published
+    delta_texts: tuple
+    delta_tokens: tuple
+    delta_emb: np.ndarray  # (n_delta, D) f32
+    delta_postings: Optional[PostingsIndex]
+    delta_dense: Optional[DenseRetriever]
+    main_view: PostingsIndex  # base arrays + combined vocab/df/idf
+
+
 class UpdatableHybridRetriever:
     """Hybrid retrieval over a corpus that accepts adds and deletes.
 
@@ -170,15 +184,23 @@ class UpdatableHybridRetriever:
         )
         self.rrf_k = rrf_k
         self._n_main = postings.n_docs
-        self._alive = np.ones(postings.n_docs, bool)
-        self._delta_texts: list[str] = []
-        self._delta_tokens: list[list[str]] = []  # tokenized ONCE per add
-        self._delta_emb = np.zeros((0, dense.dim), np.float32)
-        self._delta_postings: Optional[PostingsIndex] = None
-        self._delta_dense: Optional[DenseRetriever] = None
-        self._vocab = postings.vocab  # copied lazily on first add
-        self._main_view = postings  # re-derived per add (shares arrays)
         self._store_dtype = np.asarray(dense.embeddings).dtype
+        # ALL mutable state lives in one immutable snapshot, replaced by a
+        # single (GIL-atomic) assignment at the end of each update —
+        # concurrent serving threads (the MCP stdio loop runs searches in
+        # worker threads) always read one CONSISTENT epoch, never a
+        # half-applied add. Updates serialize on _update_lock; searches
+        # never take it.
+        self._st = _Epoch(
+            alive=np.ones(postings.n_docs, bool),
+            delta_texts=(),
+            delta_tokens=(),
+            delta_emb=np.zeros((0, dense.dim), np.float32),
+            delta_postings=None,
+            delta_dense=None,
+            main_view=postings,
+        )
+        self._update_lock = threading.Lock()
 
     # ------------------------------------------------------------ state
 
@@ -186,19 +208,20 @@ class UpdatableHybridRetriever:
     def n_docs(self) -> int:
         """Total id space (main + delta), INCLUDING tombstoned docs —
         result ids index this space."""
-        return self._n_main + len(self._delta_texts)
+        return self._n_main + len(self._st.delta_texts)
 
     @property
     def n_alive(self) -> int:
-        return int(self._alive.sum())
+        return int(self._st.alive.sum())
 
     @property
     def stats(self) -> dict:
+        st = self._st
         return {
             "n_main": self._n_main,
-            "n_delta": len(self._delta_texts),
-            "n_deleted": int((~self._alive).sum()),
-            "n_alive": self.n_alive,
+            "n_delta": len(st.delta_texts),
+            "n_deleted": int((~st.alive).sum()),
+            "n_alive": int(st.alive.sum()),
         }
 
     # ------------------------------------------------------------ updates
@@ -209,72 +232,84 @@ class UpdatableHybridRetriever:
         """Append documents; returns their (stable) global doc ids. The
         delta segment rebuilds from all pending delta texts — O(delta) —
         and combined idf is refreshed from df sums; the main segment's
-        arrays are untouched."""
+        arrays are untouched. Thread-safe: concurrent searches keep
+        serving the previous epoch until the new one lands atomically."""
         texts = list(texts)
         if not texts:
             return np.zeros(0, np.int64)
-        ids = np.arange(self.n_docs, self.n_docs + len(texts), dtype=np.int64)
         if embeddings is None:
             embeddings = self.base.dense.embedder(texts)
         emb = np.asarray(embeddings, np.float32)
-        if emb.shape != (len(texts), self._delta_emb.shape[1]):
-            raise ValueError(
-                f"embeddings shape {emb.shape} != "
-                f"({len(texts)}, {self._delta_emb.shape[1]})"
+        with self._update_lock:
+            st = self._st
+            n_before = self._n_main + len(st.delta_texts)
+            ids = np.arange(n_before, n_before + len(texts), dtype=np.int64)
+            if emb.shape != (len(texts), st.delta_emb.shape[1]):
+                raise ValueError(
+                    f"embeddings shape {emb.shape} != "
+                    f"({len(texts)}, {st.delta_emb.shape[1]})"
+                )
+            new_tokens = tuple(tokenize_batch(texts))
+            self._st = self._rebuild_delta(
+                st._replace(
+                    alive=np.concatenate(
+                        [st.alive, np.ones(len(texts), bool)]
+                    ),
+                    delta_texts=st.delta_texts + tuple(texts),
+                    delta_tokens=st.delta_tokens + new_tokens,
+                    delta_emb=np.concatenate([st.delta_emb, emb]),
+                )
             )
-        if not self._delta_texts:
-            # first add: snapshot the base vocabulary (extended in place
-            # from here on — never re-copied per add batch)
-            self._vocab = Vocab(
-                token_to_id=dict(self.base.bm25.index.vocab.token_to_id)
-            )
-        new_tokens = tokenize_batch(texts)
-        for tokens in new_tokens:
-            for t in tokens:
-                self._vocab.add(t)
-        self._delta_texts.extend(texts)
-        self._delta_tokens.extend(new_tokens)
-        self._delta_emb = np.concatenate([self._delta_emb, emb])
-        self._alive = np.concatenate(
-            [self._alive, np.ones(len(texts), bool)]
-        )
-        self._rebuild_delta()
         return ids
 
     def delete_ids(self, ids: Sequence[int]) -> None:
         """Tombstone documents (main or delta). Idempotent; out-of-range
         ids raise — a silently ignored delete must be impossible."""
         arr = np.asarray(list(ids), np.int64)
-        if arr.size and (arr.min() < 0 or arr.max() >= self.n_docs):
-            raise ValueError(
-                f"delete_ids out of range [0, {self.n_docs}): "
-                f"[{arr.min()}, {arr.max()}]"
-            )
-        self._alive[arr] = False
+        with self._update_lock:
+            st = self._st
+            n = self._n_main + len(st.delta_texts)
+            if arr.size and (arr.min() < 0 or arr.max() >= n):
+                raise ValueError(
+                    f"delete_ids out of range [0, {n}): "
+                    f"[{arr.min()}, {arr.max()}]"
+                )
+            alive = st.alive.copy()  # copy-on-write: readers keep theirs
+            alive[arr] = False
+            self._st = st._replace(alive=alive)
 
-    def _rebuild_delta(self) -> None:
+    def _rebuild_delta(self, st: "_Epoch") -> "_Epoch":
+        """Build the new epoch's delta segment + main view (pure: reads
+        ``st``, returns the completed epoch; caller assigns atomically)."""
         base_idx = self.base.bm25.index
+        # fresh extended vocab per epoch (immutable once published; the
+        # O(V) dict copy per add BATCH is the price of lock-free readers)
+        vocab = Vocab(token_to_id=dict(base_idx.vocab.token_to_id))
+        for tokens in st.delta_tokens:
+            for t in tokens:
+                vocab.add(t)
         delta = build_postings_index(
-            self._delta_texts,
-            vocab=self._vocab,
+            list(st.delta_texts),
+            vocab=vocab,
             config=base_idx.config,
             avgdl_override=base_idx.avgdl,  # frozen-statistics contract
-            pretokenized=self._delta_tokens,  # tokenized once at add time
+            pretokenized=st.delta_tokens,  # tokenized once at add time
         )
         # combined df -> combined idf over the full id space (deleted docs
         # keep counting until compact(), like unmerged Lucene segments).
         # Term-slot arrays (df/idf) include the padding slot 0.
-        v = self._vocab.size
+        v = vocab.size
+        n_total = self._n_main + len(st.delta_texts)
         df = np.zeros(v, np.int32)
         df[: base_idx.df.shape[0]] = base_idx.df
         df[: delta.df.shape[0]] += delta.df
-        idf = bm25_idf(df, self.n_docs)
+        idf = bm25_idf(df, n_total)
         # main view: same postings arrays, vocab-extended offsets (empty
         # segments for new terms), combined df/idf. impact_order is a
         # per-term-segment permutation and segments are unchanged, so the
         # base's lazily-built order carries over as-is.
         pad = v - (base_idx.term_offsets.shape[0] - 1)
-        self._main_view = PostingsIndex(
+        main_view = PostingsIndex(
             term_offsets=np.concatenate(
                 [base_idx.term_offsets,
                  np.full(pad, base_idx.term_offsets[-1], np.int64)]
@@ -287,7 +322,7 @@ class UpdatableHybridRetriever:
             doc_len=base_idx.doc_len,
             avgdl=base_idx.avgdl,
             n_docs=base_idx.n_docs,
-            vocab=self._vocab,
+            vocab=vocab,
             config=base_idx.config,
             impact_order=base_idx.ensure_impact_order(),
         )
@@ -295,13 +330,17 @@ class UpdatableHybridRetriever:
         # pruning trip-wire is per segment anyway) but scores with the
         # COMBINED idf so both arms share one statistic
         delta.idf = idf[: delta.idf.shape[0]]
-        self._delta_postings = delta
-        self._delta_dense = DenseRetriever(
+        delta_dense = DenseRetriever(
             DenseIndex.from_embeddings(
-                self._delta_emb, dtype=self._store_dtype
+                st.delta_emb, dtype=self._store_dtype
             ),
             self.base.dense.embedder,
             kernel="xla",  # delta is small: the exact kernel, no staging
+        )
+        return st._replace(
+            delta_postings=delta,
+            delta_dense=delta_dense,
+            main_view=main_view,
         )
 
     # ------------------------------------------------------------ search
@@ -355,15 +394,16 @@ class UpdatableHybridRetriever:
                 ids=np.zeros((0, k), np.int32),
                 scores=np.zeros((0, k), np.float32),
             )
-        n_total = self.n_docs
-        n_delta = len(self._delta_texts)
+        st = self._st  # ONE epoch for the whole request (atomic snapshot)
+        n_total = self._n_main + len(st.delta_texts)
+        n_delta = len(st.delta_texts)
         mask = (
             _as_doc_mask(filter_mask, n_total)
             if filter_mask is not None
             else None
         )
-        if not self._alive.all():
-            mask = self._alive.copy() if mask is None else (mask & self._alive)
+        if not st.alive.all():
+            mask = st.alive if mask is None else (mask & st.alive)
         if n_delta == 0 and mask is None:
             return self.base.search(
                 queries, k=k, candidates_per_arm=candidates_per_arm,
@@ -388,7 +428,7 @@ class UpdatableHybridRetriever:
 
         from openintel_tpu.ops.bm25 import encode_query
 
-        term_ids = [encode_query(self._main_view, q) for q in queries]
+        term_ids = [encode_query(st.main_view, q) for q in queries]
         if query_embeddings is None:
             query_embeddings = self.base.dense.embedder(list(queries))
         q_np = np.asarray(query_embeddings, np.float32)
@@ -406,7 +446,7 @@ class UpdatableHybridRetriever:
         vals_chunks, ids_chunks = [], []
         for lo in range(0, b + pad, db):
             vals, ids = self._search_chunk(
-                term_ids[lo : lo + db], q_np[lo : lo + db],
+                st, term_ids[lo : lo + db], q_np[lo : lo + db],
                 k, c, mask_main, mask_delta,
             )
             vals_chunks.append(vals)
@@ -417,18 +457,18 @@ class UpdatableHybridRetriever:
         )
 
     def _search_chunk(
-        self, term_ids, q_np, k, c, mask_main, mask_delta
+        self, st: "_Epoch", term_ids, q_np, k, c, mask_main, mask_delta
     ) -> tuple[np.ndarray, np.ndarray]:
         """One device-batch chunk of the two-segment search: per-segment
         BM25 reductions + dense arms, sharded-style (score, doc) merges,
         device RRF."""
-        main_view = self._main_view
-        delta_idx = self._delta_postings
+        main_view = st.main_view
+        delta_idx = st.delta_postings
         n_delta = delta_idx.n_docs
 
         # ---- BM25: two mask-aware plans (main keeps the C++ planner),
         # two device reductions, sharded-style merge by (score, doc)
-        prune_m = auto_prune_m(self.n_docs, c)
+        prune_m = auto_prune_m(self._n_main + len(st.delta_texts), c)
         mb = max(256, c)
         plan_m = build_query_plan(
             main_view, term_ids, max_postings_per_term=prune_m,
@@ -468,7 +508,7 @@ class UpdatableHybridRetriever:
         )
         q_dev = jnp.asarray(q_np, dtype)
         dv_m, di_m = self._dense_arm(dense_main, q_dev, c, mask_main)
-        dv_d, di_d = self._dense_arm(self._delta_dense, q_dev, c, mask_delta)
+        dv_d, di_d = self._dense_arm(st.delta_dense, q_dev, c, mask_delta)
         di_d = np.where(di_d >= 0, di_d + self._n_main, -1)
         d_ids = _merge_ranked(dv_m, di_m, dv_d, di_d, c)
 
@@ -485,11 +525,13 @@ class UpdatableHybridRetriever:
         impacts re-saturated from the stored tf) and densely renumbered
         ids. Returns (postings, dense, id_map) where ``id_map[old] = new``
         (-1 for deleted); serve the result with a fresh retriever."""
+        st = self._st
         merged = merge_postings(
-            self.base.bm25.index, self._delta_postings, self.n_docs
+            self.base.bm25.index, st.delta_postings,
+            self._n_main + len(st.delta_texts),
         )
-        alive = self._alive
-        id_map = np.full(self.n_docs, -1, np.int64)
+        alive = st.alive
+        id_map = np.full(alive.shape[0], -1, np.int64)
         id_map[alive] = np.arange(int(alive.sum()))
         n_new = int(alive.sum())
         keep_post = alive[merged.doc_ids]
@@ -528,7 +570,7 @@ class UpdatableHybridRetriever:
                 np.asarray(
                     self.base.dense.index.embeddings, np.float32
                 ),
-                self._delta_emb,
+                st.delta_emb,
             ]
         )
         dense = DenseIndex.from_embeddings(

@@ -44,11 +44,11 @@ def extra_docs(corpus):
 def _oracle(upd):
     """HybridRetriever over the frozen-statistics combined index."""
     merged = merge_postings(
-        upd.base.bm25.index, upd._delta_postings, upd.n_docs
+        upd.base.bm25.index, upd._st.delta_postings, upd.n_docs
     )
     all_emb = np.concatenate(
         [np.asarray(upd.base.dense.index.embeddings, np.float32),
-         upd._delta_emb]
+         upd._st.delta_emb]
     )
     dense = DenseIndex.from_embeddings(all_emb, dtype=upd._store_dtype)
     return HybridRetriever(
@@ -134,7 +134,7 @@ def test_deletes_only_use_filtered_base_path(corpus):
     got = upd.search(queries, k=5)
     assert victim not in set(got.ids.ravel().tolist())
     want = upd.base.search(
-        queries, k=5, filter_mask=upd._alive
+        queries, k=5, filter_mask=upd._st.alive
     )
     np.testing.assert_array_equal(got.ids, want.ids)
 
@@ -149,7 +149,7 @@ def test_user_filter_composes_with_tombstones(corpus, extra_docs):
     got = upd.search(queries, k=10, candidates_per_arm=20, filter_mask=user)
     surfaced = set(got.ids[got.ids >= 0].ravel().tolist())
     assert not (surfaced & {0, 1, 2, 3, N, N + 1})
-    alive = upd._alive & user
+    alive = upd._st.alive & user
     want = _oracle(upd).search(
         queries, k=10, candidates_per_arm=20, filter_mask=alive
     )
@@ -209,7 +209,7 @@ def test_compact_equals_fresh_rebuild(corpus, extra_docs):
     )
     emb_alive = np.stack([
         np.asarray(dense.embeddings, np.float32)[i] if i < N
-        else upd._delta_emb[i - N]
+        else upd._st.delta_emb[i - N]
         for i in range(upd.n_docs) if id_map[i] >= 0
     ])
     want = HybridRetriever(
@@ -272,3 +272,39 @@ def test_multibatch_chunks_match_big(corpus, extra_docs):
     got = small.search(queries, k=10, candidates_per_arm=20)
     np.testing.assert_array_equal(got.ids, want.ids)
     np.testing.assert_allclose(got.scores, want.scores, rtol=1e-6)
+
+
+def test_concurrent_searches_during_updates(corpus, extra_docs):
+    """Serving threads search while adds/deletes land: every search sees
+    ONE consistent epoch (no torn state, no crashes), and ids it returns
+    were alive in some epoch."""
+    import threading
+
+    docs, postings, dense, embedder = corpus
+    upd = UpdatableHybridRetriever(postings, dense, embedder, kernel="xla")
+    queries = synthetic_queries_from_docs(docs, 3, seed=85)
+    errors = []
+    stop = threading.Event()
+
+    def searcher():
+        while not stop.is_set():
+            try:
+                r = upd.search(queries, k=5, candidates_per_arm=10)
+                assert r.ids.shape == (3, 5)
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+                return
+
+    threads = [threading.Thread(target=searcher) for _ in range(3)]
+    for t in threads:
+        t.start()
+    try:
+        for i in range(0, len(extra_docs), 8):
+            upd.add_documents(extra_docs[i : i + 8])
+            upd.delete_ids([i])
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=30)
+    assert not errors, errors
+    assert upd.stats["n_delta"] == len(extra_docs)
