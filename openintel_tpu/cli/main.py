@@ -245,6 +245,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="dense-arm kernel for search_corpus (auto = int8 turbo + "
         "exact rescore on TPU)",
     )
+    p.add_argument(
+        "--updatable", action="store_true",
+        help="serve a mutable corpus: adds the index_documents / "
+        "delete_documents tools (incremental delta + tombstones; "
+        "single-chip)",
+    )
     _distributed_flags(p)
 
     return parser
@@ -1122,6 +1128,7 @@ def _dispatch(args) -> int:
                 encoder=args.encoder, rerank=args.rerank,
                 mesh=getattr(args, "mesh", None),
                 kernel=kernel_from_flag(getattr(args, "kernel", "auto")),
+                updatable=getattr(args, "updatable", False),
             )
         except (RuntimeError, ValueError) as e:
             # composition errors: index/encoder mismatch (RuntimeError),

@@ -252,6 +252,47 @@ SEARCH_TOOL_SPEC: dict[str, Any] = {
     },
 }
 
+INDEX_TOOL_SPEC: dict[str, Any] = {
+    "name": "index_documents",
+    "description": (
+        "Add documents to the served corpus (searchable immediately, no "
+        "rebuild — incremental delta segment). Returns the new docs' "
+        "stable ids. Only available when the server was started with "
+        "--updatable."
+    ),
+    "inputSchema": {
+        "type": "object",
+        "properties": {
+            "texts": {
+                "type": "array",
+                "items": {"type": "string"},
+                "description": "Document texts to index (batch your adds).",
+            },
+        },
+        "required": ["texts"],
+    },
+}
+
+DELETE_TOOL_SPEC: dict[str, Any] = {
+    "name": "delete_documents",
+    "description": (
+        "Delete documents from the served corpus by id (tombstoned "
+        "immediately — they stop surfacing in search_corpus at once). "
+        "Only available when the server was started with --updatable."
+    ),
+    "inputSchema": {
+        "type": "object",
+        "properties": {
+            "ids": {
+                "type": "array",
+                "items": {"type": "integer"},
+                "description": "Doc ids to delete (idempotent).",
+            },
+        },
+        "required": ["ids"],
+    },
+}
+
 STATS_TOOL_SPEC: dict[str, Any] = {
     "name": "server_stats",
     "description": (
@@ -296,6 +337,9 @@ class OpenIntelServer:
         specs = list(TOOL_SPECS)
         if self.retriever is not None:
             specs.append(SEARCH_TOOL_SPEC)
+            if hasattr(self.retriever, "add_documents"):  # --updatable
+                specs.append(INDEX_TOOL_SPEC)
+                specs.append(DELETE_TOOL_SPEC)
             specs.append(STATS_TOOL_SPEC)
         return specs
 
@@ -313,6 +357,19 @@ class OpenIntelServer:
                 args, self.retriever, self.docs, self.reranker,
                 self.coalescer,
             )
+        if name in ("index_documents", "delete_documents"):
+            if self.retriever is None or not hasattr(
+                self.retriever, "add_documents"
+            ):
+                raise RuntimeError(
+                    "corpus updates need --index PREFIX --updatable"
+                )
+            if name == "index_documents":
+                # worker thread: embedding + delta rebuild are blocking
+                return await asyncio.to_thread(
+                    tools.run_index_documents, args, self.retriever, self.docs
+                )
+            return tools.run_delete_documents(args, self.retriever)
         if name == "server_stats":
             if self.retriever is None:
                 raise RuntimeError(
@@ -482,6 +539,7 @@ def _load_retriever(
     encoder_dir: Optional[str] = None,
     mesh: Optional[str] = None,
     kernel: Optional[str] = None,
+    updatable: bool = False,
 ):
     from pathlib import Path
 
@@ -502,6 +560,11 @@ def _load_retriever(
     docs_path = Path(f"{index_prefix}.docs.txt")
     docs = docs_path.read_text().splitlines() if docs_path.exists() else None
     if mesh:
+        if updatable:
+            raise RuntimeError(
+                "--updatable is single-chip (serve compacted segments "
+                "through --mesh — docs/specs/incremental-updates.md)"
+            )
         from openintel_tpu.parallel.retriever import (
             ShardedHybridRetriever,
             parse_mesh_spec,
@@ -521,6 +584,13 @@ def _load_retriever(
             ),
             docs,
         )
+    if updatable:
+        from openintel_tpu.models.updatable import UpdatableHybridRetriever
+
+        return (
+            UpdatableHybridRetriever(postings, dense, embedder, kernel=kernel),
+            list(docs) if docs is not None else [],  # grows with adds
+        )
     return HybridRetriever(postings, dense, embedder, kernel=kernel), docs
 
 
@@ -531,12 +601,13 @@ def build_server(
     rerank: Optional[str] = None,
     mesh: Optional[str] = None,
     kernel: Optional[str] = None,
+    updatable: bool = False,
     coalesce_max_batch: int = 256,
     coalesce_max_wait_ms: float = 2.0,
 ) -> OpenIntelServer:
     """Composition root (reference: src/mcp/server.rs:171-192)."""
     retriever, docs = (
-        _load_retriever(index, encoder, mesh, kernel)
+        _load_retriever(index, encoder, mesh, kernel, updatable)
         if index
         else (None, None)
     )
@@ -608,12 +679,13 @@ def serve(
     rerank: Optional[str] = None,
     mesh: Optional[str] = None,
     kernel: Optional[str] = None,
+    updatable: bool = False,
 ) -> None:
     asyncio.run(
         serve_stdio(
             build_server(
                 offline=offline, index=index, encoder=encoder, rerank=rerank,
-                mesh=mesh, kernel=kernel,
+                mesh=mesh, kernel=kernel, updatable=updatable,
             )
         )
     )

@@ -336,7 +336,29 @@ def run_search_corpus(
             return {}
         return {"filter_mask": masks, "filter_group": groups}
 
-    if mode == "hybrid" and coalescer is not None:
+    updatable = hasattr(retriever, "add_documents")
+    if updatable and mode != "hybrid":
+        raise ValueError(
+            "an --updatable server serves hybrid mode only "
+            "(docs/specs/incremental-updates.md)"
+        )
+    if updatable and args.get("filters") is not None:
+        raise ValueError(
+            "per-query filters are not supported on an --updatable server "
+            "yet — use the call-wide include_ids/exclude_ids"
+        )
+    if updatable:
+        # the coalescer only for unfiltered waves: the two-segment search
+        # takes a single (n_docs,) mask, not grouped-wave operands — and
+        # n_docs moves with adds, so masks must be built per call
+        if coalescer is not None and filter_entries is None:
+            res = coalescer.search(queries, k=k)
+        else:
+            res = retriever.search(
+                queries, k=k, candidates_per_arm=2 * k,
+                filter_mask=single_mask,
+            )
+    elif mode == "hybrid" and coalescer is not None:
         res = coalescer.search(queries, k=k, filters=filter_entries)
     elif not hasattr(retriever, "bm25"):
         # mesh-sharded retriever: every arm serves through the one sharded
@@ -379,6 +401,53 @@ def run_search_corpus(
     }
 
 
+def run_index_documents(
+    args: dict[str, Any], retriever, docs: Optional[list] = None
+) -> dict[str, Any]:
+    """Add documents to an updatable server's corpus: searchable
+    immediately via the incremental delta segment
+    (models/updatable.py::UpdatableHybridRetriever.add_documents)."""
+    texts = args.get("texts")
+    if (
+        not isinstance(texts, list)
+        or not texts
+        or not all(isinstance(t, str) and t.strip() for t in texts)
+    ):
+        raise ValueError("texts must be a non-empty list of non-empty strings")
+    if len(texts) > 10_000:
+        # the delta rebuild is O(delta) per call — a runaway add batch
+        # should be chunked by the caller, not absorbed silently
+        raise ValueError("at most 10000 texts per call (batch your adds)")
+    ids = retriever.add_documents(texts)
+    if docs is not None:
+        docs.extend(texts)  # snippets for the new docs in search results
+    stats = retriever.stats
+    return {
+        "ids": [int(i) for i in ids],
+        "summary": (
+            f"indexed {len(texts)} docs (ids {int(ids[0])}..{int(ids[-1])}); "
+            f"{stats['n_alive']} alive of {stats['n_main'] + stats['n_delta']}"
+        ),
+        "stats": stats,
+    }
+
+
+def run_delete_documents(args: dict[str, Any], retriever) -> dict[str, Any]:
+    """Tombstone documents by id — they stop surfacing immediately."""
+    ids = args.get("ids")
+    if not isinstance(ids, list) or not ids:
+        raise ValueError("ids must be a non-empty list of integers")
+    retriever.delete_ids([int(i) for i in ids])
+    stats = retriever.stats
+    return {
+        "summary": (
+            f"deleted {len(ids)} doc(s); {stats['n_alive']} alive of "
+            f"{stats['n_main'] + stats['n_delta']}"
+        ),
+        "stats": stats,
+    }
+
+
 def run_server_stats(retriever, coalescer=None) -> dict[str, Any]:
     """Serving observability: coalescer counters + retriever configuration."""
     out: dict[str, Any] = {
@@ -386,6 +455,8 @@ def run_server_stats(retriever, coalescer=None) -> dict[str, Any]:
         "n_docs": int(getattr(retriever, "n_docs", 0)),
         "kernel": getattr(retriever, "kernel", None),
     }
+    if hasattr(retriever, "add_documents"):  # --updatable
+        out["updatable"] = retriever.stats
     if coalescer is not None:
         batches = coalescer.batches_run
         queries = coalescer.queries_run

@@ -215,6 +215,12 @@ class UpdatableHybridRetriever:
         return int(self._st.alive.sum())
 
     @property
+    def kernel(self) -> str:
+        """The main segment's dense-arm kernel (the delta always scans
+        exactly)."""
+        return self.base.kernel
+
+    @property
     def stats(self) -> dict:
         st = self._st
         return {

@@ -191,3 +191,78 @@ def test_mcp_non_object_messages_get_error_responses():
     errs = [d for d in docs if d.get("id") is None and "error" in d]
     assert len(errs) == 2
     assert all(e["error"]["code"] == -32600 for e in errs)
+
+
+def test_mcp_updatable_lifecycle(tmp_path):
+    """--updatable end to end through the REAL stdio server: tools/list
+    grows the update tools; index_documents makes docs searchable
+    immediately (with snippets); delete_documents tombstones them;
+    server_stats reports the segment state."""
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text(
+        "\n".join(f"document {i} about topic{i % 7}" for i in range(30)) + "\n"
+    )
+    idx = tmp_path / "idx"
+    build = subprocess.run(
+        [
+            sys.executable, "-m", "openintel_tpu.cli.main",
+            "index", str(corpus), "--out", str(idx), "--dim", "32",
+        ],
+        capture_output=True, text=True, timeout=300, env=_ENV,
+    )
+    assert build.returncode == 0, build.stderr
+
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "openintel_tpu.cli.main",
+            "mcp", "--offline", "--index", str(idx), "--updatable",
+        ],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True, env=_ENV,
+    )
+
+    def call(rid, name, arguments):
+        proc.stdin.write(json.dumps({
+            "jsonrpc": "2.0", "id": rid, "method": "tools/call",
+            "params": {"name": name, "arguments": arguments},
+        }) + "\n")
+        proc.stdin.flush()
+        resp = _read_responses(proc, [rid])[rid]
+        assert not resp["result"].get("isError"), resp
+        return json.loads(resp["result"]["content"][0]["text"])
+
+    try:
+        proc.stdin.write(json.dumps(
+            {"jsonrpc": "2.0", "id": 1, "method": "initialize", "params": {}}
+        ) + "\n")
+        proc.stdin.write(json.dumps(
+            {"jsonrpc": "2.0", "id": 2, "method": "tools/list"}
+        ) + "\n")
+        proc.stdin.flush()
+        resps = _read_responses(proc, [1, 2])
+        names = [t["name"] for t in resps[2]["result"]["tools"]]
+        assert "index_documents" in names and "delete_documents" in names
+
+        out = call(3, "index_documents", {
+            "texts": ["breaking story about zebrafish genomes",
+                      "zebrafish genome follow-up analysis"],
+        })
+        new_ids = out["ids"]
+        assert new_ids == [30, 31] and out["stats"]["n_delta"] == 2
+
+        found = call(4, "search_corpus", {"queries": ["zebrafish genomes"], "k": 3})
+        hits = found["results"][0]["hits"]
+        assert {h["doc_id"] for h in hits} & set(new_ids)
+        assert any("zebrafish" in h.get("text", "") for h in hits)
+
+        call(5, "delete_documents", {"ids": [new_ids[0]]})
+        after = call(6, "search_corpus", {"queries": ["zebrafish genomes"], "k": 3})
+        ids_after = {h["doc_id"] for h in after["results"][0]["hits"]}
+        assert new_ids[0] not in ids_after and new_ids[1] in ids_after
+
+        stats = call(7, "server_stats", {})
+        assert stats["updatable"]["n_deleted"] == 1
+        assert stats["updatable"]["n_delta"] == 2
+    finally:
+        proc.stdin.close()
+        proc.wait(timeout=60)

@@ -466,3 +466,48 @@ def test_concurrent_filtered_searches_fuse_one_device_batch():
     plain = {h["doc_id"] for h in results["plain"]["results"][0]["hits"]}
     assert low == {0, 1, 2, 3} and high == {8, 9, 10, 11}
     assert len(plain) == 6  # unfiltered caller unaffected by the wave
+
+
+def test_search_corpus_updatable_guards():
+    """Updatable servers: hybrid only, per-query filters rejected with a
+    clear message, call-wide id filters honored."""
+    import numpy as np
+    import pytest
+
+    from openintel_tpu.index.build import build_postings_index
+    from openintel_tpu.index.schema import DenseIndex
+    from openintel_tpu.mcp.tools import (
+        run_delete_documents,
+        run_index_documents,
+        run_search_corpus,
+    )
+    from openintel_tpu.models.embedding import HashingEmbedder
+    from openintel_tpu.models.updatable import UpdatableHybridRetriever
+
+    docs = ["quick brown fox", "lazy dog", "fox fox dog", "markets"]
+    emb = HashingEmbedder(dim=32)
+    upd = UpdatableHybridRetriever(
+        build_postings_index(docs),
+        DenseIndex.from_embeddings(emb(docs)), emb, kernel="xla",
+    )
+    with pytest.raises(ValueError, match="hybrid mode only"):
+        run_search_corpus({"queries": ["x"], "mode": "bm25"}, upd, docs)
+    with pytest.raises(ValueError, match="not supported on an --updatable"):
+        run_search_corpus(
+            {"queries": ["x"], "filters": [None]}, upd, docs
+        )
+    out = run_search_corpus(
+        {"queries": ["fox"], "k": 4, "exclude_ids": [0]}, upd, docs
+    )
+    ids = {h["doc_id"] for h in out["results"][0]["hits"]}
+    assert ids and 0 not in ids
+
+    with pytest.raises(ValueError, match="non-empty list"):
+        run_index_documents({"texts": []}, upd, None)
+    with pytest.raises(ValueError, match="non-empty list"):
+        run_delete_documents({"ids": []}, upd)
+    mutable_docs = list(docs)
+    out = run_index_documents({"texts": ["new fox doc"]}, upd, mutable_docs)
+    assert out["ids"] == [4] and mutable_docs[4] == "new fox doc"
+    out = run_search_corpus({"queries": ["fox"], "k": 5}, upd, mutable_docs)
+    assert 4 in {h["doc_id"] for h in out["results"][0]["hits"]}
