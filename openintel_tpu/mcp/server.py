@@ -369,7 +369,12 @@ class OpenIntelServer:
                 return await asyncio.to_thread(
                     tools.run_index_documents, args, self.retriever, self.docs
                 )
-            return tools.run_delete_documents(args, self.retriever)
+            # delete also leaves the event loop: it takes the update lock,
+            # which an in-flight add may hold for seconds — blocking HERE
+            # would stall every response behind it
+            return await asyncio.to_thread(
+                tools.run_delete_documents, args, self.retriever
+            )
         if name == "server_stats":
             if self.retriever is None:
                 raise RuntimeError(

@@ -418,9 +418,15 @@ def run_index_documents(
         # the delta rebuild is O(delta) per call — a runaway add batch
         # should be chunked by the caller, not absorbed silently
         raise ValueError("at most 10000 texts per call (batch your adds)")
-    ids = retriever.add_documents(texts)
-    if docs is not None:
-        docs.extend(texts)  # snippets for the new docs in search results
+    # id assignment and the snippet store MUST move together: concurrent
+    # adds would otherwise interleave ids and texts (doc 30's snippet
+    # showing doc 31's text, forever). The snippet texts land BEFORE the
+    # new epoch publishes, so a search can never surface an id whose text
+    # is missing.
+    with retriever.update_lock:
+        if docs is not None:
+            docs.extend(texts)
+        ids = retriever.add_documents(texts)
     stats = retriever.stats
     return {
         "ids": [int(i) for i in ids],
@@ -435,9 +441,13 @@ def run_index_documents(
 def run_delete_documents(args: dict[str, Any], retriever) -> dict[str, Any]:
     """Tombstone documents by id — they stop surfacing immediately."""
     ids = args.get("ids")
-    if not isinstance(ids, list) or not ids:
+    if not isinstance(ids, list) or not ids or not all(
+        isinstance(i, int) and not isinstance(i, bool) for i in ids
+    ):
+        # int(3.7) would silently tombstone doc 3 — an irreversible
+        # wrong-doc delete must be a rejection, never a truncation
         raise ValueError("ids must be a non-empty list of integers")
-    retriever.delete_ids([int(i) for i in ids])
+    retriever.delete_ids(ids)
     stats = retriever.stats
     return {
         "summary": (

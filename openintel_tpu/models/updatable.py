@@ -200,7 +200,17 @@ class UpdatableHybridRetriever:
             delta_dense=None,
             main_view=postings,
         )
-        self._update_lock = threading.Lock()
+        # RLock so callers that must pair an update with their OWN
+        # bookkeeping atomically (e.g. the MCP server's id->snippet store)
+        # can wrap the update in `with retriever.update_lock:`
+        self._update_lock = threading.RLock()
+
+    @property
+    def update_lock(self) -> threading.RLock:
+        """Serialises updates. Hold it to make an update atomic with
+        caller-side state keyed by the returned ids (searches never take
+        this lock — they read epochs)."""
+        return self._update_lock
 
     # ------------------------------------------------------------ state
 
@@ -290,10 +300,7 @@ class UpdatableHybridRetriever:
         base_idx = self.base.bm25.index
         # fresh extended vocab per epoch (immutable once published; the
         # O(V) dict copy per add BATCH is the price of lock-free readers)
-        vocab = Vocab(token_to_id=dict(base_idx.vocab.token_to_id))
-        for tokens in st.delta_tokens:
-            for t in tokens:
-                vocab.add(t)
+        vocab = extend_vocab(base_idx.vocab, st.delta_tokens)
         delta = build_postings_index(
             list(st.delta_texts),
             vocab=vocab,
@@ -403,11 +410,23 @@ class UpdatableHybridRetriever:
         st = self._st  # ONE epoch for the whole request (atomic snapshot)
         n_total = self._n_main + len(st.delta_texts)
         n_delta = len(st.delta_texts)
-        mask = (
-            _as_doc_mask(filter_mask, n_total)
-            if filter_mask is not None
-            else None
-        )
+        mask = None
+        if filter_mask is not None:
+            m = np.asarray(filter_mask)
+            if (
+                m.ndim == 1
+                and m.dtype == np.bool_
+                and self._n_main <= m.shape[0] < n_total
+            ):
+                # a mask built against an OLDER epoch (a concurrent add
+                # landed between the caller reading n_docs and this
+                # snapshot): docs it could not know about stay excluded
+                # until the caller refreshes — deterministic, never a
+                # shape crash mid-serving
+                m = np.concatenate(
+                    [m, np.zeros(n_total - m.shape[0], bool)]
+                )
+            mask = _as_doc_mask(m, n_total)
         if not st.alive.all():
             mask = st.alive if mask is None else (mask & st.alive)
         if n_delta == 0 and mask is None:
