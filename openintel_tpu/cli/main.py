@@ -159,6 +159,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="checkpoint-restart build: chunk checkpoints live here; "
         "re-running resumes after interruption",
     )
+    p.add_argument(
+        "--append", action="store_true",
+        help="add CORPUS's docs to the EXISTING index at --out (ids stay "
+        "stable; statistics recomputed over the combined corpus) instead "
+        "of rebuilding from scratch",
+    )
     p.add_argument("--chunk-docs", type=int, default=10_000)
     _distributed_flags(p)
 
@@ -471,6 +477,45 @@ def run_index(args) -> tuple[str, int]:
 
         embedder = load_embedder(args.encoder)
         args.dim = embedder.dim
+    if getattr(args, "append", False):
+        if args.resume_dir:
+            return "error: --append and --resume-dir are exclusive", 1
+        from openintel_tpu.index.checkpoint import load_dense, load_postings
+        from openintel_tpu.models.updatable import UpdatableHybridRetriever
+
+        prefix = args.out
+        if not Path(f"{prefix}.postings.npz").exists():
+            return (
+                f"error: --append needs an existing index at {prefix} "
+                "(build one first without --append)",
+                1,
+            )
+        err = check_index_meta(prefix, args.encoder, embedder)
+        if err:
+            return err, 1
+        postings = load_postings(f"{prefix}.postings.npz")
+        dense_idx = load_dense(f"{prefix}.dense.npz")
+        n_before = postings.n_docs
+        upd = UpdatableHybridRetriever(
+            postings, dense_idx, embedder, kernel="xla"
+        )
+        upd.add_documents(texts)
+        # compact = a true combined rebuild from the stored arrays
+        # (statistics recomputed; no deletes, so ids stay stable)
+        new_postings, new_dense, _ = upd.compact()
+        save_postings(new_postings, f"{prefix}.postings.npz")
+        save_dense(new_dense, f"{prefix}.dense.npz")
+        docs_path = Path(f"{prefix}.docs.txt")
+        if docs_path.exists():
+            old_docs = docs_path.read_text().splitlines()
+            docs_path.write_text("\n".join(old_docs + texts))
+        _write_index_meta(prefix, args.encoder, new_dense.dim)
+        return (
+            f"appended {len(texts)} docs (ids {n_before}.."
+            f"{new_postings.n_docs - 1}) -> {prefix} now "
+            f"{new_postings.n_docs} docs\n",
+            0,
+        )
     if args.resume_dir:
         from openintel_tpu.index.pipeline import build_index_checkpointed
         from openintel_tpu.models.embedding import HashingEmbedder

@@ -376,3 +376,52 @@ def test_search_filtered_flags(tmp_path, capsys):
     assert code == 0  # filtered + mesh compose (sharded filtered program)
     hits = json.loads(out)[0]["hits"]
     assert hits and all(h["doc_id"] != 0 for h in hits)
+
+
+def test_index_append(tmp_path, capsys):
+    """`index --append` adds docs to a saved index in place: old ids
+    stable, new docs searchable, combined statistics recomputed (equal to
+    a from-scratch build over the concatenated corpus)."""
+    c1 = tmp_path / "c1.txt"
+    c1.write_text("\n".join(f"doc {i} topic{i % 3}" for i in range(20)) + "\n")
+    c2 = tmp_path / "c2.txt"
+    c2.write_text("fresh zebra document\nanother zebra story\n")
+    idx = str(tmp_path / "idx")
+    out, code = run_cli(capsys, "index", str(c1), "--out", idx, "--dim", "32")
+    assert code == 0
+    out, code = run_cli(
+        capsys, "index", str(c2), "--out", idx, "--append"
+    )
+    assert code == 0 and "appended 2 docs (ids 20..21)" in out
+
+    out, code = run_cli(
+        capsys, "search", "zebra", "--index", idx, "-k", "2",
+        "--format", "json",
+    )
+    assert code == 0
+    hits = json.loads(out)[0]["hits"]
+    assert {h["doc_id"] for h in hits} == {20, 21}
+    assert "zebra" in hits[0]["text"]
+
+    # combined index == from-scratch build over the concatenation
+    from openintel_tpu.index.checkpoint import load_postings
+    from openintel_tpu.index.build import build_postings_index
+
+    got = load_postings(f"{idx}.postings.npz")
+    want = build_postings_index(
+        [ln for ln in (c1.read_text() + c2.read_text()).splitlines() if ln]
+    )
+    assert got.n_docs == want.n_docs == 22
+    assert abs(got.avgdl - want.avgdl) < 1e-6
+    import numpy as np
+
+    np.testing.assert_allclose(got.idf[: want.idf.shape[0]], want.idf, rtol=1e-6)
+
+
+def test_index_append_requires_existing(tmp_path, capsys):
+    c = tmp_path / "c.txt"
+    c.write_text("a doc\n")
+    out, code = run_cli(
+        capsys, "index", str(c), "--out", str(tmp_path / "nope"), "--append"
+    )
+    assert code == 1 and "needs an existing index" in out
