@@ -293,6 +293,30 @@ DELETE_TOOL_SPEC: dict[str, Any] = {
     },
 }
 
+COMPACT_TOOL_SPEC: dict[str, Any] = {
+    "name": "compact_corpus",
+    "description": (
+        "Fold the corpus's delta segment and tombstones into one fresh "
+        "segment with true statistics (doc ids are RENUMBERED densely when "
+        "deletes existed — re-fetch any ids you cached). Optionally "
+        "persists the compacted index to the server's own --index prefix. "
+        "Only available with --updatable."
+    ),
+    "inputSchema": {
+        "type": "object",
+        "properties": {
+            "save": {
+                "type": "boolean",
+                "description": (
+                    "Also write the compacted index back to the --index "
+                    "prefix on disk (survives restarts)."
+                ),
+            },
+        },
+        "required": [],
+    },
+}
+
 STATS_TOOL_SPEC: dict[str, Any] = {
     "name": "server_stats",
     "description": (
@@ -322,6 +346,8 @@ class OpenIntelServer:
         docs: Optional[Sequence[str]] = None,
         reranker=None,  # CrossEncoderReranker second stage (optional)
         coalescer=None,  # BatchCoalescer over the hybrid search (optional)
+        index_prefix: Optional[str] = None,  # compact_corpus save target
+        encoder_dir: Optional[str] = None,  # for the saved index's meta
     ):
         self.social = list(social)
         self.market = market
@@ -331,6 +357,8 @@ class OpenIntelServer:
         self.docs = list(docs) if docs is not None else None
         self.reranker = reranker
         self.coalescer = coalescer
+        self.index_prefix = index_prefix
+        self.encoder_dir = encoder_dir
 
     @property
     def tool_specs(self) -> list[dict[str, Any]]:
@@ -340,6 +368,7 @@ class OpenIntelServer:
             if hasattr(self.retriever, "add_documents"):  # --updatable
                 specs.append(INDEX_TOOL_SPEC)
                 specs.append(DELETE_TOOL_SPEC)
+                specs.append(COMPACT_TOOL_SPEC)
             specs.append(STATS_TOOL_SPEC)
         return specs
 
@@ -357,12 +386,18 @@ class OpenIntelServer:
                 args, self.retriever, self.docs, self.reranker,
                 self.coalescer,
             )
-        if name in ("index_documents", "delete_documents"):
+        if name in ("index_documents", "delete_documents", "compact_corpus"):
             if self.retriever is None or not hasattr(
                 self.retriever, "add_documents"
             ):
                 raise RuntimeError(
                     "corpus updates need --index PREFIX --updatable"
+                )
+            if name == "compact_corpus":
+                # worker thread: the fold + device re-staging are blocking
+                return await asyncio.to_thread(
+                    tools.run_compact_corpus, args, self.retriever,
+                    self.docs, self.index_prefix, self.encoder_dir,
                 )
             if name == "index_documents":
                 # worker thread: embedding + delta rebuild are blocking
@@ -653,6 +688,8 @@ def build_server(
             docs=docs,
             reranker=reranker,
             coalescer=coalescer,
+            index_prefix=index,
+            encoder_dir=encoder,
         )
 
     from openintel_tpu.config.secrets import Credentials
@@ -673,7 +710,7 @@ def build_server(
     return OpenIntelServer(
         social=social, market=market, bars=market, pulse_feed=pulse_feed,
         retriever=retriever, docs=docs, reranker=reranker,
-        coalescer=coalescer,
+        coalescer=coalescer, index_prefix=index, encoder_dir=encoder,
     )
 
 

@@ -414,6 +414,11 @@ def run_index_documents(
         or not all(isinstance(t, str) and t.strip() for t in texts)
     ):
         raise ValueError("texts must be a non-empty list of non-empty strings")
+    if any("\n" in t for t in texts):
+        # the docs sidecar is newline-delimited (one doc per line, like
+        # `index`'s corpus format) — an embedded newline would silently
+        # shift every later snippet by one id
+        raise ValueError("texts must not contain newlines (one doc per entry)")
     if len(texts) > 10_000:
         # the delta rebuild is O(delta) per call — a runaway add batch
         # should be chunked by the caller, not absorbed silently
@@ -456,6 +461,62 @@ def run_delete_documents(args: dict[str, Any], retriever) -> dict[str, Any]:
         ),
         "stats": stats,
     }
+
+
+def run_compact_corpus(
+    args: dict[str, Any],
+    retriever,
+    docs: Optional[list] = None,
+    index_prefix: Optional[str] = None,
+    encoder_dir: Optional[str] = None,
+) -> dict[str, Any]:
+    """Fold the delta + tombstones into one fresh served segment
+    (models/updatable.py::compact_in_place) and optionally persist it to
+    the server's OWN --index prefix (never a caller-supplied path — an
+    agent must not get filesystem write primitives through a search
+    server). The snippet store renumbers atomically with the ids."""
+    import numpy as np
+
+    with retriever.update_lock:
+        stats_before = retriever.stats
+        id_map = retriever.compact_in_place()
+        if docs is not None:
+            docs[:] = [
+                docs[i] for i in range(len(id_map)) if id_map[i] >= 0
+            ]
+    survivors = np.flatnonzero(id_map >= 0)
+    renumbered = bool((id_map[survivors] != survivors).any())
+    out: dict[str, Any] = {
+        "summary": (
+            f"compacted: folded {stats_before['n_delta']} delta docs, "
+            f"dropped {stats_before['n_deleted']} deleted; now "
+            f"{retriever.n_docs} docs in one segment"
+            + ("; DOC IDS RENUMBERED" if renumbered else "")
+        ),
+        "n_docs": int(retriever.n_docs),
+        "ids_renumbered": renumbered,
+        "stats": retriever.stats,
+    }
+    if args.get("save"):
+        if not index_prefix:
+            raise ValueError(
+                "this server has no --index prefix to save to"
+            )
+        from openintel_tpu.index.checkpoint import save_dense, save_postings
+
+        base = retriever.base
+        save_postings(base.bm25.index, f"{index_prefix}.postings.npz")
+        save_dense(base.dense.index, f"{index_prefix}.dense.npz")
+        if docs is not None:
+            from pathlib import Path
+
+            Path(f"{index_prefix}.docs.txt").write_text("\n".join(docs))
+        from openintel_tpu.cli.main import _write_index_meta
+
+        _write_index_meta(index_prefix, encoder_dir, base.dense.index.dim)
+        out["saved_to"] = index_prefix
+        out["summary"] += f"; saved to {index_prefix}"
+    return out
 
 
 def run_server_stats(retriever, coalescer=None) -> dict[str, Any]:

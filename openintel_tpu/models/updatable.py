@@ -141,8 +141,11 @@ def merge_postings(
 
 class _Epoch(NamedTuple):
     """One immutable snapshot of the updatable retriever's mutable state
-    (published atomically; see UpdatableHybridRetriever.__init__)."""
+    (published atomically; see UpdatableHybridRetriever.__init__). The
+    BASE retriever lives in the epoch too so ``compact_in_place`` can
+    swap the whole segment set in one assignment."""
 
+    base: HybridRetriever  # the main (device-resident) segment
     alive: np.ndarray  # (n_total,) bool — treated immutable once published
     delta_texts: tuple
     delta_tokens: tuple
@@ -150,6 +153,14 @@ class _Epoch(NamedTuple):
     delta_postings: Optional[PostingsIndex]
     delta_dense: Optional[DenseRetriever]
     main_view: PostingsIndex  # base arrays + combined vocab/df/idf
+
+    @property
+    def n_main(self) -> int:
+        return self.base.bm25.index.n_docs
+
+    @property
+    def n_total(self) -> int:
+        return self.n_main + len(self.delta_texts)
 
 
 class UpdatableHybridRetriever:
@@ -178,20 +189,20 @@ class UpdatableHybridRetriever:
         rrf_k: float = RRF_K,
         device_batch: int = 256,
     ):
-        self.base = HybridRetriever(
-            postings, dense, embedder,
-            kernel=kernel, rrf_k=rrf_k, device_batch=device_batch,
-        )
         self.rrf_k = rrf_k
-        self._n_main = postings.n_docs
         self._store_dtype = np.asarray(dense.embeddings).dtype
-        # ALL mutable state lives in one immutable snapshot, replaced by a
+        # ALL mutable state — including the base segment, so compaction
+        # can swap it — lives in one immutable snapshot, replaced by a
         # single (GIL-atomic) assignment at the end of each update —
         # concurrent serving threads (the MCP stdio loop runs searches in
         # worker threads) always read one CONSISTENT epoch, never a
         # half-applied add. Updates serialize on _update_lock; searches
         # never take it.
         self._st = _Epoch(
+            base=HybridRetriever(
+                postings, dense, embedder,
+                kernel=kernel, rrf_k=rrf_k, device_batch=device_batch,
+            ),
             alive=np.ones(postings.n_docs, bool),
             delta_texts=(),
             delta_tokens=(),
@@ -215,10 +226,16 @@ class UpdatableHybridRetriever:
     # ------------------------------------------------------------ state
 
     @property
+    def base(self) -> HybridRetriever:
+        """The CURRENT epoch's main-segment retriever (swapped by
+        ``compact_in_place``)."""
+        return self._st.base
+
+    @property
     def n_docs(self) -> int:
         """Total id space (main + delta), INCLUDING tombstoned docs —
         result ids index this space."""
-        return self._n_main + len(self._st.delta_texts)
+        return self._st.n_total
 
     @property
     def n_alive(self) -> int:
@@ -228,13 +245,13 @@ class UpdatableHybridRetriever:
     def kernel(self) -> str:
         """The main segment's dense-arm kernel (the delta always scans
         exactly)."""
-        return self.base.kernel
+        return self._st.base.kernel
 
     @property
     def stats(self) -> dict:
         st = self._st
         return {
-            "n_main": self._n_main,
+            "n_main": st.n_main,
             "n_delta": len(st.delta_texts),
             "n_deleted": int((~st.alive).sum()),
             "n_alive": int(st.alive.sum()),
@@ -254,11 +271,11 @@ class UpdatableHybridRetriever:
         if not texts:
             return np.zeros(0, np.int64)
         if embeddings is None:
-            embeddings = self.base.dense.embedder(texts)
+            embeddings = self._st.base.dense.embedder(texts)
         emb = np.asarray(embeddings, np.float32)
         with self._update_lock:
             st = self._st
-            n_before = self._n_main + len(st.delta_texts)
+            n_before = st.n_total
             ids = np.arange(n_before, n_before + len(texts), dtype=np.int64)
             if emb.shape != (len(texts), st.delta_emb.shape[1]):
                 raise ValueError(
@@ -284,7 +301,7 @@ class UpdatableHybridRetriever:
         arr = np.asarray(list(ids), np.int64)
         with self._update_lock:
             st = self._st
-            n = self._n_main + len(st.delta_texts)
+            n = st.n_total
             if arr.size and (arr.min() < 0 or arr.max() >= n):
                 raise ValueError(
                     f"delete_ids out of range [0, {n}): "
@@ -297,7 +314,7 @@ class UpdatableHybridRetriever:
     def _rebuild_delta(self, st: "_Epoch") -> "_Epoch":
         """Build the new epoch's delta segment + main view (pure: reads
         ``st``, returns the completed epoch; caller assigns atomically)."""
-        base_idx = self.base.bm25.index
+        base_idx = st.base.bm25.index
         # fresh extended vocab per epoch (immutable once published; the
         # O(V) dict copy per add BATCH is the price of lock-free readers)
         vocab = extend_vocab(base_idx.vocab, st.delta_tokens)
@@ -312,7 +329,7 @@ class UpdatableHybridRetriever:
         # keep counting until compact(), like unmerged Lucene segments).
         # Term-slot arrays (df/idf) include the padding slot 0.
         v = vocab.size
-        n_total = self._n_main + len(st.delta_texts)
+        n_total = st.n_total
         df = np.zeros(v, np.int32)
         df[: base_idx.df.shape[0]] = base_idx.df
         df[: delta.df.shape[0]] += delta.df
@@ -347,7 +364,7 @@ class UpdatableHybridRetriever:
             DenseIndex.from_embeddings(
                 st.delta_emb, dtype=self._store_dtype
             ),
-            self.base.dense.embedder,
+            st.base.dense.embedder,
             kernel="xla",  # delta is small: the exact kernel, no staging
         )
         return st._replace(
@@ -408,7 +425,7 @@ class UpdatableHybridRetriever:
                 scores=np.zeros((0, k), np.float32),
             )
         st = self._st  # ONE epoch for the whole request (atomic snapshot)
-        n_total = self._n_main + len(st.delta_texts)
+        n_total = st.n_total
         n_delta = len(st.delta_texts)
         mask = None
         if filter_mask is not None:
@@ -416,7 +433,7 @@ class UpdatableHybridRetriever:
             if (
                 m.ndim == 1
                 and m.dtype == np.bool_
-                and self._n_main <= m.shape[0] < n_total
+                and st.n_main <= m.shape[0] < n_total
             ):
                 # a mask built against an OLDER epoch (a concurrent add
                 # landed between the caller reading n_docs and this
@@ -430,12 +447,12 @@ class UpdatableHybridRetriever:
         if not st.alive.all():
             mask = st.alive if mask is None else (mask & st.alive)
         if n_delta == 0 and mask is None:
-            return self.base.search(
+            return st.base.search(
                 queries, k=k, candidates_per_arm=candidates_per_arm,
                 query_embeddings=query_embeddings,
             )
         if n_delta == 0:
-            return self.base.search(
+            return st.base.search(
                 queries, k=k, candidates_per_arm=candidates_per_arm,
                 filter_mask=mask, query_embeddings=query_embeddings,
             )
@@ -444,10 +461,10 @@ class UpdatableHybridRetriever:
         c = min(candidates_per_arm or k, n_total)
         # a segment slice that masks NOTHING is the unfiltered path for
         # that segment (same trick as grouped_query_plan's all-True rows)
-        mask_main = mask[: self._n_main] if mask is not None else None
+        mask_main = mask[: st.n_main] if mask is not None else None
         if mask_main is not None and mask_main.all():
             mask_main = None
-        mask_delta = mask[self._n_main :] if mask is not None else None
+        mask_delta = mask[st.n_main :] if mask is not None else None
         if mask_delta is not None and mask_delta.all():
             mask_delta = None
 
@@ -455,13 +472,13 @@ class UpdatableHybridRetriever:
 
         term_ids = [encode_query(st.main_view, q) for q in queries]
         if query_embeddings is None:
-            query_embeddings = self.base.dense.embedder(list(queries))
+            query_embeddings = st.base.dense.embedder(list(queries))
         q_np = np.asarray(query_embeddings, np.float32)
 
         # Bounded sub-batches (the base class's device_batch discipline:
         # fixed-shape dispatches, bounded jit cache / working set).
         # Padding rows are empty queries; results sliced back to b.
-        db = min(self.base.device_batch, b)
+        db = min(st.base.device_batch, b)
         pad = (-b) % db
         if pad:
             term_ids = term_ids + [[]] * pad
@@ -493,7 +510,7 @@ class UpdatableHybridRetriever:
 
         # ---- BM25: two mask-aware plans (main keeps the C++ planner),
         # two device reductions, sharded-style merge by (score, doc)
-        prune_m = auto_prune_m(self._n_main + len(st.delta_texts), c)
+        prune_m = auto_prune_m(st.n_total, c)
         mb = max(256, c)
         plan_m = build_query_plan(
             main_view, term_ids, max_postings_per_term=prune_m,
@@ -501,7 +518,7 @@ class UpdatableHybridRetriever:
         )
         bv_m, bi_m = bm25_topk_device(
             plan_m.doc_ids, plan_m.weights, main_view.n_docs,
-            min(c, self._n_main),
+            min(c, st.n_main),
             presorted=plan_m.presorted, max_run=plan_m.max_terms,
         )
         plan_d = build_query_plan(
@@ -514,7 +531,7 @@ class UpdatableHybridRetriever:
             presorted=plan_d.presorted, max_run=plan_d.max_terms,
         )
         bi_d = np.asarray(bi_d)
-        bi_d = np.where(bi_d >= 0, bi_d + self._n_main, -1)
+        bi_d = np.where(bi_d >= 0, bi_d + st.n_main, -1)
         b_ids = _merge_ranked(
             np.asarray(bv_m), np.asarray(bi_m), np.asarray(bv_d), bi_d, c
         )
@@ -525,7 +542,7 @@ class UpdatableHybridRetriever:
         # differently would break cross-segment score comparability at
         # merge time (near-ties would order differently than the
         # combined-index oracle).
-        dense_main = self.base.dense
+        dense_main = st.base.dense
         dtype = (
             jnp.float32
             if dense_main.kernel in ("int8", "int4")
@@ -534,7 +551,7 @@ class UpdatableHybridRetriever:
         q_dev = jnp.asarray(q_np, dtype)
         dv_m, di_m = self._dense_arm(dense_main, q_dev, c, mask_main)
         dv_d, di_d = self._dense_arm(st.delta_dense, q_dev, c, mask_delta)
-        di_d = np.where(di_d >= 0, di_d + self._n_main, -1)
+        di_d = np.where(di_d >= 0, di_d + st.n_main, -1)
         d_ids = _merge_ranked(dv_m, di_m, dv_d, di_d, c)
 
         vals, ids = rrf_fuse_device(
@@ -552,8 +569,8 @@ class UpdatableHybridRetriever:
         (-1 for deleted); serve the result with a fresh retriever."""
         st = self._st
         merged = merge_postings(
-            self.base.bm25.index, st.delta_postings,
-            self._n_main + len(st.delta_texts),
+            st.base.bm25.index, st.delta_postings,
+            st.n_total,
         )
         alive = st.alive
         id_map = np.full(alive.shape[0], -1, np.int64)
@@ -593,12 +610,44 @@ class UpdatableHybridRetriever:
         all_emb = np.concatenate(
             [
                 np.asarray(
-                    self.base.dense.index.embeddings, np.float32
+                    st.base.dense.index.embeddings, np.float32
                 ),
                 st.delta_emb,
             ]
         )
         dense = DenseIndex.from_embeddings(
-            all_emb[alive], dtype=self._store_dtype
+            all_emb[alive], dtype=self._store_dtype,
         )
         return postings, dense, id_map
+
+    def compact_in_place(self) -> np.ndarray:
+        """``compact()`` and keep serving: build the fresh single segment,
+        stage it on device as a new base retriever, and publish it as the
+        next epoch (empty delta, no tombstones) in one atomic swap —
+        searches in flight finish on the old epoch, new ones see the
+        compacted corpus. Returns the ``id_map`` (old -> new, -1 for
+        deleted); the CALLER owns renumbering any id-keyed state of its
+        own (e.g. the MCP server's snippet store) — hold ``update_lock``
+        around this call and that renumbering to make them atomic.
+
+        Cost: the O(nnz) fold plus re-staging the corpus on device (the
+        one unavoidable price of a new main segment)."""
+        with self._update_lock:
+            st = self._st
+            postings, dense, id_map = self.compact()
+            base = HybridRetriever(
+                postings, dense, st.base.dense.embedder,
+                kernel=st.base.kernel, rrf_k=self.rrf_k,
+                device_batch=st.base.device_batch,
+            )
+            self._st = _Epoch(
+                base=base,
+                alive=np.ones(postings.n_docs, bool),
+                delta_texts=(),
+                delta_tokens=(),
+                delta_emb=np.zeros((0, dense.dim), np.float32),
+                delta_postings=None,
+                delta_dense=None,
+                main_view=postings,
+            )
+        return id_map

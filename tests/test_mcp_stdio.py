@@ -263,6 +263,35 @@ def test_mcp_updatable_lifecycle(tmp_path):
         stats = call(7, "server_stats", {})
         assert stats["updatable"]["n_deleted"] == 1
         assert stats["updatable"]["n_delta"] == 2
+
+        # compact (renumbers: one deleted doc) + persist to the --index
+        # prefix, then verify the survivor is searchable at its NEW id
+        # with the right snippet
+        out = call(8, "compact_corpus", {"save": True})
+        assert out["ids_renumbered"] and out["n_docs"] == 31
+        assert out["saved_to"] == str(idx)
+        after2 = call(9, "search_corpus", {"queries": ["zebrafish genomes"], "k": 2})
+        hit = after2["results"][0]["hits"][0]
+        assert hit["doc_id"] == 30  # 31 renumbered down past deleted 30
+        assert "follow-up" in hit["text"]
+        stats2 = call(10, "server_stats", {})
+        assert stats2["updatable"] == {
+            "n_main": 31, "n_delta": 0, "n_deleted": 0, "n_alive": 31,
+        }
     finally:
         proc.stdin.close()
         proc.wait(timeout=60)
+
+    # the saved compacted index serves cold through a plain (non-updatable)
+    # server — persistence survives restarts
+    check = subprocess.run(
+        [
+            sys.executable, "-m", "openintel_tpu.cli.main",
+            "search", "zebrafish", "--index", str(idx), "-k", "1",
+            "--format", "json",
+        ],
+        capture_output=True, text=True, timeout=120, env=_ENV,
+    )
+    assert check.returncode == 0, check.stderr
+    hit = json.loads(check.stdout)[0]["hits"][0]
+    assert hit["doc_id"] == 30 and "zebrafish" in hit["text"]

@@ -308,3 +308,28 @@ def test_concurrent_searches_during_updates(corpus, extra_docs):
             t.join(timeout=30)
     assert not errors, errors
     assert upd.stats["n_delta"] == len(extra_docs)
+
+
+def test_compact_in_place_keeps_serving(corpus, extra_docs):
+    """compact_in_place swaps the epoch: same results as a fresh retriever
+    over compact()'s output, delta emptied, id space renumbered."""
+    docs, postings, dense, embedder = corpus
+    upd = UpdatableHybridRetriever(postings, dense, embedder, kernel="xla")
+    upd.add_documents(extra_docs)
+    upd.delete_ids([0, N + 1])
+    want_post, want_dense, want_map = upd.compact()
+    id_map = upd.compact_in_place()
+    np.testing.assert_array_equal(id_map, want_map)
+    assert upd.stats == {
+        "n_main": want_post.n_docs, "n_delta": 0, "n_deleted": 0,
+        "n_alive": want_post.n_docs,
+    }
+    queries = synthetic_queries_from_docs(docs, 4, seed=86)
+    got = upd.search(queries, k=10, candidates_per_arm=20)
+    want = HybridRetriever(want_post, want_dense, embedder, kernel="xla").search(
+        queries, k=10, candidates_per_arm=20
+    )
+    np.testing.assert_array_equal(got.ids, want.ids)
+    # and the compacted instance still accepts updates
+    new = upd.add_documents(["post-compaction document"])
+    assert new.tolist() == [want_post.n_docs]
