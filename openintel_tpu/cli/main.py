@@ -458,7 +458,7 @@ def run_index(args) -> tuple[str, int]:
 
     import numpy as np
 
-    from openintel_tpu.index.checkpoint import save_dense, save_postings
+    from openintel_tpu.index.checkpoint import save_index
     from openintel_tpu.models.retrievers import HybridRetriever
 
     texts = [
@@ -503,13 +503,15 @@ def run_index(args) -> tuple[str, int]:
         # compact = a true combined rebuild from the stored arrays
         # (statistics recomputed; no deletes, so ids stay stable)
         new_postings, new_dense, _ = upd.compact()
-        save_postings(new_postings, f"{prefix}.postings.npz")
-        save_dense(new_dense, f"{prefix}.dense.npz")
         docs_path = Path(f"{prefix}.docs.txt")
-        if docs_path.exists():
-            old_docs = docs_path.read_text().splitlines()
-            docs_path.write_text("\n".join(old_docs + texts))
-        _write_index_meta(prefix, args.encoder, new_dense.dim)
+        new_docs = (
+            docs_path.read_text().splitlines() + texts
+            if docs_path.exists()
+            else None
+        )
+        save_index(
+            prefix, new_postings, new_dense, new_docs, encoder=args.encoder
+        )
         return (
             f"appended {len(texts)} docs (ids {n_before}.."
             f"{new_postings.n_docs - 1}) -> {prefix} now "
@@ -533,10 +535,9 @@ def run_index(args) -> tuple[str, int]:
             dense_idx.embeddings = np.asarray(
                 dense_idx.embeddings, jnp.bfloat16.dtype
             )
-        save_postings(postings, f"{args.out}.postings.npz")
-        save_dense(dense_idx, f"{args.out}.dense.npz")
-        Path(f"{args.out}.docs.txt").write_text("\n".join(texts))
-        _write_index_meta(args.out, args.encoder, args.dim)
+        save_index(
+            args.out, postings, dense_idx, texts, encoder=args.encoder
+        )
         return (
             f"indexed {len(texts)} docs (checkpointed in {args.resume_dir}) -> "
             f"{args.out}.postings.npz + {args.out}.dense.npz\n",
@@ -545,26 +546,15 @@ def run_index(args) -> tuple[str, int]:
     model = HybridRetriever.build(
         texts, dim=args.dim, dtype=dtype, embedder=embedder
     )
-    save_postings(model.bm25.index, f"{args.out}.postings.npz")
-    save_dense(model.dense.index, f"{args.out}.dense.npz")
-    _write_index_meta(args.out, args.encoder, args.dim)
-    Path(f"{args.out}.docs.txt").write_text("\n".join(texts))
+    save_index(
+        args.out, model.bm25.index, model.dense.index, texts,
+        encoder=args.encoder,
+    )
     return (
         f"indexed {len(texts)} docs -> {args.out}.postings.npz + "
         f"{args.out}.dense.npz ({args.dim}d"
         f"{', bf16' if args.bf16 else ''})\n",
         0,
-    )
-
-
-def _write_index_meta(prefix: str, encoder: Optional[str], dim: int) -> None:
-    """Record how the dense index was embedded, so query time can't silently
-    mismatch (neural-embedded docs scored against hashed queries rank
-    garbage in the dense arm)."""
-    from pathlib import Path
-
-    Path(f"{prefix}.meta.json").write_text(
-        json.dumps({"embedder": "neural" if encoder else "hashing", "dim": dim})
     )
 
 

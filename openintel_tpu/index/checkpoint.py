@@ -182,3 +182,31 @@ def load_dense(path: str | Path, *, mmap: bool = True) -> DenseIndex:
 
         emb = np.asarray(emb).view(ml_dtypes.bfloat16)
     return DenseIndex(embeddings=emb, n_docs=n_docs, dim=dim)
+
+
+def save_index(
+    prefix: str | Path,
+    postings: PostingsIndex,
+    dense: DenseIndex,
+    docs=None,
+    *,
+    encoder: str | None = None,
+) -> None:
+    """Write the full on-disk index set at ``prefix`` — postings + dense
+    arrays, the optional newline-delimited docs sidecar, and the meta
+    sidecar recording how the dense rows were embedded (query time
+    refuses a silent embedder mismatch). THE single writer of this
+    four-file format: the CLI `index` paths and the MCP `compact_corpus`
+    save all route here, so the layout cannot drift between surfaces."""
+    import json
+
+    prefix = str(prefix)
+    save_postings(postings, f"{prefix}.postings.npz")
+    save_dense(dense, f"{prefix}.dense.npz")
+    if docs is not None:
+        Path(f"{prefix}.docs.txt").write_text("\n".join(docs))
+    Path(f"{prefix}.meta.json").write_text(
+        json.dumps(
+            {"embedder": "neural" if encoder else "hashing", "dim": dense.dim}
+        )
+    )

@@ -628,8 +628,14 @@ def _load_retriever(
         from openintel_tpu.models.updatable import UpdatableHybridRetriever
 
         return (
-            UpdatableHybridRetriever(postings, dense, embedder, kernel=kernel),
-            list(docs) if docs is not None else [],  # grows with adds
+            UpdatableHybridRetriever(
+                postings, dense, embedder, kernel=kernel,
+                # the retriever's epoch owns the id-aligned snippet store
+                # (ids and texts must move together across compactions);
+                # None when no .docs.txt sidecar exists (no snippets)
+                doc_store=docs,
+            ),
+            None,
         )
     return HybridRetriever(postings, dense, embedder, kernel=kernel), docs
 
@@ -652,10 +658,12 @@ def build_server(
         else (None, None)
     )
     coalescer = None
-    if retriever is not None:
+    if retriever is not None and not updatable:
         # Production serving path: concurrent hybrid searches coalesce into
         # full device batches (the b=64 per-query-efficiency mitigation —
-        # docs/benchmarks.md "Batch-64").
+        # docs/benchmarks.md "Batch-64"). Updatable servers skip it: a live
+        # corpus's id space moves between waves, and result texts must come
+        # from the same epoch as the ids (search_with_docs).
         from openintel_tpu.serving import BatchCoalescer
 
         def _hybrid_search(queries, k=10, **filter_kw):

@@ -348,16 +348,16 @@ def run_search_corpus(
             "yet — use the call-wide include_ids/exclude_ids"
         )
     if updatable:
-        # the coalescer only for unfiltered waves: the two-segment search
-        # takes a single (n_docs,) mask, not grouped-wave operands — and
-        # n_docs moves with adds, so masks must be built per call
-        if coalescer is not None and filter_entries is None:
-            res = coalescer.search(queries, k=k)
-        else:
-            res = retriever.search(
-                queries, k=k, candidates_per_arm=2 * k,
-                filter_mask=single_mask,
-            )
+        # ONE epoch for ids AND texts: a concurrent compaction renumbers
+        # ids, so the snippet store must come from the same snapshot.
+        # (Updatable servers run without a coalescer — a live corpus's
+        # id space moves between waves.)
+        res, epoch_docs = retriever.search_with_docs(
+            queries, k=k, candidates_per_arm=2 * k,
+            filter_mask=single_mask,
+        )
+        if epoch_docs is not None:
+            docs = epoch_docs
     elif mode == "hybrid" and coalescer is not None:
         res = coalescer.search(queries, k=k, filters=filter_entries)
     elif not hasattr(retriever, "bm25"):
@@ -414,24 +414,22 @@ def run_index_documents(
         or not all(isinstance(t, str) and t.strip() for t in texts)
     ):
         raise ValueError("texts must be a non-empty list of non-empty strings")
-    if any("\n" in t for t in texts):
-        # the docs sidecar is newline-delimited (one doc per line, like
-        # `index`'s corpus format) — an embedded newline would silently
-        # shift every later snippet by one id
-        raise ValueError("texts must not contain newlines (one doc per entry)")
+    if any(len(t.splitlines()) > 1 for t in texts):
+        # the docs sidecar is newline-delimited and read back with
+        # splitlines() (which also splits on \r, \v, \f, \x85, U+2028,
+        # U+2029) — any embedded line break would silently shift every
+        # later snippet by one id on reload
+        raise ValueError(
+            "texts must not contain line breaks (one doc per entry)"
+        )
     if len(texts) > 10_000:
         # the delta rebuild is O(delta) per call — a runaway add batch
         # should be chunked by the caller, not absorbed silently
         raise ValueError("at most 10000 texts per call (batch your adds)")
-    # id assignment and the snippet store MUST move together: concurrent
-    # adds would otherwise interleave ids and texts (doc 30's snippet
-    # showing doc 31's text, forever). The snippet texts land BEFORE the
-    # new epoch publishes, so a search can never surface an id whose text
-    # is missing.
-    with retriever.update_lock:
-        if docs is not None:
-            docs.extend(texts)
-        ids = retriever.add_documents(texts)
+    # the retriever's epoch carries the id-aligned snippet store, so ids
+    # and texts move together atomically (models/updatable.py::_Epoch)
+    del docs
+    ids = retriever.add_documents(texts)
     stats = retriever.stats
     return {
         "ids": [int(i) for i in ids],
@@ -474,46 +472,44 @@ def run_compact_corpus(
     (models/updatable.py::compact_in_place) and optionally persist it to
     the server's OWN --index prefix (never a caller-supplied path — an
     agent must not get filesystem write primitives through a search
-    server). The snippet store renumbers atomically with the ids."""
+    server). The snippet store lives in the retriever's epoch and
+    renumbers with the ids; the WHOLE operation — fold, stats, save —
+    runs under the update lock, so what lands on disk is exactly the
+    state the response describes."""
     import numpy as np
 
+    del docs  # the epoch carries the snippet store
+    if args.get("save") and not index_prefix:
+        raise ValueError("this server has no --index prefix to save to")
     with retriever.update_lock:
         stats_before = retriever.stats
         id_map = retriever.compact_in_place()
-        if docs is not None:
-            docs[:] = [
-                docs[i] for i in range(len(id_map)) if id_map[i] >= 0
-            ]
+        stats_after = retriever.stats
+        n_docs = retriever.n_docs
+        saved = False
+        if args.get("save"):
+            from openintel_tpu.index.checkpoint import save_index
+
+            base = retriever.base
+            save_index(
+                index_prefix, base.bm25.index, base.dense.index,
+                retriever.docs, encoder=encoder_dir,
+            )
+            saved = True
     survivors = np.flatnonzero(id_map >= 0)
     renumbered = bool((id_map[survivors] != survivors).any())
     out: dict[str, Any] = {
         "summary": (
             f"compacted: folded {stats_before['n_delta']} delta docs, "
             f"dropped {stats_before['n_deleted']} deleted; now "
-            f"{retriever.n_docs} docs in one segment"
+            f"{n_docs} docs in one segment"
             + ("; DOC IDS RENUMBERED" if renumbered else "")
         ),
-        "n_docs": int(retriever.n_docs),
+        "n_docs": int(n_docs),
         "ids_renumbered": renumbered,
-        "stats": retriever.stats,
+        "stats": stats_after,
     }
-    if args.get("save"):
-        if not index_prefix:
-            raise ValueError(
-                "this server has no --index prefix to save to"
-            )
-        from openintel_tpu.index.checkpoint import save_dense, save_postings
-
-        base = retriever.base
-        save_postings(base.bm25.index, f"{index_prefix}.postings.npz")
-        save_dense(base.dense.index, f"{index_prefix}.dense.npz")
-        if docs is not None:
-            from pathlib import Path
-
-            Path(f"{index_prefix}.docs.txt").write_text("\n".join(docs))
-        from openintel_tpu.cli.main import _write_index_meta
-
-        _write_index_meta(index_prefix, encoder_dir, base.dense.index.dim)
+    if saved:
         out["saved_to"] = index_prefix
         out["summary"] += f"; saved to {index_prefix}"
     return out

@@ -153,6 +153,11 @@ class _Epoch(NamedTuple):
     delta_postings: Optional[PostingsIndex]
     delta_dense: Optional[DenseRetriever]
     main_view: PostingsIndex  # base arrays + combined vocab/df/idf
+    # Optional id-aligned document store (snippets). It lives IN the epoch
+    # because compaction renumbers ids: a result set and its texts must
+    # come from ONE snapshot (search_with_docs) or a concurrent compaction
+    # could pair new ids with old texts.
+    docs: Optional[tuple] = None
 
     @property
     def n_main(self) -> int:
@@ -188,6 +193,7 @@ class UpdatableHybridRetriever:
         kernel: Optional[str] = None,
         rrf_k: float = RRF_K,
         device_batch: int = 256,
+        doc_store: Optional[Sequence[str]] = None,
     ):
         self.rrf_k = rrf_k
         self._store_dtype = np.asarray(dense.embeddings).dtype
@@ -210,10 +216,15 @@ class UpdatableHybridRetriever:
             delta_postings=None,
             delta_dense=None,
             main_view=postings,
+            docs=tuple(doc_store) if doc_store is not None else None,
         )
+        if doc_store is not None and len(doc_store) != postings.n_docs:
+            raise ValueError(
+                f"doc_store length {len(doc_store)} != {postings.n_docs} docs"
+            )
         # RLock so callers that must pair an update with their OWN
-        # bookkeeping atomically (e.g. the MCP server's id->snippet store)
-        # can wrap the update in `with retriever.update_lock:`
+        # bookkeeping atomically can wrap the update in
+        # `with retriever.update_lock:`
         self._update_lock = threading.RLock()
 
     @property
@@ -246,6 +257,14 @@ class UpdatableHybridRetriever:
         """The main segment's dense-arm kernel (the delta always scans
         exactly)."""
         return self._st.base.kernel
+
+    @property
+    def docs(self) -> Optional[tuple]:
+        """The CURRENT epoch's id-aligned document store (None when the
+        retriever was built without one). For text lookups paired with a
+        result set use :meth:`search_with_docs` — this property and a
+        separate search are two epoch reads."""
+        return self._st.docs
 
     @property
     def stats(self) -> dict:
@@ -291,6 +310,11 @@ class UpdatableHybridRetriever:
                     delta_texts=st.delta_texts + tuple(texts),
                     delta_tokens=st.delta_tokens + new_tokens,
                     delta_emb=np.concatenate([st.delta_emb, emb]),
+                    docs=(
+                        st.docs + tuple(texts)
+                        if st.docs is not None
+                        else None
+                    ),
                 )
             )
         return ids
@@ -418,13 +442,49 @@ class UpdatableHybridRetriever:
         filter_mask=None,
         query_embeddings: Optional[np.ndarray] = None,
     ) -> SearchResult:
+        return self._search_epoch(
+            self._st, queries, k,
+            candidates_per_arm=candidates_per_arm,
+            filter_mask=filter_mask, query_embeddings=query_embeddings,
+        )
+
+    def search_with_docs(
+        self,
+        queries: Sequence[str],
+        k: int = 10,
+        *,
+        candidates_per_arm: Optional[int] = None,
+        filter_mask=None,
+        query_embeddings: Optional[np.ndarray] = None,
+    ) -> tuple[SearchResult, Optional[tuple]]:
+        """``search`` plus the SAME epoch's document store — the safe way
+        to resolve result ids to texts: a compaction between a search and
+        a separate docs read would pair renumbered ids with the wrong
+        texts."""
+        st = self._st
+        res = self._search_epoch(
+            st, queries, k,
+            candidates_per_arm=candidates_per_arm,
+            filter_mask=filter_mask, query_embeddings=query_embeddings,
+        )
+        return res, st.docs
+
+    def _search_epoch(
+        self,
+        st: "_Epoch",
+        queries: Sequence[str],
+        k: int = 10,
+        *,
+        candidates_per_arm: Optional[int] = None,
+        filter_mask=None,
+        query_embeddings: Optional[np.ndarray] = None,
+    ) -> SearchResult:
         b = len(queries)
         if b == 0:
             return SearchResult(
                 ids=np.zeros((0, k), np.int32),
                 scores=np.zeros((0, k), np.float32),
             )
-        st = self._st  # ONE epoch for the whole request (atomic snapshot)
         n_total = st.n_total
         n_delta = len(st.delta_texts)
         mask = None
@@ -442,6 +502,18 @@ class UpdatableHybridRetriever:
                 # shape crash mid-serving
                 m = np.concatenate(
                     [m, np.zeros(n_total - m.shape[0], bool)]
+                )
+            if (
+                m.ndim == 1
+                and m.dtype == np.bool_
+                and m.shape[0] != n_total
+            ):
+                # ids are only stable within a compaction era — a filter
+                # sized for another era would select the WRONG documents
+                raise ValueError(
+                    f"filter_mask length {m.shape[0]} does not match the "
+                    f"corpus ({n_total} docs) — a compaction may have "
+                    "renumbered ids; rebuild the filter from current ids"
                 )
             mask = _as_doc_mask(m, n_total)
         if not st.alive.all():
@@ -649,5 +721,14 @@ class UpdatableHybridRetriever:
                 delta_postings=None,
                 delta_dense=None,
                 main_view=postings,
+                docs=(
+                    tuple(
+                        st.docs[i]
+                        for i in range(len(st.docs))
+                        if id_map[i] >= 0
+                    )
+                    if st.docs is not None
+                    else None
+                ),
             )
         return id_map

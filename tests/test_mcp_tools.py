@@ -489,6 +489,7 @@ def test_search_corpus_updatable_guards():
     upd = UpdatableHybridRetriever(
         build_postings_index(docs),
         DenseIndex.from_embeddings(emb(docs)), emb, kernel="xla",
+        doc_store=docs,
     )
     with pytest.raises(ValueError, match="hybrid mode only"):
         run_search_corpus({"queries": ["x"], "mode": "bm25"}, upd, docs)
@@ -504,10 +505,16 @@ def test_search_corpus_updatable_guards():
 
     with pytest.raises(ValueError, match="non-empty list"):
         run_index_documents({"texts": []}, upd, None)
+    with pytest.raises(ValueError, match="line breaks"):
+        run_index_documents({"texts": ["two\rlines"]}, upd, None)
     with pytest.raises(ValueError, match="non-empty list"):
         run_delete_documents({"ids": []}, upd)
-    mutable_docs = list(docs)
-    out = run_index_documents({"texts": ["new fox doc"]}, upd, mutable_docs)
-    assert out["ids"] == [4] and mutable_docs[4] == "new fox doc"
-    out = run_search_corpus({"queries": ["fox"], "k": 5}, upd, mutable_docs)
-    assert 4 in {h["doc_id"] for h in out["results"][0]["hits"]}
+    with pytest.raises(ValueError, match="list of integers"):
+        run_delete_documents({"ids": [3.7]}, upd)
+    # the retriever's epoch owns the snippet store: ids + texts atomic
+    out = run_index_documents({"texts": ["new fox doc"]}, upd, None)
+    assert out["ids"] == [4] and upd.docs[4] == "new fox doc"
+    out = run_search_corpus({"queries": ["fox"], "k": 5}, upd, None)
+    hits = out["results"][0]["hits"]
+    assert 4 in {h["doc_id"] for h in hits}
+    assert any(h.get("text") == "new fox doc" for h in hits)
