@@ -342,11 +342,6 @@ def run_search_corpus(
             "an --updatable server serves hybrid mode only "
             "(docs/specs/incremental-updates.md)"
         )
-    if updatable and args.get("filters") is not None:
-        raise ValueError(
-            "per-query filters are not supported on an --updatable server "
-            "yet — use the call-wide include_ids/exclude_ids"
-        )
     if updatable:
         # ONE epoch for ids AND texts: a concurrent compaction renumbers
         # ids, so the snippet store must come from the same snapshot.
@@ -354,7 +349,7 @@ def run_search_corpus(
         # id space moves between waves.)
         res, epoch_docs = retriever.search_with_docs(
             queries, k=k, candidates_per_arm=2 * k,
-            filter_mask=single_mask,
+            **_direct_filter_kwargs(),
         )
         if epoch_docs is not None:
             docs = epoch_docs

@@ -174,8 +174,9 @@ class UpdatableHybridRetriever:
     Same ``search(queries, k, candidates_per_arm, filter_mask)`` results
     as a :class:`HybridRetriever` over the equivalent frozen-statistics
     combined index (``merge_postings`` + concatenated dense rows) —
-    asserted exactly in tests. ``filter_group`` (per-query masks) is not
-    supported on this surface yet; compose tenant filters per call.
+    asserted exactly in tests — including per-query mask groups
+    (``filter_mask`` (G, n_docs) + ``filter_group``, the same surface as
+    every other retriever; tombstones AND into every group row).
 
     Cost model: adds rebuild only the delta segment (O(delta docs));
     deletes flip bits; searches pay one extra small-arm dispatch per arm
@@ -401,22 +402,26 @@ class UpdatableHybridRetriever:
 
     def _dense_arm(
         self, retr: DenseRetriever, q: jnp.ndarray, c: int,
-        mask: Optional[np.ndarray],
+        masks: Optional[np.ndarray], groups: Optional[np.ndarray],
     ) -> tuple[np.ndarray, np.ndarray]:
         """One dense arm with optional mask: over-fetch + host compaction
         (tombstones are usually sparse) with the exact masked scan as the
         starvation fallback — the single-chip filtered design at host
-        altitude."""
+        altitude. ``masks`` is None (unfiltered) or a (G, n_segment)
+        stack with ``groups`` giving each query's row (per-query
+        filters)."""
         n = retr.index.n_docs
         c = min(c, n)
-        if mask is None:
+        if masks is None:
             vals, ids = retr._topk(q, c)
             return np.asarray(vals), np.asarray(ids)
-        unmasked = int(mask.sum())
-        c_fetch = filtered_fetch_width(c, n, unmasked)
+        unmasked = masks.sum(axis=1).astype(np.int64)  # (G,)
+        c_fetch = filtered_fetch_width(
+            c, n, int(unmasked[np.unique(groups)].min())
+        )
         vals, ids = retr._topk(q, c_fetch)
         vals, ids = np.array(vals), np.array(ids)
-        keep = (ids >= 0) & mask[np.maximum(ids, 0)]
+        keep = (ids >= 0) & masks[groups[:, None], np.maximum(ids, 0)]
         # rank-compact survivors; count per query
         out_v = np.full((ids.shape[0], c), -np.inf, np.float32)
         out_i = np.full((ids.shape[0], c), -1, np.int32)
@@ -425,12 +430,21 @@ class UpdatableHybridRetriever:
             kept = np.flatnonzero(keep[b])[:c]
             out_v[b, : kept.size] = vals[b, kept]
             out_i[b, : kept.size] = ids[b, kept]
-        starved = np.flatnonzero(surv < min(c, unmasked))
+        need = np.minimum(c, unmasked[groups])
+        starved = np.flatnonzero(surv < need)
         if starved.size:
-            mv, mi = retr._masked_topk(q[starved], jnp.asarray(mask), c)
-            mv, mi = np.asarray(mv), np.asarray(mi)
-            out_v[starved] = np.where(mi < 0, -np.inf, mv)
-            out_i[starved] = mi
+            from openintel_tpu.models.retrievers import run_per_group
+
+            def arm(g, sub):
+                mv, mi = retr._masked_topk(
+                    q[starved[sub]], jnp.asarray(masks[g]), c
+                )
+                mv, mi = np.asarray(mv), np.asarray(mi)
+                return np.where(mi < 0, -np.inf, mv), mi
+
+            fv, fi = run_per_group(groups[starved], c, arm)
+            out_v[starved] = fv
+            out_i[starved] = fi
         return out_v, out_i
 
     def search(
@@ -440,12 +454,14 @@ class UpdatableHybridRetriever:
         *,
         candidates_per_arm: Optional[int] = None,
         filter_mask=None,
+        filter_group=None,
         query_embeddings: Optional[np.ndarray] = None,
     ) -> SearchResult:
         return self._search_epoch(
             self._st, queries, k,
             candidates_per_arm=candidates_per_arm,
-            filter_mask=filter_mask, query_embeddings=query_embeddings,
+            filter_mask=filter_mask, filter_group=filter_group,
+            query_embeddings=query_embeddings,
         )
 
     def search_with_docs(
@@ -455,6 +471,7 @@ class UpdatableHybridRetriever:
         *,
         candidates_per_arm: Optional[int] = None,
         filter_mask=None,
+        filter_group=None,
         query_embeddings: Optional[np.ndarray] = None,
     ) -> tuple[SearchResult, Optional[tuple]]:
         """``search`` plus the SAME epoch's document store — the safe way
@@ -465,7 +482,8 @@ class UpdatableHybridRetriever:
         res = self._search_epoch(
             st, queries, k,
             candidates_per_arm=candidates_per_arm,
-            filter_mask=filter_mask, query_embeddings=query_embeddings,
+            filter_mask=filter_mask, filter_group=filter_group,
+            query_embeddings=query_embeddings,
         )
         return res, st.docs
 
@@ -477,6 +495,7 @@ class UpdatableHybridRetriever:
         *,
         candidates_per_arm: Optional[int] = None,
         filter_mask=None,
+        filter_group=None,
         query_embeddings: Optional[np.ndarray] = None,
     ) -> SearchResult:
         b = len(queries)
@@ -487,7 +506,7 @@ class UpdatableHybridRetriever:
             )
         n_total = st.n_total
         n_delta = len(st.delta_texts)
-        mask = None
+        masks = groups = None
         if filter_mask is not None:
             m = np.asarray(filter_mask)
             if (
@@ -495,8 +514,8 @@ class UpdatableHybridRetriever:
                 and m.dtype == np.bool_
                 and st.n_main <= m.shape[0] < n_total
             ):
-                # a mask built against an OLDER epoch (a concurrent add
-                # landed between the caller reading n_docs and this
+                # a 1-D mask built against an OLDER epoch (a concurrent
+                # add landed between the caller reading n_docs and this
                 # snapshot): docs it could not know about stay excluded
                 # until the caller refreshes — deterministic, never a
                 # shape crash mid-serving
@@ -504,21 +523,29 @@ class UpdatableHybridRetriever:
                     [m, np.zeros(n_total - m.shape[0], bool)]
                 )
             if (
-                m.ndim == 1
-                and m.dtype == np.bool_
-                and m.shape[0] != n_total
+                m.dtype == np.bool_
+                and m.shape[-1] != n_total
             ):
                 # ids are only stable within a compaction era — a filter
                 # sized for another era would select the WRONG documents
                 raise ValueError(
-                    f"filter_mask length {m.shape[0]} does not match the "
+                    f"filter_mask length {m.shape[-1]} does not match the "
                     f"corpus ({n_total} docs) — a compaction may have "
                     "renumbered ids; rebuild the filter from current ids"
                 )
-            mask = _as_doc_mask(m, n_total)
+            from openintel_tpu.models.retrievers import _as_group_masks
+
+            masks, groups = _as_group_masks(m, filter_group, n_total, b)
+        elif filter_group is not None:
+            raise ValueError("filter_group requires filter_mask")
         if not st.alive.all():
-            mask = st.alive if mask is None else (mask & st.alive)
-        if n_delta == 0 and mask is None:
+            # tombstones AND into every mask row
+            if masks is None:
+                masks = st.alive[None, :]
+                groups = np.zeros(b, np.int32)
+            else:
+                masks = masks & st.alive[None, :]
+        if n_delta == 0 and masks is None:
             return st.base.search(
                 queries, k=k, candidates_per_arm=candidates_per_arm,
                 query_embeddings=query_embeddings,
@@ -526,19 +553,21 @@ class UpdatableHybridRetriever:
         if n_delta == 0:
             return st.base.search(
                 queries, k=k, candidates_per_arm=candidates_per_arm,
-                filter_mask=mask, query_embeddings=query_embeddings,
+                filter_mask=masks, filter_group=groups,
+                query_embeddings=query_embeddings,
             )
 
         k = min(k, n_total)
         c = min(candidates_per_arm or k, n_total)
-        # a segment slice that masks NOTHING is the unfiltered path for
-        # that segment (same trick as grouped_query_plan's all-True rows)
-        mask_main = mask[: st.n_main] if mask is not None else None
-        if mask_main is not None and mask_main.all():
-            mask_main = None
-        mask_delta = mask[st.n_main :] if mask is not None else None
-        if mask_delta is not None and mask_delta.all():
-            mask_delta = None
+        # a segment slice that masks NOTHING (across every group row) is
+        # the unfiltered path for that segment (same trick as
+        # grouped_query_plan's all-True rows)
+        masks_main = masks[:, : st.n_main] if masks is not None else None
+        if masks_main is not None and masks_main.all():
+            masks_main = None
+        masks_delta = masks[:, st.n_main :] if masks is not None else None
+        if masks_delta is not None and masks_delta.all():
+            masks_delta = None
 
         from openintel_tpu.ops.bm25 import encode_query
 
@@ -549,7 +578,7 @@ class UpdatableHybridRetriever:
 
         # Bounded sub-batches (the base class's device_batch discipline:
         # fixed-shape dispatches, bounded jit cache / working set).
-        # Padding rows are empty queries; results sliced back to b.
+        # Padding rows are empty queries (group 0); results sliced to b.
         db = min(st.base.device_batch, b)
         pad = (-b) % db
         if pad:
@@ -557,11 +586,14 @@ class UpdatableHybridRetriever:
             q_np = np.concatenate(
                 [q_np, np.zeros((pad, q_np.shape[1]), np.float32)]
             )
+        if groups is not None:
+            groups = np.concatenate([groups, np.zeros(pad, np.int32)])
         vals_chunks, ids_chunks = [], []
         for lo in range(0, b + pad, db):
             vals, ids = self._search_chunk(
                 st, term_ids[lo : lo + db], q_np[lo : lo + db],
-                k, c, mask_main, mask_delta,
+                k, c, masks_main, masks_delta,
+                groups[lo : lo + db] if groups is not None else None,
             )
             vals_chunks.append(vals)
             ids_chunks.append(ids)
@@ -571,32 +603,41 @@ class UpdatableHybridRetriever:
         )
 
     def _search_chunk(
-        self, st: "_Epoch", term_ids, q_np, k, c, mask_main, mask_delta
+        self, st: "_Epoch", term_ids, q_np, k, c, masks_main, masks_delta,
+        groups,
     ) -> tuple[np.ndarray, np.ndarray]:
         """One device-batch chunk of the two-segment search: per-segment
         BM25 reductions + dense arms, sharded-style (score, doc) merges,
-        device RRF."""
+        device RRF. ``masks_*`` are None or (G, n_segment) stacks with
+        ``groups`` (chunk-aligned) giving each query's mask row."""
+        from openintel_tpu.models.retrievers import grouped_query_plan
+
         main_view = st.main_view
         delta_idx = st.delta_postings
         n_delta = delta_idx.n_docs
+
+        def seg_plan(index, seg_masks):
+            if seg_masks is None:
+                return build_query_plan(
+                    index, term_ids,
+                    max_postings_per_term=prune_m, multi_budget=mb,
+                )
+            return grouped_query_plan(
+                index, term_ids, seg_masks, groups,
+                max_postings_per_term=prune_m, multi_budget=mb,
+            )
 
         # ---- BM25: two mask-aware plans (main keeps the C++ planner),
         # two device reductions, sharded-style merge by (score, doc)
         prune_m = auto_prune_m(st.n_total, c)
         mb = max(256, c)
-        plan_m = build_query_plan(
-            main_view, term_ids, max_postings_per_term=prune_m,
-            multi_budget=mb, doc_mask=mask_main,
-        )
+        plan_m = seg_plan(main_view, masks_main)
         bv_m, bi_m = bm25_topk_device(
             plan_m.doc_ids, plan_m.weights, main_view.n_docs,
             min(c, st.n_main),
             presorted=plan_m.presorted, max_run=plan_m.max_terms,
         )
-        plan_d = build_query_plan(
-            delta_idx, term_ids, max_postings_per_term=prune_m,
-            multi_budget=mb, doc_mask=mask_delta,
-        )
+        plan_d = seg_plan(delta_idx, masks_delta)
         bv_d, bi_d = bm25_topk_device(
             plan_d.doc_ids, plan_d.weights, delta_idx.n_docs,
             min(c, n_delta),
@@ -621,8 +662,10 @@ class UpdatableHybridRetriever:
             else dense_main._emb_device.dtype
         )
         q_dev = jnp.asarray(q_np, dtype)
-        dv_m, di_m = self._dense_arm(dense_main, q_dev, c, mask_main)
-        dv_d, di_d = self._dense_arm(st.delta_dense, q_dev, c, mask_delta)
+        dv_m, di_m = self._dense_arm(dense_main, q_dev, c, masks_main, groups)
+        dv_d, di_d = self._dense_arm(
+            st.delta_dense, q_dev, c, masks_delta, groups
+        )
         di_d = np.where(di_d >= 0, di_d + st.n_main, -1)
         d_ids = _merge_ranked(dv_m, di_m, dv_d, di_d, c)
 

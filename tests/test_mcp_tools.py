@@ -493,15 +493,23 @@ def test_search_corpus_updatable_guards():
     )
     with pytest.raises(ValueError, match="hybrid mode only"):
         run_search_corpus({"queries": ["x"], "mode": "bm25"}, upd, docs)
-    with pytest.raises(ValueError, match="not supported on an --updatable"):
-        run_search_corpus(
-            {"queries": ["x"], "filters": [None]}, upd, docs
-        )
     out = run_search_corpus(
         {"queries": ["fox"], "k": 4, "exclude_ids": [0]}, upd, docs
     )
     ids = {h["doc_id"] for h in out["results"][0]["hits"]}
     assert ids and 0 not in ids
+    # per-query filters work on the updatable surface too
+    out = run_search_corpus(
+        {
+            "queries": ["fox", "fox"], "k": 4,
+            "filters": [{"include_ids": [0, 1]}, {"include_ids": [2, 3]}],
+        },
+        upd, docs,
+    )
+    rows = [
+        {h["doc_id"] for h in r["hits"]} for r in out["results"]
+    ]
+    assert rows[0] <= {0, 1} and rows[1] <= {2, 3} and rows[0] and rows[1]
 
     with pytest.raises(ValueError, match="non-empty list"):
         run_index_documents({"texts": []}, upd, None)

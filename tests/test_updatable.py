@@ -333,3 +333,35 @@ def test_compact_in_place_keeps_serving(corpus, extra_docs):
     # and the compacted instance still accepts updates
     new = upd.add_documents(["post-compaction document"])
     assert new.tolist() == [want_post.n_docs]
+
+
+def test_grouped_filters_match_per_mask(corpus, extra_docs):
+    """Per-query mask groups on the updatable surface: each query equals
+    a separate search with its own mask, across both segments, with
+    tombstones composed into every group row."""
+    docs, postings, dense, embedder = corpus
+    upd = UpdatableHybridRetriever(postings, dense, embedder, kernel="xla")
+    upd.add_documents(extra_docs)
+    upd.delete_ids([7, N + 3])
+    n = upd.n_docs
+    rng = np.random.default_rng(95)
+    masks = np.stack([
+        rng.random(n) < 0.5,
+        make_filter_mask(n, include_ids=[1, 2, 3, N + 1, N + 5]),  # starves
+    ])
+    queries = synthetic_queries_from_docs(docs, 6, seed=96)
+    groups = np.arange(6, dtype=np.int32) % 2
+    got = upd.search(
+        queries, k=10, candidates_per_arm=20,
+        filter_mask=masks, filter_group=groups,
+    )
+    for b, q in enumerate(queries):
+        want = upd.search(
+            [q], k=10, candidates_per_arm=20, filter_mask=masks[groups[b]]
+        )
+        np.testing.assert_array_equal(got.ids[b], want.ids[0])
+        np.testing.assert_allclose(
+            got.scores[b], want.scores[0], rtol=1e-5, atol=1e-7
+        )
+    kept = got.ids[got.ids >= 0]
+    assert 7 not in kept and (N + 3) not in kept  # tombstones still win
