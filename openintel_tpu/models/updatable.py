@@ -403,21 +403,30 @@ class UpdatableHybridRetriever:
     def _dense_arm(
         self, retr: DenseRetriever, q: jnp.ndarray, c: int,
         masks: Optional[np.ndarray], groups: Optional[np.ndarray],
+        unmasked: Optional[np.ndarray], n_real: int,
     ) -> tuple[np.ndarray, np.ndarray]:
         """One dense arm with optional mask: over-fetch + host compaction
         (tombstones are usually sparse) with the exact masked scan as the
         starvation fallback — the single-chip filtered design at host
         altitude. ``masks`` is None (unfiltered) or a (G, n_segment)
         stack with ``groups`` giving each query's row (per-query
-        filters)."""
+        filters); ``unmasked`` is the per-group popcount (hoisted — one
+        sum per search, not per chunk) and ``n_real`` the non-padding
+        prefix of the chunk (padding rows never gate the over-fetch width
+        or trigger the fallback)."""
         n = retr.index.n_docs
         c = min(c, n)
         if masks is None:
             vals, ids = retr._topk(q, c)
             return np.asarray(vals), np.asarray(ids)
-        unmasked = masks.sum(axis=1).astype(np.int64)  # (G,)
+        # over-fetch width: the most selective group with ANY eligible doc
+        # among the REAL rows — zero-unmasked groups return empty from
+        # this segment by construction (need = 0) and must not collapse
+        # the width for everyone else
+        counts = unmasked[np.unique(groups[:n_real])]
+        counts = counts[counts > 0]
         c_fetch = filtered_fetch_width(
-            c, n, int(unmasked[np.unique(groups)].min())
+            c, n, int(counts.min()) if counts.size else 0
         )
         vals, ids = retr._topk(q, c_fetch)
         vals, ids = np.array(vals), np.array(ids)
@@ -432,6 +441,7 @@ class UpdatableHybridRetriever:
             out_i[b, : kept.size] = ids[b, kept]
         need = np.minimum(c, unmasked[groups])
         starved = np.flatnonzero(surv < need)
+        starved = starved[starved < n_real]  # padding never re-runs
         if starved.size:
             from openintel_tpu.models.retrievers import run_per_group
 
@@ -510,20 +520,23 @@ class UpdatableHybridRetriever:
         if filter_mask is not None:
             m = np.asarray(filter_mask)
             if (
-                m.ndim == 1
+                m.ndim in (1, 2)
                 and m.dtype == np.bool_
-                and st.n_main <= m.shape[0] < n_total
+                and st.n_main <= m.shape[-1] < n_total
             ):
-                # a 1-D mask built against an OLDER epoch (a concurrent
-                # add landed between the caller reading n_docs and this
+                # a mask built against an OLDER epoch (a concurrent add
+                # landed between the caller reading n_docs and this
                 # snapshot): docs it could not know about stay excluded
                 # until the caller refreshes — deterministic, never a
-                # shape crash mid-serving
+                # shape crash mid-serving. Applies to (G, n) stacks too.
+                pad_cols = n_total - m.shape[-1]
                 m = np.concatenate(
-                    [m, np.zeros(n_total - m.shape[0], bool)]
+                    [m, np.zeros(m.shape[:-1] + (pad_cols,), bool)],
+                    axis=-1,
                 )
             if (
-                m.dtype == np.bool_
+                m.ndim in (1, 2)
+                and m.dtype == np.bool_
                 and m.shape[-1] != n_total
             ):
                 # ids are only stable within a compaction era — a filter
@@ -568,6 +581,18 @@ class UpdatableHybridRetriever:
         masks_delta = masks[:, st.n_main :] if masks is not None else None
         if masks_delta is not None and masks_delta.all():
             masks_delta = None
+        # per-group popcounts once per SEARCH (the dense arms read them
+        # every chunk)
+        unm_main = (
+            masks_main.sum(axis=1).astype(np.int64)
+            if masks_main is not None
+            else None
+        )
+        unm_delta = (
+            masks_delta.sum(axis=1).astype(np.int64)
+            if masks_delta is not None
+            else None
+        )
 
         from openintel_tpu.ops.bm25 import encode_query
 
@@ -594,6 +619,8 @@ class UpdatableHybridRetriever:
                 st, term_ids[lo : lo + db], q_np[lo : lo + db],
                 k, c, masks_main, masks_delta,
                 groups[lo : lo + db] if groups is not None else None,
+                unm_main, unm_delta,
+                min(db, b - lo) if lo < b else 0,  # real rows this chunk
             )
             vals_chunks.append(vals)
             ids_chunks.append(ids)
@@ -604,7 +631,7 @@ class UpdatableHybridRetriever:
 
     def _search_chunk(
         self, st: "_Epoch", term_ids, q_np, k, c, masks_main, masks_delta,
-        groups,
+        groups, unm_main, unm_delta, n_real,
     ) -> tuple[np.ndarray, np.ndarray]:
         """One device-batch chunk of the two-segment search: per-segment
         BM25 reductions + dense arms, sharded-style (score, doc) merges,
@@ -662,9 +689,11 @@ class UpdatableHybridRetriever:
             else dense_main._emb_device.dtype
         )
         q_dev = jnp.asarray(q_np, dtype)
-        dv_m, di_m = self._dense_arm(dense_main, q_dev, c, masks_main, groups)
+        dv_m, di_m = self._dense_arm(
+            dense_main, q_dev, c, masks_main, groups, unm_main, n_real
+        )
         dv_d, di_d = self._dense_arm(
-            st.delta_dense, q_dev, c, masks_delta, groups
+            st.delta_dense, q_dev, c, masks_delta, groups, unm_delta, n_real
         )
         di_d = np.where(di_d >= 0, di_d + st.n_main, -1)
         d_ids = _merge_ranked(dv_m, di_m, dv_d, di_d, c)

@@ -365,3 +365,41 @@ def test_grouped_filters_match_per_mask(corpus, extra_docs):
         )
     kept = got.ids[got.ids >= 0]
     assert 7 not in kept and (N + 3) not in kept  # tombstones still win
+
+    # grouped + chunked: small device_batch (padding rows, chunk-local
+    # group slices) must equal the single-dispatch result
+    small = UpdatableHybridRetriever(
+        postings, dense, embedder, kernel="xla", device_batch=4
+    )
+    small.add_documents(extra_docs)
+    small.delete_ids([7, N + 3])
+    got_small = small.search(
+        queries, k=10, candidates_per_arm=20,
+        filter_mask=masks, filter_group=groups,
+    )
+    np.testing.assert_array_equal(got_small.ids, got.ids)
+    np.testing.assert_allclose(got_small.scores, got.scores, rtol=1e-6)
+
+
+def test_stale_epoch_mask_grace(corpus, extra_docs):
+    """Masks (1-D and grouped) built one add earlier pad gracefully (the
+    unknown new docs stay excluded); era-mismatched sizes raise the
+    renumbering error; scalar masks get a clear validation error."""
+    docs, postings, dense, embedder = corpus
+    upd = UpdatableHybridRetriever(postings, dense, embedder, kernel="xla")
+    upd.add_documents(extra_docs[:10])
+    n_old = upd.n_docs
+    stale_1d = np.ones(n_old, bool)
+    stale_2d = np.ones((2, n_old), bool)
+    upd.add_documents(extra_docs[10:20])
+    queries = synthetic_queries_from_docs(docs, 2, seed=97)
+    r1 = upd.search(queries, k=5, filter_mask=stale_1d)
+    assert (r1.ids[r1.ids >= 0] < n_old).all()  # new docs excluded
+    r2 = upd.search(
+        queries, k=5, filter_mask=stale_2d, filter_group=[0, 1]
+    )
+    assert (r2.ids[r2.ids >= 0] < n_old).all()
+    with pytest.raises(ValueError, match="renumbered"):
+        upd.search(queries, k=5, filter_mask=np.ones(3, bool))
+    with pytest.raises((TypeError, ValueError)):
+        upd.search(queries, k=5, filter_mask=True)
