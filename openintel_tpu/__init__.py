@@ -41,6 +41,10 @@ def __getattr__(name):  # lazy convenience exports (avoid importing jax early)
         from openintel_tpu.parallel.retriever import ShardedHybridRetriever
 
         return ShardedHybridRetriever
+    if name == "UpdatableHybridRetriever":
+        from openintel_tpu.models.updatable import UpdatableHybridRetriever
+
+        return UpdatableHybridRetriever
     if name == "BatchCoalescer":
         from openintel_tpu.serving import BatchCoalescer
 
