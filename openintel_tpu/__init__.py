@@ -15,7 +15,7 @@ A ground-up JAX/XLA/Pallas rebuild of the capabilities of Kloudy-Sky/openintel
   ``openintel_tpu.cli``, ``openintel_tpu.mcp``).
 """
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 from openintel_tpu.errors import (  # noqa: F401
     AnalyzerMismatch,
