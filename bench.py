@@ -516,9 +516,39 @@ def _debug_recall_failures(
             )
 
 
+def _tpu_tunnel_reachable() -> bool:
+    """Cheap TCP probe of the remote-TPU relay BEFORE any jax backend
+    init: when the tunnel is down, initializing the TPU platform hangs
+    un-killably inside native code — a bench run must degrade to an
+    honest CPU artifact instead of hanging past the driver's timeout."""
+    import socket
+
+    pool = os.environ.get("PALLAS_AXON_POOL_IPS")
+    if not pool:
+        return True  # no tunnel configured: whatever backend jax picks
+    host, _, port = pool.partition(":")
+    try:
+        with socket.create_connection(
+            (host or "127.0.0.1", int(port or 8083)), timeout=3
+        ):
+            return True
+    except OSError:
+        return False
+
+
 def _main_with_retry() -> None:
     """One bounded retry on transient tunnel failures (shared classifier:
     openintel_tpu.utils.retry; a flap costs a backoff, not the artifact)."""
+    if not _tpu_tunnel_reachable():
+        log(
+            "TPU tunnel unreachable — pinning jax to CPU so the bench "
+            "emits an (honest, flagged) host artifact instead of hanging"
+        )
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from openintel_tpu.utils.retry import run_with_transient_retry
 
     run_with_transient_retry(main, backoff_s=120.0, log=log)
