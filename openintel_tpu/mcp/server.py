@@ -359,6 +359,19 @@ class OpenIntelServer:
         self.coalescer = coalescer
         self.index_prefix = index_prefix
         self.encoder_dir = encoder_dir
+        # search_corpus calls in flight (id -> monotonic start); event-loop
+        # mutated only, read by server_stats' hang detector
+        self._inflight: dict[int, float] = {}
+
+    def oldest_inflight_s(self):
+        """Seconds the longest-running in-flight search_corpus call has
+        been out, or None when idle (server-level analogue of
+        BatchCoalescer.oldest_inflight_s for coalescer-less servers)."""
+        import time
+
+        if not self._inflight:
+            return None
+        return time.monotonic() - min(self._inflight.values())
 
     @property
     def tool_specs(self) -> list[dict[str, Any]]:
@@ -380,12 +393,22 @@ class OpenIntelServer:
                 )
             # Run the (blocking) device search in a worker thread so
             # concurrent tools/call requests actually overlap — that
-            # concurrency is what feeds the batch coalescer.
-            return await asyncio.to_thread(
-                tools.run_search_corpus,
-                args, self.retriever, self.docs, self.reranker,
-                self.coalescer,
-            )
+            # concurrency is what feeds the batch coalescer. Track the
+            # call in _inflight so server_stats' oldest_inflight_s hang
+            # detector (docs/specs/serving-resilience.md) covers servers
+            # WITHOUT a coalescer (e.g. --updatable) too.
+            import time
+
+            token = object()
+            self._inflight[id(token)] = time.monotonic()
+            try:
+                return await asyncio.to_thread(
+                    tools.run_search_corpus,
+                    args, self.retriever, self.docs, self.reranker,
+                    self.coalescer,
+                )
+            finally:
+                self._inflight.pop(id(token), None)
         if name in ("index_documents", "delete_documents", "compact_corpus"):
             if self.retriever is None or not hasattr(
                 self.retriever, "add_documents"
@@ -415,7 +438,10 @@ class OpenIntelServer:
                 raise RuntimeError(
                     "no corpus indexed — start the server with --index PREFIX"
                 )
-            return tools.run_server_stats(self.retriever, self.coalescer)
+            return tools.run_server_stats(
+                self.retriever, self.coalescer,
+                inflight_s=self.oldest_inflight_s(),
+            )
         if name == "list_sources":
             return tools.run_list_sources(self.social, self.market)
         if name == "analyze_ticker":

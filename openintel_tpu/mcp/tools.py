@@ -510,13 +510,21 @@ def run_compact_corpus(
     return out
 
 
-def run_server_stats(retriever, coalescer=None) -> dict[str, Any]:
-    """Serving observability: coalescer counters + retriever configuration."""
+def run_server_stats(
+    retriever, coalescer=None, inflight_s=None
+) -> dict[str, Any]:
+    """Serving observability: coalescer counters + retriever configuration.
+    ``inflight_s`` is the server-level oldest in-flight search age — the
+    backend-hang detector for coalescer-less (e.g. --updatable) servers."""
     out: dict[str, Any] = {
         "retriever": type(retriever).__name__,
         "n_docs": int(getattr(retriever, "n_docs", 0)),
         "kernel": getattr(retriever, "kernel", None),
     }
+    if coalescer is None:
+        out["oldest_inflight_s"] = (
+            round(inflight_s, 3) if inflight_s is not None else None
+        )
     if hasattr(retriever, "add_documents"):  # --updatable
         out["updatable"] = retriever.stats
     if coalescer is not None:
