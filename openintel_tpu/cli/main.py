@@ -605,10 +605,16 @@ def sharded_kernel_name(kernel: Optional[str]) -> Optional[str]:
     return "pallas_fast" if kernel == "fast" else kernel
 
 
-def parse_id_list(spec: Optional[str]) -> Optional[list[int]]:
+def parse_id_list(
+    spec: Optional[str], n_docs: Optional[int] = None
+) -> Optional[list[int]]:
     """'3,10-20,512' -> [3, 10, ..., 20, 512] (ranges inclusive);
-    None/'' -> None. Malformed items raise ValueError with the item."""
-    if not spec:
+    None -> None (flag absent). Malformed items — including a PRESENT but
+    empty spec, which must never silently mean "no filter" — raise
+    ValueError with the item. ``n_docs`` bounds range endpoints BEFORE
+    materialization (a typo'd '0-9999999999' must error cleanly, not
+    build a ten-billion-element list)."""
+    if spec is None:
         return None
     out: list[int] = []
     for item in spec.split(","):
@@ -623,12 +629,21 @@ def parse_id_list(spec: Optional[str]) -> Optional[list[int]]:
                 lo, hi = int(item[:sep]), int(item[sep + 1 :])
                 if hi < lo:
                     raise ValueError
-                out.extend(range(lo, hi + 1))
             else:
-                out.append(int(item))
+                lo = hi = int(item)
         except ValueError:
             raise ValueError(f"bad doc-id item {item!r} (want N or A-B)")
-    return out or None
+        if n_docs is not None and (lo < 0 or hi >= n_docs):
+            raise ValueError(
+                f"doc-id item {item!r} out of range [0, {n_docs})"
+            )
+        out.extend(range(lo, hi + 1))
+    if not out:
+        raise ValueError(
+            f"empty doc-id list {spec!r} — a filter flag that selects "
+            "nothing is almost certainly a scripting bug"
+        )
+    return out
 
 
 def run_search(args) -> tuple[str, int]:
@@ -665,16 +680,20 @@ def run_search(args) -> tuple[str, int]:
     queries = args.query
     kernel = kernel_from_flag(getattr(args, "kernel", "auto"))
     filter_mask = None
-    if getattr(args, "include_ids", None) or getattr(args, "exclude_ids", None):
+    inc_spec = getattr(args, "include_ids", None)
+    exc_spec = getattr(args, "exclude_ids", None)
+    # `is not None`, NOT truthiness: --include-ids "" (an empty shell
+    # variable) must error, never silently search the whole corpus
+    if inc_spec is not None or exc_spec is not None:
         from openintel_tpu.models.retrievers import make_filter_mask
 
         try:
             filter_mask = make_filter_mask(
                 postings.n_docs,
-                include_ids=parse_id_list(args.include_ids),
-                exclude_ids=parse_id_list(args.exclude_ids),
+                include_ids=parse_id_list(inc_spec, postings.n_docs),
+                exclude_ids=parse_id_list(exc_spec, postings.n_docs),
             )
-        except ValueError as e:
+        except (TypeError, ValueError) as e:
             return f"error: {e}", 1
     if getattr(args, "mesh", None):
         from openintel_tpu.parallel.retriever import (

@@ -166,32 +166,41 @@ def make_filter_mask(
 ) -> np.ndarray:
     """Build a (n_docs,) bool doc mask from id lists: start from all docs
     (or only ``include_ids`` when given), then drop ``exclude_ids``.
-    Out-of-range ids raise — a silent drop would make a filter look
-    applied when it wasn't."""
-    if include_ids is not None:
-        mask = np.zeros(n_docs, dtype=bool)
-        ids = np.asarray(list(include_ids), dtype=np.int64)
-    else:
-        mask = np.ones(n_docs, dtype=bool)
-        ids = None
-    for name, arr, value in (
-        ("include_ids", ids, True),
-        (
-            "exclude_ids",
-            np.asarray(list(exclude_ids), dtype=np.int64)
-            if exclude_ids is not None
-            else None,
-            False,
-        ),
-    ):
-        if arr is None:
-            continue
+    Out-of-range, non-integer, or non-list ids raise — a silent drop or a
+    truncating cast (3.7 -> doc 3) would make a filter look applied when
+    it wasn't."""
+
+    def _ids(name, value):
+        if value is None:
+            return None
+        try:
+            arr = np.asarray(list(value))
+        except TypeError:
+            raise ValueError(
+                f"{name} must be a list of integers, got "
+                f"{type(value).__name__}"
+            ) from None
+        if arr.size and not np.issubdtype(arr.dtype, np.integer):
+            raise TypeError(
+                f"{name} must be integers, got dtype {arr.dtype}"
+            )
+        arr = arr.astype(np.int64)
         if arr.size and (arr.min() < 0 or arr.max() >= n_docs):
             raise ValueError(
                 f"{name} out of range [0, {n_docs}): "
                 f"[{arr.min()}, {arr.max()}]"
             )
-        mask[arr] = value
+        return arr
+
+    inc = _ids("include_ids", include_ids)
+    exc = _ids("exclude_ids", exclude_ids)
+    if inc is not None:
+        mask = np.zeros(n_docs, dtype=bool)
+        mask[inc] = True
+    else:
+        mask = np.ones(n_docs, dtype=bool)
+    if exc is not None:
+        mask[exc] = False
     return mask
 
 

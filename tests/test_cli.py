@@ -309,7 +309,10 @@ def test_parse_id_list():
     from openintel_tpu.cli.main import parse_id_list
 
     assert parse_id_list(None) is None
-    assert parse_id_list("") is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty doc-id list"):
+        parse_id_list("")  # a PRESENT-but-empty flag must never pass silently
     assert parse_id_list("3,5,9") == [3, 5, 9]
     assert parse_id_list("10-13") == [10, 11, 12, 13]
     assert parse_id_list("3, 10-12 ,512") == [3, 10, 11, 12, 512]
@@ -425,3 +428,22 @@ def test_index_append_requires_existing(tmp_path, capsys):
         capsys, "index", str(c), "--out", str(tmp_path / "nope"), "--append"
     )
     assert code == 1 and "needs an existing index" in out
+
+
+def test_filter_flag_validation(tmp_path, capsys):
+    """Filter-flag footguns error loudly: empty specs (unset shell vars),
+    huge typo'd ranges — never a silent unfiltered search or an OOM."""
+    c = tmp_path / "c.txt"
+    c.write_text("\n".join(f"doc {i}" for i in range(10)) + "\n")
+    idx = str(tmp_path / "idx")
+    out, code = run_cli(capsys, "index", str(c), "--out", idx, "--dim", "16")
+    assert code == 0
+    out, code = run_cli(
+        capsys, "search", "doc", "--index", idx, "--include-ids", ""
+    )
+    assert code == 1 and "empty doc-id list" in out
+    out, code = run_cli(
+        capsys, "search", "doc", "--index", idx,
+        "--exclude-ids", "0-9999999999",
+    )
+    assert code == 1 and "out of range" in out
