@@ -337,18 +337,13 @@ def run_search_corpus(
         return {"filter_mask": masks, "filter_group": groups}
 
     updatable = hasattr(retriever, "add_documents")
-    if updatable and mode != "hybrid":
-        raise ValueError(
-            "an --updatable server serves hybrid mode only "
-            "(docs/specs/incremental-updates.md)"
-        )
     if updatable:
         # ONE epoch for ids AND texts: a concurrent compaction renumbers
         # ids, so the snippet store must come from the same snapshot.
         # (Updatable servers run without a coalescer — a live corpus's
         # id space moves between waves.)
         res, epoch_docs = retriever.search_with_docs(
-            queries, k=k, candidates_per_arm=2 * k,
+            queries, k=k, candidates_per_arm=2 * k, mode=mode,
             **_direct_filter_kwargs(),
         )
         if epoch_docs is not None:

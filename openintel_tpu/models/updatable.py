@@ -62,18 +62,24 @@ def _merge_ranked(
     vals_a: np.ndarray, ids_a: np.ndarray,
     vals_b: np.ndarray, ids_b: np.ndarray,
     c: int,
-) -> np.ndarray:
+) -> tuple[np.ndarray, np.ndarray]:
     """Merge two per-arm ranked lists by (score desc, doc asc) — the host
     analogue of the sharded program's cross-shard merge, so incremental
     results are bit-identical to a single combined index. -1 ids are
-    padding (score forced to -inf). Returns (B, c) merged ids."""
+    padding (score forced to -inf). Returns ((B, c) merged scores with
+    0.0 padding — the single-arm retrievers' contract — and (B, c)
+    merged ids)."""
     av = np.concatenate([vals_a, vals_b], axis=1).astype(np.float64)
     ai = np.concatenate([ids_a, ids_b], axis=1)
     av = np.where(ai < 0, -np.inf, av)
     order = np.lexsort((ai, -av), axis=1)[:, :c]
     merged = np.take_along_axis(ai, order, axis=1)
     merged_v = np.take_along_axis(av, order, axis=1)
-    return np.where(np.isfinite(merged_v), merged, -1).astype(np.int32)
+    pad = ~np.isfinite(merged_v)
+    return (
+        np.where(pad, 0.0, merged_v).astype(np.float32),
+        np.where(pad, -1, merged).astype(np.int32),
+    )
 
 
 def extend_vocab(base: Vocab, token_lists) -> Vocab:
@@ -463,13 +469,14 @@ class UpdatableHybridRetriever:
         k: int = 10,
         *,
         candidates_per_arm: Optional[int] = None,
+        mode: str = "hybrid",
         filter_mask=None,
         filter_group=None,
         query_embeddings: Optional[np.ndarray] = None,
     ) -> SearchResult:
         return self._search_epoch(
             self._st, queries, k,
-            candidates_per_arm=candidates_per_arm,
+            candidates_per_arm=candidates_per_arm, mode=mode,
             filter_mask=filter_mask, filter_group=filter_group,
             query_embeddings=query_embeddings,
         )
@@ -480,6 +487,7 @@ class UpdatableHybridRetriever:
         k: int = 10,
         *,
         candidates_per_arm: Optional[int] = None,
+        mode: str = "hybrid",
         filter_mask=None,
         filter_group=None,
         query_embeddings: Optional[np.ndarray] = None,
@@ -491,7 +499,7 @@ class UpdatableHybridRetriever:
         st = self._st
         res = self._search_epoch(
             st, queries, k,
-            candidates_per_arm=candidates_per_arm,
+            candidates_per_arm=candidates_per_arm, mode=mode,
             filter_mask=filter_mask, filter_group=filter_group,
             query_embeddings=query_embeddings,
         )
@@ -504,10 +512,12 @@ class UpdatableHybridRetriever:
         k: int = 10,
         *,
         candidates_per_arm: Optional[int] = None,
+        mode: str = "hybrid",
         filter_mask=None,
         filter_group=None,
         query_embeddings: Optional[np.ndarray] = None,
     ) -> SearchResult:
+        assert mode in ("hybrid", "bm25", "dense"), mode
         b = len(queries)
         if b == 0:
             return SearchResult(
@@ -558,20 +568,26 @@ class UpdatableHybridRetriever:
                 groups = np.zeros(b, np.int32)
             else:
                 masks = masks & st.alive[None, :]
-        if n_delta == 0 and masks is None:
-            return st.base.search(
-                queries, k=k, candidates_per_arm=candidates_per_arm,
-                query_embeddings=query_embeddings,
-            )
         if n_delta == 0:
+            # single segment: delegate to the matching base surface
+            fkw = (
+                {}
+                if masks is None
+                else {"filter_mask": masks, "filter_group": groups}
+            )
+            if mode == "bm25":
+                return st.base.bm25.search(queries, k=k, **fkw)
+            if mode == "dense":
+                return st.base.dense.search(queries, k=k, **fkw)
             return st.base.search(
                 queries, k=k, candidates_per_arm=candidates_per_arm,
-                filter_mask=masks, filter_group=groups,
-                query_embeddings=query_embeddings,
+                query_embeddings=query_embeddings, **fkw,
             )
 
         k = min(k, n_total)
         c = min(candidates_per_arm or k, n_total)
+        if mode != "hybrid":
+            c = k  # single arms return k results directly, no RRF pool
         # a segment slice that masks NOTHING (across every group row) is
         # the unfiltered path for that segment (same trick as
         # grouped_query_plan's all-True rows)
@@ -617,7 +633,7 @@ class UpdatableHybridRetriever:
         for lo in range(0, b + pad, db):
             vals, ids = self._search_chunk(
                 st, term_ids[lo : lo + db], q_np[lo : lo + db],
-                k, c, masks_main, masks_delta,
+                k, c, mode, masks_main, masks_delta,
                 groups[lo : lo + db] if groups is not None else None,
                 unm_main, unm_delta,
                 min(db, b - lo) if lo < b else 0,  # real rows this chunk
@@ -630,13 +646,14 @@ class UpdatableHybridRetriever:
         )
 
     def _search_chunk(
-        self, st: "_Epoch", term_ids, q_np, k, c, masks_main, masks_delta,
-        groups, unm_main, unm_delta, n_real,
+        self, st: "_Epoch", term_ids, q_np, k, c, mode, masks_main,
+        masks_delta, groups, unm_main, unm_delta, n_real,
     ) -> tuple[np.ndarray, np.ndarray]:
         """One device-batch chunk of the two-segment search: per-segment
-        BM25 reductions + dense arms, sharded-style (score, doc) merges,
-        device RRF. ``masks_*`` are None or (G, n_segment) stacks with
-        ``groups`` (chunk-aligned) giving each query's mask row."""
+        arm reductions, sharded-style (score, doc) merges, then RRF for
+        hybrid mode (single-arm modes return their merged arm directly).
+        ``masks_*`` are None or (G, n_segment) stacks with ``groups``
+        (chunk-aligned) giving each query's mask row."""
         from openintel_tpu.models.retrievers import grouped_query_plan
 
         main_view = st.main_view
@@ -654,50 +671,60 @@ class UpdatableHybridRetriever:
                 max_postings_per_term=prune_m, multi_budget=mb,
             )
 
-        # ---- BM25: two mask-aware plans (main keeps the C++ planner),
-        # two device reductions, sharded-style merge by (score, doc)
+        def bm25_merged():
+            # two mask-aware plans (main keeps the C++ planner), two
+            # device reductions, sharded-style merge by (score, doc)
+            plan_m = seg_plan(main_view, masks_main)
+            bv_m, bi_m = bm25_topk_device(
+                plan_m.doc_ids, plan_m.weights, main_view.n_docs,
+                min(c, st.n_main),
+                presorted=plan_m.presorted, max_run=plan_m.max_terms,
+            )
+            plan_d = seg_plan(delta_idx, masks_delta)
+            bv_d, bi_d = bm25_topk_device(
+                plan_d.doc_ids, plan_d.weights, delta_idx.n_docs,
+                min(c, n_delta),
+                presorted=plan_d.presorted, max_run=plan_d.max_terms,
+            )
+            bi_d2 = np.asarray(bi_d)
+            bi_d2 = np.where(bi_d2 >= 0, bi_d2 + st.n_main, -1)
+            return _merge_ranked(
+                np.asarray(bv_m), np.asarray(bi_m),
+                np.asarray(bv_d), bi_d2, c,
+            )
+
+        def dense_merged():
+            # main arm (configured kernel) + small exact delta arm. ONE
+            # query dtype for both segments — the quantised kernels
+            # rescore with f32 queries, and a delta arm rounding its
+            # queries differently would break cross-segment score
+            # comparability at merge time (near-ties would order
+            # differently than the combined-index oracle).
+            dense_main = st.base.dense
+            dtype = (
+                jnp.float32
+                if dense_main.kernel in ("int8", "int4")
+                else dense_main._emb_device.dtype
+            )
+            q_dev = jnp.asarray(q_np, dtype)
+            dv_m, di_m = self._dense_arm(
+                dense_main, q_dev, c, masks_main, groups, unm_main, n_real
+            )
+            dv_d, di_d = self._dense_arm(
+                st.delta_dense, q_dev, c, masks_delta, groups, unm_delta,
+                n_real,
+            )
+            di_d = np.where(di_d >= 0, di_d + st.n_main, -1)
+            return _merge_ranked(dv_m, di_m, dv_d, di_d, c)
+
         prune_m = auto_prune_m(st.n_total, c)
         mb = max(256, c)
-        plan_m = seg_plan(main_view, masks_main)
-        bv_m, bi_m = bm25_topk_device(
-            plan_m.doc_ids, plan_m.weights, main_view.n_docs,
-            min(c, st.n_main),
-            presorted=plan_m.presorted, max_run=plan_m.max_terms,
-        )
-        plan_d = seg_plan(delta_idx, masks_delta)
-        bv_d, bi_d = bm25_topk_device(
-            plan_d.doc_ids, plan_d.weights, delta_idx.n_docs,
-            min(c, n_delta),
-            presorted=plan_d.presorted, max_run=plan_d.max_terms,
-        )
-        bi_d = np.asarray(bi_d)
-        bi_d = np.where(bi_d >= 0, bi_d + st.n_main, -1)
-        b_ids = _merge_ranked(
-            np.asarray(bv_m), np.asarray(bi_m), np.asarray(bv_d), bi_d, c
-        )
-
-        # ---- dense: main arm (configured kernel) + small exact delta
-        # arm. ONE query dtype for both segments — the quantised kernels
-        # rescore with f32 queries, and a delta arm rounding its queries
-        # differently would break cross-segment score comparability at
-        # merge time (near-ties would order differently than the
-        # combined-index oracle).
-        dense_main = st.base.dense
-        dtype = (
-            jnp.float32
-            if dense_main.kernel in ("int8", "int4")
-            else dense_main._emb_device.dtype
-        )
-        q_dev = jnp.asarray(q_np, dtype)
-        dv_m, di_m = self._dense_arm(
-            dense_main, q_dev, c, masks_main, groups, unm_main, n_real
-        )
-        dv_d, di_d = self._dense_arm(
-            st.delta_dense, q_dev, c, masks_delta, groups, unm_delta, n_real
-        )
-        di_d = np.where(di_d >= 0, di_d + st.n_main, -1)
-        d_ids = _merge_ranked(dv_m, di_m, dv_d, di_d, c)
-
+        if mode == "bm25":
+            return bm25_merged()
+        if mode == "dense":
+            return dense_merged()
+        _, b_ids = bm25_merged()
+        _, d_ids = dense_merged()
         vals, ids = rrf_fuse_device(
             jnp.asarray(b_ids), jnp.asarray(d_ids), k, self.rrf_k
         )

@@ -491,8 +491,9 @@ def test_search_corpus_updatable_guards():
         DenseIndex.from_embeddings(emb(docs)), emb, kernel="xla",
         doc_store=docs,
     )
-    with pytest.raises(ValueError, match="hybrid mode only"):
-        run_search_corpus({"queries": ["x"], "mode": "bm25"}, upd, docs)
+    # single-arm modes serve through the two-segment merge too
+    out_b = run_search_corpus({"queries": ["fox"], "mode": "bm25"}, upd, docs)
+    assert out_b["results"][0]["hits"]
     out = run_search_corpus(
         {"queries": ["fox"], "k": 4, "exclude_ids": [0]}, upd, docs
     )

@@ -403,3 +403,48 @@ def test_stale_epoch_mask_grace(corpus, extra_docs):
         upd.search(queries, k=5, filter_mask=np.ones(3, bool))
     with pytest.raises((TypeError, ValueError)):
         upd.search(queries, k=5, filter_mask=True)
+
+
+def test_single_arm_modes_match_oracle(corpus, extra_docs):
+    """mode="bm25" / "dense" on the updatable surface equal the single-arm
+    retrievers over the frozen-statistics combined index (with tombstones
+    as a filter) — the two-segment merge is arm-generic."""
+    from openintel_tpu.models.retrievers import BM25Retriever, DenseRetriever
+
+    docs, postings, dense, embedder = corpus
+    upd = UpdatableHybridRetriever(postings, dense, embedder, kernel="xla")
+    upd.add_documents(extra_docs)
+    upd.delete_ids([3, N + 2])
+    merged = merge_postings(
+        upd.base.bm25.index, upd._st.delta_postings, upd.n_docs
+    )
+    all_emb = np.concatenate(
+        [np.asarray(upd.base.dense.index.embeddings, np.float32),
+         upd._st.delta_emb]
+    )
+    alive = np.ones(upd.n_docs, bool)
+    alive[[3, N + 2]] = False
+    queries = synthetic_queries_from_docs(docs, 4, seed=98) + ["freshterm1"]
+
+    got_b = upd.search(queries, k=10, mode="bm25")
+    want_b = BM25Retriever(merged).search(queries, k=10, filter_mask=alive)
+    np.testing.assert_array_equal(got_b.ids, want_b.ids)
+    np.testing.assert_allclose(
+        got_b.scores, want_b.scores, rtol=1e-5, atol=1e-6
+    )
+
+    got_d = upd.search(queries, k=10, mode="dense")
+    want_d = DenseRetriever(
+        DenseIndex.from_embeddings(all_emb, dtype=upd._store_dtype),
+        embedder, kernel="xla",
+    ).search(queries, k=10, filter_mask=alive)
+    np.testing.assert_array_equal(got_d.ids, want_d.ids)
+    np.testing.assert_allclose(
+        got_d.scores, want_d.scores, rtol=1e-4, atol=1e-5
+    )
+
+    # no updates at all: modes delegate to the base single-arm surfaces
+    clean = UpdatableHybridRetriever(postings, dense, embedder, kernel="xla")
+    got = clean.search(queries, k=5, mode="bm25")
+    want = BM25Retriever(postings).search(queries, k=5)
+    np.testing.assert_array_equal(got.ids, want.ids)
