@@ -517,7 +517,10 @@ class UpdatableHybridRetriever:
         filter_group=None,
         query_embeddings: Optional[np.ndarray] = None,
     ) -> SearchResult:
-        assert mode in ("hybrid", "bm25", "dense"), mode
+        if mode not in ("hybrid", "bm25", "dense"):
+            raise ValueError(
+                f"mode must be hybrid, bm25, or dense, got {mode!r}"
+            )
         b = len(queries)
         if b == 0:
             return SearchResult(
@@ -578,6 +581,12 @@ class UpdatableHybridRetriever:
             if mode == "bm25":
                 return st.base.bm25.search(queries, k=k, **fkw)
             if mode == "dense":
+                if query_embeddings is not None:
+                    # honor caller-supplied embeddings (DenseRetriever's
+                    # string surface would silently re-embed)
+                    return st.base.dense.search_embeddings(
+                        query_embeddings, k, **fkw
+                    )
                 return st.base.dense.search(queries, k=k, **fkw)
             return st.base.search(
                 queries, k=k, candidates_per_arm=candidates_per_arm,
@@ -610,12 +619,20 @@ class UpdatableHybridRetriever:
             else None
         )
 
-        from openintel_tpu.ops.bm25 import encode_query
+        # arm-specific query prep only (a bm25-only search must not pay
+        # dense-embedding latency, nor a dense-only search the tokenize)
+        if mode != "dense":
+            from openintel_tpu.ops.bm25 import encode_query
 
-        term_ids = [encode_query(st.main_view, q) for q in queries]
-        if query_embeddings is None:
-            query_embeddings = st.base.dense.embedder(list(queries))
-        q_np = np.asarray(query_embeddings, np.float32)
+            term_ids = [encode_query(st.main_view, q) for q in queries]
+        else:
+            term_ids = [[] for _ in queries]
+        if mode != "bm25":
+            if query_embeddings is None:
+                query_embeddings = st.base.dense.embedder(list(queries))
+            q_np = np.asarray(query_embeddings, np.float32)
+        else:
+            q_np = np.zeros((b, 1), np.float32)  # never read by bm25_merged
 
         # Bounded sub-batches (the base class's device_batch discipline:
         # fixed-shape dispatches, bounded jit cache / working set).
