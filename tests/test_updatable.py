@@ -448,3 +448,79 @@ def test_single_arm_modes_match_oracle(corpus, extra_docs):
     got = clean.search(queries, k=5, mode="bm25")
     want = BM25Retriever(postings).search(queries, k=5)
     np.testing.assert_array_equal(got.ids, want.ids)
+
+
+def test_concurrent_searches_during_compaction(corpus, extra_docs):
+    """The riskiest swap — compact_in_place replacing the BASE segment —
+    under concurrent search load: every search completes on ONE epoch
+    (old or new), no crashes, no torn state."""
+    import threading
+
+    docs, postings, dense, embedder = corpus
+    upd = UpdatableHybridRetriever(postings, dense, embedder, kernel="xla")
+    upd.add_documents(extra_docs[:20])
+    queries = synthetic_queries_from_docs(docs, 3, seed=99)
+    errors = []
+    stop = threading.Event()
+
+    def searcher():
+        while not stop.is_set():
+            try:
+                r = upd.search(queries, k=5, candidates_per_arm=10)
+                assert r.ids.shape == (3, 5)
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+                return
+
+    threads = [threading.Thread(target=searcher) for _ in range(3)]
+    for t in threads:
+        t.start()
+    try:
+        for round_i in range(3):
+            upd.delete_ids([round_i])
+            upd.compact_in_place()
+            upd.add_documents(extra_docs[20 + round_i : 21 + round_i])
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=30)
+    assert not errors, errors
+    assert upd.stats["n_deleted"] == 0  # compactions folded them
+
+
+def test_reranker_composes_with_updatable():
+    """--rerank + --updatable: the cross-encoder second stage runs over
+    the EPOCH's snippet store, including freshly added docs."""
+    from openintel_tpu.mcp.tools import run_search_corpus
+
+    docs = [f"document number {i} about topic{i % 3}" for i in range(12)]
+    emb = HashingEmbedder(dim=32)
+    upd = UpdatableHybridRetriever(
+        build_postings_index(docs),
+        DenseIndex.from_embeddings(emb(docs)), emb, kernel="xla",
+        doc_store=docs,
+    )
+    upd.add_documents(["fresh topic1 addendum"])
+
+    class FakeReranker:  # identity scores: proves the plumbing only
+        def rerank(self, queries, cand_texts, ids):
+            scores = np.array(
+                [
+                    [float(len(t)) for t in row]  # longer text ranks higher
+                    for row in cand_texts
+                ],
+                np.float32,
+            )
+            order = np.argsort(-scores, axis=1, kind="stable")
+            return (
+                np.take_along_axis(scores, order, axis=1),
+                np.take_along_axis(np.asarray(ids), order, axis=1),
+            )
+
+    out = run_search_corpus(
+        {"queries": ["topic1"], "k": 4}, upd, None, reranker=FakeReranker()
+    )
+    hits = out["results"][0]["hits"]
+    assert hits and all("text" in h for h in hits)
+    # the fresh doc's text reached the reranker via the EPOCH store
+    assert any(h["doc_id"] == 12 for h in hits)
