@@ -524,3 +524,30 @@ def test_reranker_composes_with_updatable():
     assert hits and all("text" in h for h in hits)
     # the fresh doc's text reached the reranker via the EPOCH store
     assert any(h["doc_id"] == 12 for h in hits)
+
+
+@pytest.mark.skipif(
+    __import__("jax").device_count() < 8, reason="needs 8 virtual devices"
+)
+def test_compact_output_serves_sharded(corpus, extra_docs):
+    """The documented production path (spec 'Not in scope'): compact()'s
+    output loads straight into the multi-chip component and serves
+    bit-identically to a single-chip retriever over the same segment."""
+    from openintel_tpu.parallel.retriever import ShardedHybridRetriever
+
+    docs, postings, dense, embedder = corpus
+    upd = UpdatableHybridRetriever(postings, dense, embedder, kernel="xla")
+    upd.add_documents(extra_docs)
+    upd.delete_ids([2, N + 4])
+    cpost, cdense, _ = upd.compact()
+    queries = synthetic_queries_from_docs(docs, 5, seed=100)
+    sharded = ShardedHybridRetriever(
+        cpost, cdense, embedder, data=2, corpus=4, kernel="xla",
+        block_size=128,
+    )
+    got = sharded.search(queries, k=10, candidates_per_arm=20)
+    want = HybridRetriever(cpost, cdense, embedder, kernel="xla").search(
+        queries, k=10, candidates_per_arm=20
+    )
+    np.testing.assert_array_equal(got.ids, want.ids)
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-5, atol=1e-6)
