@@ -201,6 +201,14 @@ def save_index(
     import json
 
     prefix = str(prefix)
+    if docs is not None and len(docs) != postings.n_docs:
+        # a short/stale sidecar would shift every snippet after the gap
+        # on reload (mirrors UpdatableHybridRetriever's doc_store check)
+        raise ValueError(
+            f"docs sidecar has {len(docs)} lines but the index has "
+            f"{postings.n_docs} docs — refusing to persist a misaligned "
+            "snippet store"
+        )
     save_postings(postings, f"{prefix}.postings.npz")
     save_dense(dense, f"{prefix}.dense.npz")
     if docs is not None:

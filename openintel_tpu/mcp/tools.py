@@ -404,11 +404,12 @@ def run_index_documents(
         or not all(isinstance(t, str) and t.strip() for t in texts)
     ):
         raise ValueError("texts must be a non-empty list of non-empty strings")
-    if any(len(t.splitlines()) > 1 for t in texts):
+    if any(t.splitlines() != [t] for t in texts):
         # the docs sidecar is newline-delimited and read back with
         # splitlines() (which also splits on \r, \v, \f, \x85, U+2028,
-        # U+2029) — any embedded line break would silently shift every
-        # later snippet by one id on reload
+        # U+2029) — an embedded OR trailing line break ('abc\n' is one
+        # "line" but round-trips through '\n'.join as two sidecar rows)
+        # would silently shift every later snippet by one id on reload
         raise ValueError(
             "texts must not contain line breaks (one doc per entry)"
         )

@@ -21,6 +21,17 @@ _SO = _DIR / "libopenintel_native.so"
 _lib: Optional[ctypes.CDLL] = None
 
 
+def _src_hash() -> str:
+    """sha256 over the concatenated .cpp sources (build stamps it into the
+    .so; the loader refuses a library whose stamp no longer matches)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for s in _SRCS:
+        h.update(s.read_bytes())
+    return h.hexdigest()
+
+
 def build(force: bool = False) -> Path:
     """Compile the native library (g++ -O3 -march=native -shared -fPIC)."""
     fresh = _SO.exists() and all(
@@ -29,7 +40,8 @@ def build(force: bool = False) -> Path:
     if fresh and not force:
         return _SO
     subprocess.run(
-        ["g++", "-O3", "-march=native", "-shared", "-fPIC"]
+        ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+         f'-DOPENINTEL_SRC_HASH="{_src_hash()}"']
         + [str(s) for s in _SRCS]
         + ["-o", str(_SO)],
         check=True,
@@ -47,13 +59,15 @@ def _load() -> Optional[ctypes.CDLL]:
     # NEVER compile here: _load() runs from import side effects and lazy
     # serving paths, and a surprise multi-second g++ run (or a crash on
     # toolchain-less hosts) inside a serving request is worse than the
-    # Python fallback. A stale .so missing newly-added symbols fails the
-    # _bind below and degrades to Python; a stale .so whose symbols all
-    # resolve keeps serving its (older) semantics until an explicit
-    # build() — tests assert native/Python parity, so a semantic drift
-    # shows up there.
+    # Python fallback. A stale .so (missing symbol OR a source-hash stamp
+    # that no longer matches the on-disk .cpp sources) degrades to the
+    # Python path until an explicit build() — it can never silently serve
+    # older planner semantics.
     try:
         lib = _bind(ctypes.CDLL(str(_SO)))
+        stamped = lib.openintel_src_hash()
+        if (stamped or b"").decode("ascii", "replace") != _src_hash():
+            return None
     except (AttributeError, OSError):
         # missing symbol / unloadable library: Python fallbacks take over
         return None
@@ -102,6 +116,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.c_int64, ctypes.c_int64, u8p,
         i32p, f32p, ctypes.c_int64, i64p, ctypes.c_int64,
     ]
+    lib.openintel_src_hash.restype = ctypes.c_char_p
+    lib.openintel_src_hash.argtypes = []
     return lib
 
 

@@ -308,4 +308,16 @@ int64_t plan_build(const int64_t* term_offsets, const int32_t* doc_ids,
                            n_threads);
 }
 
+// Source-hash stamp: build() passes -DOPENINTEL_SRC_HASH="<sha256 of the
+// .cpp sources>"; the Python loader compares it against a fresh hash of
+// the on-disk sources and degrades to the Python path on mismatch, so a
+// stale .so can never silently serve older planner semantics.
+const char* openintel_src_hash() {
+#ifdef OPENINTEL_SRC_HASH
+  return OPENINTEL_SRC_HASH;
+#else
+  return "";
+#endif
+}
+
 }  // extern "C"

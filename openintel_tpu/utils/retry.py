@@ -13,18 +13,32 @@ from typing import Callable, Optional
 
 #: Substrings that mark a transient transport/tunnel failure (observed live:
 #: UNAVAILABLE 'Connection refused' from the remote-compile endpoint minutes
-#: into an otherwise healthy run). Anything else re-raises immediately.
+#: into an otherwise healthy run). Markers are anchored to the gRPC status
+#: formats PJRT surfaces ("UNAVAILABLE: ...", "transport: Error while
+#: dialing: ..."), and only checked on backend/runtime exception TYPES —
+#: an unrelated ValueError that merely mentions one of these words must
+#: not eat a 120 s backoff before the real failure surfaces.
 TRANSIENT_MARKERS = (
-    "UNAVAILABLE",
+    "UNAVAILABLE: ",
+    "DEADLINE_EXCEEDED: ",
     "Connection refused",
     "Connection Failed",
-    "DEADLINE_EXCEEDED",
-    "transport:",
+    "transport: ",
 )
+
+#: Exception type names raised by the jax/PJRT dispatch path on tunnel
+#: flaps (XlaRuntimeError is jaxlib's; RuntimeError covers older wrappers).
+_BACKEND_EXC_NAMES = frozenset({"XlaRuntimeError", "RuntimeError"})
 
 
 def is_transient_backend_error(exc: BaseException) -> bool:
-    msg = f"{type(exc).__name__}: {exc}"
+    if isinstance(exc, ConnectionError):  # includes ConnectionRefusedError
+        return True
+    if not isinstance(exc, (RuntimeError, OSError)) and (
+        type(exc).__name__ not in _BACKEND_EXC_NAMES
+    ):
+        return False
+    msg = str(exc)
     return any(marker in msg for marker in TRANSIENT_MARKERS)
 
 

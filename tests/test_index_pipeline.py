@@ -196,3 +196,29 @@ def test_merge_rejects_mixed_embedding_chunks(tmp_path):
     np.savez(p, **old)
     with pytest.raises(RuntimeError, match="disagree on embeddings"):
         merge_chunks(d, 3)
+
+
+def test_save_index_rejects_misaligned_docs_sidecar(tmp_path):
+    """save_index must refuse a docs list whose length differs from the
+    index's n_docs — a short/stale sidecar silently shifts every later
+    snippet by one id on reload (advisor finding r3)."""
+    import pytest
+
+    from openintel_tpu.index.checkpoint import (
+        load_dense,
+        load_postings,
+        save_index,
+    )
+    from openintel_tpu.index.schema import DenseIndex
+
+    docs = ["alpha beta", "beta gamma", "gamma delta"]
+    postings = build_postings_index(docs)
+    rng = np.random.default_rng(0)
+    dense = DenseIndex.from_embeddings(rng.normal(size=(3, 32)))
+    with pytest.raises(ValueError, match="misaligned"):
+        save_index(tmp_path / "idx", postings, dense, docs=docs[:2])
+    # the aligned save still round-trips
+    save_index(tmp_path / "idx", postings, dense, docs=docs)
+    p2 = load_postings(tmp_path / "idx.postings.npz")
+    d2 = load_dense(tmp_path / "idx.dense.npz")
+    assert p2.n_docs == 3 and d2.n_docs == 3

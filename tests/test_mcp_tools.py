@@ -516,6 +516,12 @@ def test_search_corpus_updatable_guards():
         run_index_documents({"texts": []}, upd, None)
     with pytest.raises(ValueError, match="line breaks"):
         run_index_documents({"texts": ["two\rlines"]}, upd, None)
+    # a TRAILING line break is one "line" to splitlines() but round-trips
+    # through '\n'.join as two sidecar rows — must be rejected too
+    # (advisor finding r3: silent one-id snippet shift after save+reload)
+    for bad in ("trailing newline\n", "trailing nel\x85"):
+        with pytest.raises(ValueError, match="line breaks"):
+            run_index_documents({"texts": [bad]}, upd, None)
     with pytest.raises(ValueError, match="non-empty list"):
         run_delete_documents({"ids": []}, upd)
     with pytest.raises(ValueError, match="list of integers"):

@@ -126,6 +126,32 @@ def test_stale_or_broken_library_degrades_to_python(monkeypatch):
     assert native.native_build_query_plan(None, [], 8, 8) is None
 
 
+def test_source_hash_mismatch_degrades_to_python(monkeypatch):
+    """A prebuilt .so whose symbols all resolve but whose embedded source
+    hash no longer matches the on-disk .cpp sources must NOT be trusted —
+    it could silently serve older planner semantics (advisor finding r3).
+    _load must degrade to the Python path until an explicit build()."""
+    from openintel_tpu import native
+
+    if not native._SO.exists():  # pragma: no cover - toolchain-less host
+        import pytest
+
+        pytest.skip("native library not built")
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_src_hash", lambda: "different-hash")
+    assert native._load() is None
+
+
+def test_built_library_carries_matching_source_hash():
+    """build() stamps the current source hash into the .so and _load
+    accepts it (fresh library loads; only a stale one is refused)."""
+    from openintel_tpu import native
+
+    native.build()
+    lib = native._bind(__import__("ctypes").CDLL(str(native._SO)))
+    assert lib.openintel_src_hash().decode("ascii") == native._src_hash()
+
+
 def test_native_plan_zero_budget_matches_reference():
     """max_postings_per_term=0 is a legal budget (terms contribute only
     forced multi-term docs), not a disable switch — the native planner must
