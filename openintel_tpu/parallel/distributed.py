@@ -15,8 +15,13 @@ Typical 2-host launch (same index prefix on both hosts)::
     host1$ openintel search q --index IDX --mesh 2x8 \
                --coordinator host0:8476 --num-processes 2 --process-id 1
 
-No hardware claim is made here: this environment has a single chip, so the
-wiring is import- and argument-tested only (tests/test_distributed.py).
+Demonstrated hermetically in tests/test_multihost.py: two OS processes (4
+virtual CPU devices each) join one process group through
+:func:`initialize_distributed`, and ``ShardedHybridRetriever`` serves all
+four modes over the cross-process 8-device mesh bit-identically to the
+single-process oracle. Flag plumbing / argument validation is covered in
+tests/test_distributed.py. No real multi-host TPU hardware exists here, so
+ICI-vs-DCN placement remains compiler-asserted rather than measured.
 """
 
 from __future__ import annotations

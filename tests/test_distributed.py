@@ -1,6 +1,6 @@
 """Multi-host entry wiring (SURVEY.md §5): flag plumbing and argument
-validation, hermetic — jax.distributed.initialize is spied, never run (this
-environment has one chip)."""
+validation, hermetic (spied initialize). The REAL two-process
+jax.distributed run lives in tests/test_multihost.py."""
 
 import pytest
 
