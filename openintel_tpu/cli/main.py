@@ -255,7 +255,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--updatable", action="store_true",
         help="serve a mutable corpus: adds the index_documents / "
         "delete_documents tools (incremental delta + tombstones; "
-        "single-chip)",
+        "composes with --mesh for sharded live serving)",
     )
     _distributed_flags(p)
 

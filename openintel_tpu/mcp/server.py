@@ -626,11 +626,6 @@ def _load_retriever(
     docs_path = Path(f"{index_prefix}.docs.txt")
     docs = docs_path.read_text().splitlines() if docs_path.exists() else None
     if mesh:
-        if updatable:
-            raise RuntimeError(
-                "--updatable is single-chip (serve compacted segments "
-                "through --mesh — docs/specs/incremental-updates.md)"
-            )
         from openintel_tpu.parallel.retriever import (
             ShardedHybridRetriever,
             parse_mesh_spec,
@@ -643,6 +638,22 @@ def _load_retriever(
             raise RuntimeError(f"--mesh {mesh}: {e}") from e
         from openintel_tpu.cli.main import sharded_kernel_name
 
+        if updatable:
+            # the sharded live corpus (parallel/updatable.py): the main
+            # segment shards over the mesh, adds ride the delta, deletes
+            # tombstone through the filtered program
+            from openintel_tpu.parallel.updatable import (
+                ShardedUpdatableHybridRetriever,
+            )
+
+            return (
+                ShardedUpdatableHybridRetriever(
+                    postings, dense, embedder, data=data, corpus=corpus,
+                    kernel=sharded_kernel_name(kernel),
+                    doc_store=docs,
+                ),
+                None,
+            )
         return (
             ShardedHybridRetriever(
                 postings, dense, embedder, data=data, corpus=corpus,

@@ -481,10 +481,12 @@ def run_compact_corpus(
         if args.get("save"):
             from openintel_tpu.index.checkpoint import save_index
 
-            base = retriever.base
+            # main_postings/main_dense: segment-type-agnostic (the mesh
+            # subclass's base has no .bm25/.dense attributes)
             save_index(
-                index_prefix, base.bm25.index, base.dense.index,
-                retriever.docs, encoder=encoder_dir,
+                index_prefix, retriever.main_postings,
+                retriever.main_dense, retriever.docs,
+                encoder=encoder_dir,
             )
             saved = True
     survivors = np.flatnonzero(id_map >= 0)

@@ -167,7 +167,9 @@ class _Epoch(NamedTuple):
 
     @property
     def n_main(self) -> int:
-        return self.base.bm25.index.n_docs
+        # via main_view (not base.bm25) so the epoch works for ANY main
+        # segment — the sharded base has no .bm25 attribute
+        return self.main_view.n_docs
 
     @property
     def n_total(self) -> int:
@@ -212,9 +214,9 @@ class UpdatableHybridRetriever:
         # half-applied add. Updates serialize on _update_lock; searches
         # never take it.
         self._st = _Epoch(
-            base=HybridRetriever(
+            base=self._new_base(
                 postings, dense, embedder,
-                kernel=kernel, rrf_k=rrf_k, device_batch=device_batch,
+                kernel=kernel, device_batch=device_batch,
             ),
             alive=np.ones(postings.n_docs, bool),
             delta_texts=(),
@@ -240,6 +242,133 @@ class UpdatableHybridRetriever:
         caller-side state keyed by the returned ids (searches never take
         this lock — they read epochs)."""
         return self._update_lock
+
+    # ------------------------------------------------- main-segment hooks
+    #
+    # Every place the delta machinery touches the MAIN segment goes
+    # through these five hooks, so a subclass can swap the segment type —
+    # parallel.updatable.ShardedUpdatableHybridRetriever overrides them to
+    # serve the main segment over a device mesh while reusing the whole
+    # delta/tombstone/merge/compaction design unchanged.
+
+    def _new_base(
+        self, postings: PostingsIndex, dense: DenseIndex, embedder, *,
+        kernel: Optional[str], device_batch: int,
+    ):
+        """Construct (and device-stage) a main-segment retriever."""
+        return HybridRetriever(
+            postings, dense, embedder,
+            kernel=kernel, rrf_k=self.rrf_k, device_batch=device_batch,
+        )
+
+    def _base_postings(self, st: "_Epoch") -> PostingsIndex:
+        """The main segment's OWN postings (local df, original vocab) —
+        what delta building and compaction fold against."""
+        return st.base.bm25.index
+
+    def _base_dense_index(self, st: "_Epoch") -> DenseIndex:
+        """The main segment's stored DenseIndex (checkpoint persistence)."""
+        return st.base.dense.index
+
+    @property
+    def main_postings(self) -> PostingsIndex:
+        """CURRENT epoch's main-segment postings — right after a
+        ``compact_in_place`` this IS the whole corpus (what
+        ``compact_corpus save=true`` persists), segment-type agnostic."""
+        return self._base_postings(self._st)
+
+    @property
+    def main_dense(self) -> DenseIndex:
+        """CURRENT epoch's main-segment dense index (see main_postings)."""
+        return self._base_dense_index(self._st)
+
+    def _embedder(self, st: "_Epoch"):
+        return st.base.dense.embedder
+
+    def _base_dense_rows(self, st: "_Epoch") -> np.ndarray:
+        """The main segment's dense rows as host f32 (compaction input)."""
+        return np.asarray(st.base.dense.index.embeddings, np.float32)
+
+    def _main_query_dtype(self, st: "_Epoch"):
+        """ONE query dtype for both segments' dense arms — the quantised
+        kernels rescore with f32 queries, and a delta arm rounding its
+        queries differently would break cross-segment score comparability
+        at merge time (near-ties would order differently than the
+        combined-index oracle)."""
+        dense_main = st.base.dense
+        return (
+            jnp.float32
+            if dense_main.kernel in ("int8", "int4")
+            else dense_main._emb_device.dtype
+        )
+
+    def _main_bm25_ranked(
+        self, st: "_Epoch", term_ids, c: int, masks_main, groups,
+        prune_m: int, mb: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Ranked BM25 top-c over the main segment through its
+        combined-idf view (mask-aware: the C++/grouped planner drops
+        masked docs before dispatch)."""
+        from openintel_tpu.models.retrievers import grouped_query_plan
+
+        main_view = st.main_view
+        if masks_main is None:
+            plan = build_query_plan(
+                main_view, term_ids,
+                max_postings_per_term=prune_m, multi_budget=mb,
+            )
+        else:
+            plan = grouped_query_plan(
+                main_view, term_ids, masks_main, groups,
+                max_postings_per_term=prune_m, multi_budget=mb,
+            )
+        bv, bi = bm25_topk_device(
+            plan.doc_ids, plan.weights, main_view.n_docs, c,
+            presorted=plan.presorted, max_run=plan.max_terms,
+        )
+        return np.asarray(bv), np.asarray(bi)
+
+    def _main_dense_ranked(
+        self, st: "_Epoch", q_np: np.ndarray, q_dev, c: int, masks_main,
+        groups, unm_main, n_real: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Ranked dense top-c over the main segment (over-fetch + exact
+        masked fallback when filtered)."""
+        del q_np  # the single-chip arm consumes the staged device queries
+        return self._dense_arm(
+            st.base.dense, q_dev, c, masks_main, groups, unm_main, n_real
+        )
+
+    def _chunk_size(self, st: "_Epoch", b: int) -> int:
+        """Device-batch chunk size for the two-segment search (the mesh
+        subclass rounds it to a data-axis multiple)."""
+        return min(st.base.device_batch, b)
+
+    def _single_segment_search(
+        self, st: "_Epoch", queries, k: int, *, candidates_per_arm,
+        mode: str, masks, groups, query_embeddings,
+    ) -> SearchResult:
+        """Delta-free fast path: delegate to the matching base surface
+        (tombstones, if any, arrive via ``masks``)."""
+        fkw = (
+            {}
+            if masks is None
+            else {"filter_mask": masks, "filter_group": groups}
+        )
+        if mode == "bm25":
+            return st.base.bm25.search(queries, k=k, **fkw)
+        if mode == "dense":
+            if query_embeddings is not None:
+                # honor caller-supplied embeddings (DenseRetriever's
+                # string surface would silently re-embed)
+                return st.base.dense.search_embeddings(
+                    query_embeddings, k, **fkw
+                )
+            return st.base.dense.search(queries, k=k, **fkw)
+        return st.base.search(
+            queries, k=k, candidates_per_arm=candidates_per_arm,
+            query_embeddings=query_embeddings, **fkw,
+        )
 
     # ------------------------------------------------------------ state
 
@@ -297,7 +426,7 @@ class UpdatableHybridRetriever:
         if not texts:
             return np.zeros(0, np.int64)
         if embeddings is None:
-            embeddings = self._st.base.dense.embedder(texts)
+            embeddings = self._embedder(self._st)(texts)
         emb = np.asarray(embeddings, np.float32)
         with self._update_lock:
             st = self._st
@@ -345,7 +474,7 @@ class UpdatableHybridRetriever:
     def _rebuild_delta(self, st: "_Epoch") -> "_Epoch":
         """Build the new epoch's delta segment + main view (pure: reads
         ``st``, returns the completed epoch; caller assigns atomically)."""
-        base_idx = st.base.bm25.index
+        base_idx = self._base_postings(st)
         # fresh extended vocab per epoch (immutable once published; the
         # O(V) dict copy per add BATCH is the price of lock-free readers)
         vocab = extend_vocab(base_idx.vocab, st.delta_tokens)
@@ -395,7 +524,7 @@ class UpdatableHybridRetriever:
             DenseIndex.from_embeddings(
                 st.delta_emb, dtype=self._store_dtype
             ),
-            st.base.dense.embedder,
+            self._embedder(st),
             kernel="xla",  # delta is small: the exact kernel, no staging
         )
         return st._replace(
@@ -572,25 +701,11 @@ class UpdatableHybridRetriever:
             else:
                 masks = masks & st.alive[None, :]
         if n_delta == 0:
-            # single segment: delegate to the matching base surface
-            fkw = (
-                {}
-                if masks is None
-                else {"filter_mask": masks, "filter_group": groups}
-            )
-            if mode == "bm25":
-                return st.base.bm25.search(queries, k=k, **fkw)
-            if mode == "dense":
-                if query_embeddings is not None:
-                    # honor caller-supplied embeddings (DenseRetriever's
-                    # string surface would silently re-embed)
-                    return st.base.dense.search_embeddings(
-                        query_embeddings, k, **fkw
-                    )
-                return st.base.dense.search(queries, k=k, **fkw)
-            return st.base.search(
-                queries, k=k, candidates_per_arm=candidates_per_arm,
-                query_embeddings=query_embeddings, **fkw,
+            return self._single_segment_search(
+                st, queries, k,
+                candidates_per_arm=candidates_per_arm, mode=mode,
+                masks=masks, groups=groups,
+                query_embeddings=query_embeddings,
             )
 
         k = min(k, n_total)
@@ -629,7 +744,7 @@ class UpdatableHybridRetriever:
             term_ids = [[] for _ in queries]
         if mode != "bm25":
             if query_embeddings is None:
-                query_embeddings = st.base.dense.embedder(list(queries))
+                query_embeddings = self._embedder(st)(list(queries))
             q_np = np.asarray(query_embeddings, np.float32)
         else:
             q_np = np.zeros((b, 1), np.float32)  # never read by bm25_merged
@@ -637,7 +752,7 @@ class UpdatableHybridRetriever:
         # Bounded sub-batches (the base class's device_batch discipline:
         # fixed-shape dispatches, bounded jit cache / working set).
         # Padding rows are empty queries (group 0); results sliced to b.
-        db = min(st.base.device_batch, b)
+        db = self._chunk_size(st, b)
         pad = (-b) % db
         if pad:
             term_ids = term_ids + [[]] * pad
@@ -667,37 +782,35 @@ class UpdatableHybridRetriever:
         masks_delta, groups, unm_main, unm_delta, n_real,
     ) -> tuple[np.ndarray, np.ndarray]:
         """One device-batch chunk of the two-segment search: per-segment
-        arm reductions, sharded-style (score, doc) merges, then RRF for
-        hybrid mode (single-arm modes return their merged arm directly).
-        ``masks_*`` are None or (G, n_segment) stacks with ``groups``
-        (chunk-aligned) giving each query's mask row."""
+        arm reductions (the MAIN segment through the overridable
+        ``_main_*_ranked`` hooks), sharded-style (score, doc) merges, then
+        RRF for hybrid mode (single-arm modes return their merged arm
+        directly). ``masks_*`` are None or (G, n_segment) stacks with
+        ``groups`` (chunk-aligned) giving each query's mask row."""
         from openintel_tpu.models.retrievers import grouped_query_plan
 
-        main_view = st.main_view
         delta_idx = st.delta_postings
         n_delta = delta_idx.n_docs
 
-        def seg_plan(index, seg_masks):
-            if seg_masks is None:
+        def delta_plan():
+            if masks_delta is None:
                 return build_query_plan(
-                    index, term_ids,
+                    delta_idx, term_ids,
                     max_postings_per_term=prune_m, multi_budget=mb,
                 )
             return grouped_query_plan(
-                index, term_ids, seg_masks, groups,
+                delta_idx, term_ids, masks_delta, groups,
                 max_postings_per_term=prune_m, multi_budget=mb,
             )
 
         def bm25_merged():
             # two mask-aware plans (main keeps the C++ planner), two
             # device reductions, sharded-style merge by (score, doc)
-            plan_m = seg_plan(main_view, masks_main)
-            bv_m, bi_m = bm25_topk_device(
-                plan_m.doc_ids, plan_m.weights, main_view.n_docs,
-                min(c, st.n_main),
-                presorted=plan_m.presorted, max_run=plan_m.max_terms,
+            bv_m, bi_m = self._main_bm25_ranked(
+                st, term_ids, min(c, st.n_main), masks_main, groups,
+                prune_m, mb,
             )
-            plan_d = seg_plan(delta_idx, masks_delta)
+            plan_d = delta_plan()
             bv_d, bi_d = bm25_topk_device(
                 plan_d.doc_ids, plan_d.weights, delta_idx.n_docs,
                 min(c, n_delta),
@@ -706,26 +819,16 @@ class UpdatableHybridRetriever:
             bi_d2 = np.asarray(bi_d)
             bi_d2 = np.where(bi_d2 >= 0, bi_d2 + st.n_main, -1)
             return _merge_ranked(
-                np.asarray(bv_m), np.asarray(bi_m),
-                np.asarray(bv_d), bi_d2, c,
+                bv_m, bi_m, np.asarray(bv_d), bi_d2, c,
             )
 
         def dense_merged():
-            # main arm (configured kernel) + small exact delta arm. ONE
-            # query dtype for both segments — the quantised kernels
-            # rescore with f32 queries, and a delta arm rounding its
-            # queries differently would break cross-segment score
-            # comparability at merge time (near-ties would order
-            # differently than the combined-index oracle).
-            dense_main = st.base.dense
-            dtype = (
-                jnp.float32
-                if dense_main.kernel in ("int8", "int4")
-                else dense_main._emb_device.dtype
-            )
-            q_dev = jnp.asarray(q_np, dtype)
-            dv_m, di_m = self._dense_arm(
-                dense_main, q_dev, c, masks_main, groups, unm_main, n_real
+            # main arm (configured kernel) + small exact delta arm, one
+            # shared query dtype (see _main_query_dtype)
+            q_dev = jnp.asarray(q_np, self._main_query_dtype(st))
+            dv_m, di_m = self._main_dense_ranked(
+                st, q_np, q_dev, min(c, st.n_main), masks_main, groups,
+                unm_main, n_real,
             )
             dv_d, di_d = self._dense_arm(
                 st.delta_dense, q_dev, c, masks_delta, groups, unm_delta,
@@ -757,7 +860,7 @@ class UpdatableHybridRetriever:
         (-1 for deleted); serve the result with a fresh retriever."""
         st = self._st
         merged = merge_postings(
-            st.base.bm25.index, st.delta_postings,
+            self._base_postings(st), st.delta_postings,
             st.n_total,
         )
         alive = st.alive
@@ -796,12 +899,7 @@ class UpdatableHybridRetriever:
             config=merged.config,
         )
         all_emb = np.concatenate(
-            [
-                np.asarray(
-                    st.base.dense.index.embeddings, np.float32
-                ),
-                st.delta_emb,
-            ]
+            [self._base_dense_rows(st), st.delta_emb]
         )
         dense = DenseIndex.from_embeddings(
             all_emb[alive], dtype=self._store_dtype,
@@ -823,9 +921,9 @@ class UpdatableHybridRetriever:
         with self._update_lock:
             st = self._st
             postings, dense, id_map = self.compact()
-            base = HybridRetriever(
-                postings, dense, st.base.dense.embedder,
-                kernel=st.base.kernel, rrf_k=self.rrf_k,
+            base = self._new_base(
+                postings, dense, self._embedder(st),
+                kernel=st.base.kernel,
                 device_batch=st.base.device_batch,
             )
             self._st = _Epoch(

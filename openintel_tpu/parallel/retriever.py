@@ -211,6 +211,9 @@ class ShardedHybridRetriever:
         self.n_shards = int(self.mesh.shape[CORPUS_AXIS])
         self.data_size = int(self.mesh.shape[DATA_AXIS])
         self.postings = postings
+        # host-side reference (usually mmap-backed) — compaction and the
+        # sharded live corpus (parallel.updatable) read the original rows
+        self.dense_index = dense
         self.n_docs = int(dense.n_docs)
         # ValueError (not assert): this is a user-input failure surfaced
         # through CLI/MCP error handlers, and must not vanish under -O
@@ -559,14 +562,15 @@ class ShardedHybridRetriever:
                     [q_np, np.zeros((pad, q_np.shape[1]), np.float32)]
                 )
             if self.kernel in ("int8", "int4"):
-                # filtered dense mode never runs the quantised kernel (it
-                # routes through the f32 rescore rows), so skip q8 there
-                if filter_mask is None or mode == "hybrid":
-                    from openintel_tpu.ops.pallas.dense_topk import (
-                        quantize_int8,
-                    )
+                # every dense consumer runs the quantised kernel now: the
+                # hybrid program, the unfiltered arm, and the filtered
+                # over-fetch (only the masked starvation FALLBACK routes
+                # through the f32 rescore rows)
+                from openintel_tpu.ops.pallas.dense_topk import (
+                    quantize_int8,
+                )
 
-                    q8 = jnp.asarray(quantize_int8(q_np))
+                q8 = jnp.asarray(quantize_int8(q_np))
                 # f32 rescore queries: bf16-rounding the query shifts
                 # near-ties in the exact rescore (models/retrievers.py)
                 q = jnp.asarray(q_np, jnp.float32)
@@ -626,33 +630,78 @@ class ShardedHybridRetriever:
             )
 
         if mode == "dense" and doc_masks is not None:
-            # exact masked brute-force over the shards (the single-arm
-            # filtered surface, like DenseRetriever._masked_topk); the
-            # quantised kernels route through their f32 rescore rows. One
-            # bounded sub-batch loop per DISTINCT mask row (the masked
-            # scan kernels take one (N,) mask).
+            # Over-fetch + host rank-compaction (the single-chip
+            # ``_dense_arm`` design at mesh altitude): ONE exact unfiltered
+            # global top-c_fetch through the sharded kernel, keep each
+            # query's unmasked survivors, and re-run only STARVED queries
+            # (survivors < min(k, their group's unmasked count)) through
+            # the exact masked scan per group. Tombstone-sparse filters —
+            # the sharded live corpus's common case — cost ~one unfiltered
+            # dispatch instead of a full masked rescan per mask row; the
+            # fallback keeps exactness at any selectivity.
+            from openintel_tpu.models.retrievers import (
+                filtered_fetch_width,
+                run_per_group,
+            )
             from openintel_tpu.parallel.sharded import sharded_dense_topk_masked
 
-            from openintel_tpu.models.retrievers import run_per_group
-
-            op, transposed = self._masked_dense_operand()
-
-            def arm(g, grows):
-                sel, r = self._pad_group_rows(grows, db)
-                mrow = self._mask_row_dev(padded_masks, g)
-                outs = [
-                    sharded_dense_topk_masked(
-                        self.mesh, op, q[sel[lo : lo + db]], mrow, k,
-                        transposed=transposed, block_size=self.block_size,
-                    )
-                    for lo in range(0, sel.size, db)
-                ]
-                return (
-                    np.concatenate([np.asarray(v) for v, _ in outs])[:r],
-                    np.concatenate([np.asarray(i) for _, i in outs])[:r],
+            group_unmasked = doc_masks.sum(axis=1).astype(np.int64)  # (G,)
+            counts = group_unmasked[np.unique(groups[:b])]
+            counts = counts[counts > 0]
+            c_fetch = min(
+                filtered_fetch_width(
+                    k, self.n_docs, int(counts.min()) if counts.size else 0
+                ),
+                self.shard_size,
+            )
+            outs = [
+                sharded_dense_topk(
+                    self.mesh, self._emb, q[lo : lo + db], c_fetch,
+                    block_size=self.block_size, kernel=self.kernel,
+                    interpret=self.interpret,
+                    rescore=self._rescore,
+                    queries_i8=q8[lo : lo + db] if q8 is not None else None,
+                    n_docs_true=self.n_docs,
                 )
+                for lo in range(0, nb * db, db)
+            ]
+            vals0 = np.concatenate([np.asarray(v) for v, _ in outs])
+            ids0 = np.concatenate([np.asarray(i) for _, i in outs])
+            keep = (ids0 >= 0) & doc_masks[
+                groups[:, None], np.maximum(ids0, 0)
+            ]
+            vals = np.zeros((nb * db, k), np.float32)
+            ids = np.full((nb * db, k), -1, np.int32)
+            surv = keep.sum(axis=1)
+            for i in range(nb * db):
+                kept = np.flatnonzero(keep[i])[:k]
+                vals[i, : kept.size] = vals0[i, kept]
+                ids[i, : kept.size] = ids0[i, kept]
+            need = np.minimum(k, group_unmasked[groups])
+            starved = np.flatnonzero(surv < need)
+            starved = starved[starved < b]  # padding rows never re-run
+            if starved.size:
+                op, transposed = self._masked_dense_operand()
 
-            vals, ids = run_per_group(groups, k, arm)
+                def arm(g, sub):
+                    sel, r = self._pad_group_rows(starved[sub], db)
+                    mrow = self._mask_row_dev(padded_masks, g)
+                    souts = [
+                        sharded_dense_topk_masked(
+                            self.mesh, op, q[sel[lo : lo + db]], mrow, k,
+                            transposed=transposed,
+                            block_size=self.block_size,
+                        )
+                        for lo in range(0, sel.size, db)
+                    ]
+                    return (
+                        np.concatenate([np.asarray(v) for v, _ in souts])[:r],
+                        np.concatenate([np.asarray(i) for _, i in souts])[:r],
+                    )
+
+                fvals, fids = run_per_group(groups[starved], k, arm)
+                vals[starved] = fvals
+                ids[starved] = fids
         elif mode == "dense":
             # bounded sub-batches: one jitted program per db-sized chunk
             # (a single giant dispatch would spike the b x shard_size score

@@ -193,11 +193,22 @@ def test_mcp_non_object_messages_get_error_responses():
     assert all(e["error"]["code"] == -32600 for e in errs)
 
 
-def test_mcp_updatable_lifecycle(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize(
+    "mesh_flags",
+    [[], ["--mesh", "2x4"]],
+    ids=["single-chip", "sharded-mesh"],
+)
+def test_mcp_updatable_lifecycle(tmp_path, mesh_flags):
     """--updatable end to end through the REAL stdio server: tools/list
     grows the update tools; index_documents makes docs searchable
     immediately (with snippets); delete_documents tombstones them;
-    server_stats reports the segment state."""
+    server_stats reports the segment state. Runs twice: the single-chip
+    live corpus and the sharded one (--mesh 2x4 composes with
+    --updatable: parallel/updatable.py serves the main segment over the
+    virtual 8-device mesh with the identical lifecycle)."""
     corpus = tmp_path / "corpus.txt"
     corpus.write_text(
         "\n".join(f"document {i} about topic{i % 7}" for i in range(30)) + "\n"
@@ -216,6 +227,7 @@ def test_mcp_updatable_lifecycle(tmp_path):
         [
             sys.executable, "-m", "openintel_tpu.cli.main",
             "mcp", "--offline", "--index", str(idx), "--updatable",
+            *mesh_flags,
         ],
         stdin=subprocess.PIPE, stdout=subprocess.PIPE,
         stderr=subprocess.PIPE, text=True, env=_ENV,
