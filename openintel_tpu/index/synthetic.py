@@ -168,3 +168,50 @@ def synthetic_postings_index(
         vocab=vocab,
         config=cfg,
     )
+
+
+def synthetic_synonym_corpus(
+    n_docs: int,
+    *,
+    n_concepts: int = 2000,
+    mean_len: int = 12,
+    seed: int = 0,
+) -> tuple[list[str], dict]:
+    """A corpus with a TWO-surface vocabulary — the vocabulary-mismatch
+    testbed for learned retrieval (docs/benchmarks.md "Encoder quality").
+
+    Every concept ``c`` renders as ``wa{c}`` inside documents; real users
+    also know the synonym surface ``wb{c}``, which never occurs in any
+    document. Token-overlap retrievers (BM25, the HashingEmbedder) have
+    ZERO signal for a ``wb``-form query; a trained encoder can learn
+    ``emb(wb_c) ~ emb(wa_c)`` from synonym-augmented (query, doc) pairs
+    (models/train.py ``synonym_map``). Returns (docs, synonym_map) with
+    ``synonym_map["wa3"] == "wb3"``."""
+    rng = np.random.default_rng(seed)
+    probs = _zipf_probs(n_concepts)
+    lens = np.clip(
+        rng.poisson(mean_len, size=n_docs), 3, 4 * mean_len
+    )
+    docs = []
+    for n in lens:
+        concepts = rng.choice(n_concepts, size=int(n), p=probs)
+        docs.append(" ".join(f"wa{c}" for c in concepts))
+    synonym_map = {f"wa{c}": f"wb{c}" for c in range(n_concepts)}
+    return docs, synonym_map
+
+
+def flip_tokens(
+    tokens: list, synonym_map: dict, flip_p: float, rng: np.random.Generator
+) -> list:
+    """Substitute each token by its synonym surface with probability
+    ``flip_p`` (identity for tokens without an entry). THE single
+    implementation of query-side vocabulary mismatch — training
+    (models/train.py), reranker training, and eval-set generation
+    (models/eval.py) all route here so their mismatch distributions
+    match."""
+    if not synonym_map or flip_p <= 0.0:
+        return list(tokens)
+    flips = rng.random(len(tokens)) < flip_p
+    return [
+        synonym_map.get(t, t) if f else t for t, f in zip(tokens, flips)
+    ]

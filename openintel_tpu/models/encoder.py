@@ -248,5 +248,22 @@ class NeuralEmbedder:
         return ids, mask
 
     def __call__(self, texts) -> np.ndarray:
-        ids, mask = self.tokenize(texts)
-        return np.asarray(self._encode(self.params, ids, mask), np.float32)
+        # bounded chunks: one giant corpus call would materialise
+        # (N, S, D) activations (plus (N, H, S, S) attention scores) in a
+        # single program — at 100k docs that is GBs of working set for a
+        # result that is only (N, dim). Chunking also keeps the jit cache
+        # to the pow2 width buckets.
+        texts = list(texts)
+        chunk = 2048
+        if len(texts) <= chunk:
+            ids, mask = self.tokenize(texts)
+            return np.asarray(
+                self._encode(self.params, ids, mask), np.float32
+            )
+        out = np.empty((len(texts), self.dim), np.float32)
+        for lo in range(0, len(texts), chunk):
+            ids, mask = self.tokenize(texts[lo : lo + chunk])
+            out[lo : lo + chunk] = np.asarray(
+                self._encode(self.params, ids, mask), np.float32
+            )
+        return out

@@ -161,11 +161,22 @@ def evaluate_corpus(
 
 
 def synthetic_qrels(
-    texts: Sequence[str], n: int, seed: int = 0, terms_per_query: int = 4
+    texts: Sequence[str],
+    n: int,
+    seed: int = 0,
+    terms_per_query: int = 4,
+    synonym_map: Optional[dict] = None,
+    flip_p: float = 0.0,
 ) -> list[tuple[str, set[int]]]:
     """Self-labeled evaluation set: each query is drawn from one document's
-    tokens, labeled with that document — the zero-annotation smoke eval."""
+    tokens, labeled with that document — the zero-annotation smoke eval.
+
+    ``synonym_map`` + ``flip_p`` render queries under vocabulary mismatch
+    (index/synthetic.py::flip_tokens — the same substitution the trainers
+    use), measuring what token-overlap retrievers must miss."""
     import numpy as np
+
+    from openintel_tpu.index.synthetic import flip_tokens
 
     rng = np.random.default_rng(seed)
     ids = rng.integers(0, len(texts), size=n)
@@ -173,6 +184,8 @@ def synthetic_qrels(
     for d in ids:
         tokens = texts[int(d)].split()
         take = min(terms_per_query, len(tokens))
-        q = " ".join(rng.choice(tokens, size=take, replace=False))
-        out.append((q, {int(d)}))
+        chosen = list(rng.choice(tokens, size=take, replace=False))
+        if synonym_map:
+            chosen = flip_tokens(chosen, synonym_map, flip_p, rng)
+        out.append((" ".join(chosen), {int(d)}))
     return out

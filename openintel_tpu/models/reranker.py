@@ -196,10 +196,16 @@ def train_reranker(
     batch_queries: int = 8,
     lr: float = 1e-3,
     seed: int = 0,
+    synonym_map: Optional[dict] = None,  # query-side vocab mismatch
+    flip_p: float = 0.5,
 ):
     """Self-supervised listwise training: for each sampled doc, the query is
-    a token subset; candidates = [positive, k-1 random negatives]."""
+    a token subset; candidates = [positive, k-1 random negatives].
+    ``synonym_map`` trains under vocabulary mismatch (same semantics as
+    models/train.py::make_pairs)."""
     import optax
+
+    from openintel_tpu.index.synthetic import flip_tokens
 
     cfg = cfg or EncoderConfig()
     rr = CrossEncoderReranker(cfg, seed=seed)
@@ -224,7 +230,10 @@ def train_reranker(
             pos = int(rng.integers(0, len(texts)))
             toks = texts[pos].split()
             take = max(1, min(len(toks), int(rng.integers(1, 5))))
-            queries.append(" ".join(rng.choice(toks, size=take, replace=False)))
+            chosen = list(rng.choice(toks, size=take, replace=False))
+            if synonym_map:
+                chosen = flip_tokens(chosen, synonym_map, flip_p, rng)
+            queries.append(" ".join(chosen))
             negs = []
             for _ in range(20 * k):  # bounded: degenerate corpora can't hang
                 if len(negs) >= k - 1:

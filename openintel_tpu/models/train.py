@@ -39,15 +39,28 @@ def make_pairs(
     embedder: NeuralEmbedder,
     batch_size: int,
     rng: np.random.Generator,
+    synonym_map: Optional[dict] = None,
+    flip_p: float = 0.5,
 ):
-    """Sample a (query, doc) batch: queries are random token subsets."""
+    """Sample a (query, doc) batch: queries are random token subsets.
+
+    ``synonym_map`` teaches vocabulary mismatch: each query token is
+    substituted by its synonym surface with probability ``flip_p``
+    (index/synthetic.py::flip_tokens), so InfoNCE pulls the synonym's
+    embedding toward the document surface it never co-occurs with —
+    the capability token-overlap embedders cannot have."""
+    from openintel_tpu.index.synthetic import flip_tokens
+
     idx = rng.integers(0, len(texts), size=batch_size)
     docs = [texts[i] for i in idx]
     queries = []
     for d in docs:
         toks = d.split()
         take = max(1, min(len(toks), int(rng.integers(1, 5))))
-        queries.append(" ".join(rng.choice(toks, size=take, replace=False)))
+        chosen = list(rng.choice(toks, size=take, replace=False))
+        if synonym_map:
+            chosen = flip_tokens(chosen, synonym_map, flip_p, rng)
+        queries.append(" ".join(chosen))
     q_ids, q_mask = embedder.tokenize(queries)
     d_ids, d_mask = embedder.tokenize(docs)
     # pad both to the doc width so shapes stay static across batches
@@ -78,6 +91,8 @@ def train_encoder(
     ckpt_every: int = 25,
     log: Optional[Callable[[str], None]] = None,
     mesh=None,  # ("data", "corpus") Mesh -> DP batch x TP params
+    synonym_map: Optional[dict] = None,  # query-side vocab mismatch
+    flip_p: float = 0.5,
 ) -> TrainResult:
     """Train (or resume) the encoder; returns final params + loss history.
 
@@ -164,7 +179,10 @@ def train_encoder(
     losses: list[float] = []
     step = start_step
     for step in range(start_step, steps):
-        batch = make_pairs(texts, embedder, batch_size, rng)
+        batch = make_pairs(
+            texts, embedder, batch_size, rng,
+            synonym_map=synonym_map, flip_p=flip_p,
+        )
         if batch_sharding is not None:
             batch = tuple(jax.device_put(x, batch_sharding) for x in batch)
         params, opt_state, loss = step_fn(params, opt_state, batch)
