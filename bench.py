@@ -189,6 +189,46 @@ def main() -> None:
     )
     hyb_ids_all = res.ids
 
+    # END-TO-END: plan assembly + plan/query staging + device execution +
+    # result copy-back, run SEQUENTIALLY on this host (round-3 verdict
+    # item 2 — no more "planning excluded" asterisk). In production the
+    # planner pipelines with device execution across sub-batches, so the
+    # sequential sum is the worst-case serving rate; the planner wall is
+    # additionally reported as (a) the PURE C++ plan-assembly cost per
+    # query-core and (b) the core budget needed for planning to keep pace
+    # with the raw device rate.
+    from openintel_tpu.models.retrievers import auto_prune_m
+    from openintel_tpu.ops.bm25 import build_query_plan
+
+    prune_m = auto_prune_m(n_docs, c_arm)
+    s = time.time()
+    _plan = build_query_plan(
+        index, term_ids,
+        max_postings_per_term=prune_m, multi_budget=max(256, c_arm),
+        sort=True,
+    )
+    plan_build_secs = time.time() - s
+    del _plan
+    s = time.time()
+    prep2 = retriever.prepare(term_ids, q, k=k, candidates_per_arm=c_arm)
+    host_prep_secs = time.time() - s  # plan assembly + operand staging
+    s = time.time()
+    _ = retriever.run_prepared(prep2)
+    e2e_device_secs = time.time() - s
+    end_to_end_secs = host_prep_secs + e2e_device_secs
+    end_to_end_qps = total_q / end_to_end_secs
+    plan_cores_for_device_rate = max(
+        1, int(np.ceil(qps * (plan_build_secs / total_q)))
+    )
+    log(
+        f"end-to-end: {end_to_end_qps:,.0f} QPS single-host-core "
+        f"(plan build {plan_build_secs/total_q*1e3:.2f} ms/q, staging "
+        f"{(host_prep_secs-plan_build_secs)/total_q*1e3:.2f} ms/q, device+"
+        f"copy {e2e_device_secs/total_q*1e3:.2f} ms/q); planning keeps "
+        f"pace with the {qps:,.0f} QPS device rate at "
+        f"{plan_cores_for_device_rate} host cores"
+    )
+
     # Per-arm diagnostics through the same scanned shapes (raw wall clock,
     # RTT included — no subtraction, so no underflow artifacts; round-2
     # verdict item 2a). An arm faster than the RTT reports the RTT floor.
@@ -399,6 +439,13 @@ def main() -> None:
         "dispatch_rtt_ms": round(rtt * 1e3, 2),
         "n_scan_batches": n_batches,
         "host_plan_ms_per_query": round(plan_secs / total_q * 1e3, 3),
+        # end-to-end = plan assembly + staging + device + result copy,
+        # sequential on one host core (worst case; serving pipelines it)
+        "end_to_end_qps": round(end_to_end_qps, 1),
+        "plan_build_ms_per_query_core": round(
+            plan_build_secs / total_q * 1e3, 3
+        ),
+        "plan_cores_for_device_rate": plan_cores_for_device_rate,
         "recall_at_10_vs_exact": round(recall, 4),
         "recall_at_10_min": round(recall_min, 4),
         "recall_at_10_vs_stored": round(recall_stored, 4),

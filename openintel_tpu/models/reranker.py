@@ -198,17 +198,21 @@ def train_reranker(
     seed: int = 0,
     synonym_map: Optional[dict] = None,  # query-side vocab mismatch
     flip_p: float = 0.5,
+    init_trunk: Optional[dict] = None,  # warm-start (e.g. trained encoder)
 ):
     """Self-supervised listwise training: for each sampled doc, the query is
     a token subset; candidates = [positive, k-1 random negatives].
     ``synonym_map`` trains under vocabulary mismatch (same semantics as
-    models/train.py::make_pairs)."""
+    models/train.py::make_pairs). ``init_trunk`` warm-starts the trunk
+    from an already-trained encoder's params (the standard bi-encoder ->
+    cross-encoder hand-off; a from-scratch trunk needs far more listwise
+    steps than the head)."""
     import optax
 
     from openintel_tpu.index.synthetic import flip_tokens
 
     cfg = cfg or EncoderConfig()
-    rr = CrossEncoderReranker(cfg, seed=seed)
+    rr = CrossEncoderReranker(cfg, params=init_trunk, seed=seed)
     tx = optax.adamw(lr)
     trainable = {"params": rr.params, "head": rr.head}
     opt_state = tx.init(trainable)

@@ -45,6 +45,22 @@ struct WorstFirst {
 
 namespace {
 
+// First index in ascending a[lo, hi) with a[idx] >= t, galloping from lo.
+// The planner's doc walks emit ascending targets, so a forward cursor +
+// exponential search makes each lookup ~O(log gap) of mostly-sequential
+// reads instead of a full-range binary search of random cache misses.
+inline int64_t gallop_lower_bound(const int32_t* a, int64_t lo, int64_t hi,
+                                  int32_t t) {
+  if (lo >= hi || a[lo] >= t) return lo;
+  int64_t step = 1, prev = lo;
+  while (lo + step < hi && a[lo + step] < t) {
+    prev = lo + step;
+    step <<= 1;
+  }
+  const int64_t end = std::min(lo + step + 1, hi);
+  return std::lower_bound(a + prev + 1, a + end, t) - a;
+}
+
 // Builds plans for queries [b_lo, b_hi); returns max width or -(needed).
 // `doc_mask` (nullable, n_docs bytes, 1 = eligible) builds the FILTERED
 // plan with the NumPy reference's semantics (ops/bm25.py::build_query_plan
@@ -66,8 +82,8 @@ int64_t plan_build_range(const int64_t* term_offsets, const int32_t* doc_ids,
   std::vector<int32_t> qtf;
   std::vector<int64_t> cursor;
   std::vector<std::pair<int32_t, float>> row;
+  std::vector<std::pair<int32_t, float>> seg;
   std::vector<int32_t> multi_sorted;
-  std::vector<int32_t> topm_ids;
   int64_t max_width = 0;
 
   for (int64_t b = b_lo; b < b_hi; ++b) {
@@ -123,6 +139,7 @@ int64_t plan_build_range(const int64_t* term_offsets, const int32_t* doc_ids,
           static_cast<double>(idf[terms[big]]) * qtf[big];
 
       cursor.assign(nt, 0);
+      int64_t big_cur = big_lo;
       std::priority_queue<MultiDoc, std::vector<MultiDoc>, WorstFirst> heap;
       for (;;) {
         int32_t m = INT32_MAX;
@@ -149,11 +166,12 @@ int64_t plan_build_range(const int64_t* term_offsets, const int32_t* doc_ids,
           }
         }
         if (!eligible) continue;
-        // membership in the largest list via binary search
-        const int32_t* pos =
-            std::lower_bound(doc_ids + big_lo, doc_ids + big_hi, m);
-        if (pos != doc_ids + big_hi && *pos == m) {
-          score += static_cast<double>(impact[pos - doc_ids]) * big_w;
+        // membership in the largest list: union docs m arrive ascending,
+        // so a galloping forward cursor replaces the from-scratch binary
+        // search (the skewed-df hot path — docs/operations.md)
+        big_cur = gallop_lower_bound(doc_ids, big_cur, big_hi, m);
+        if (big_cur < big_hi && doc_ids[big_cur] == m) {
+          score += static_cast<double>(impact[big_cur]) * big_w;
           matched++;
         }
         if (matched >= 2) {
@@ -189,40 +207,46 @@ int64_t plan_build_range(const int64_t* term_offsets, const int32_t* doc_ids,
             row.emplace_back(doc_ids[p], impact[p] * w);
         continue;
       }
-      // top-M by impact (order array is (-impact, doc)-sorted per segment);
-      // under a mask: the first M UNMASKED entries of the impact walk
-      topm_ids.clear();
-      topm_ids.reserve(max_m);
+      // top-M by impact (order array is (-impact, doc)-sorted per segment,
+      // and its values are GLOBAL posting indices) — emit (doc, impact)
+      // DIRECTLY from the order walk, never touching the other df - M
+      // postings. The old merged walk over the full segment was O(df) per
+      // pruned term, which made stop-wordy terms (df in the 100k s) the
+      // planner's dominant cost; this is O(M log M + |multi| log df).
+      // Under a mask: the first M UNMASKED entries of the impact walk.
+      seg.clear();
       if (doc_mask == nullptr) {
-        for (int64_t p = 0; p < max_m; ++p)
-          topm_ids.push_back(doc_ids[impact_order[lo + p]]);
+        for (int64_t p = 0; p < max_m; ++p) {
+          const int64_t idx = impact_order[lo + p];
+          seg.emplace_back(doc_ids[idx], impact[idx]);
+        }
       } else {
         for (int64_t p = 0;
-             p < df && static_cast<int64_t>(topm_ids.size()) < max_m; ++p) {
-          const int32_t d = doc_ids[impact_order[lo + p]];
-          if (doc_mask[d]) topm_ids.push_back(d);
+             p < df && static_cast<int64_t>(seg.size()) < max_m; ++p) {
+          const int64_t idx = impact_order[lo + p];
+          if (doc_mask[doc_ids[idx]]) seg.emplace_back(doc_ids[idx], impact[idx]);
         }
       }
-      std::sort(topm_ids.begin(), topm_ids.end());
-      // union with this term's postings for the forced multi docs; both
-      // lists ascending -> merged walk against the full segment to fetch
-      // impacts in one pass.
-      size_t a = 0, c = 0;
-      for (int64_t p = lo; p < hi && (a < topm_ids.size() || c < multi_sorted.size()); ++p) {
-        const int32_t d = doc_ids[p];
-        bool take = false;
-        while (a < topm_ids.size() && topm_ids[a] < d) ++a;  // (absent ids impossible)
-        if (a < topm_ids.size() && topm_ids[a] == d) {
-          take = true;
-          ++a;
-        }
-        while (c < multi_sorted.size() && multi_sorted[c] < d) ++c;
-        if (c < multi_sorted.size() && multi_sorted[c] == d) {
-          take = true;
-          ++c;
-        }
-        if (take) row.emplace_back(d, impact[p] * w);
+      std::sort(seg.begin(), seg.end(),
+                [](const std::pair<int32_t, float>& x,
+                   const std::pair<int32_t, float>& y) {
+                  return x.first < y.first;
+                });
+      // union in the forced multi docs this term also matches: both lists
+      // ascending -> one walk; docs already in the top-M are skipped
+      // (same one-entry-per-(term, doc) multiset as the old merged walk),
+      // absent docs gallop past. multi_sorted is already mask-filtered.
+      size_t a = 0;
+      int64_t pcur = lo;
+      for (size_t c = 0; c < multi_sorted.size(); ++c) {
+        const int32_t d = multi_sorted[c];
+        while (a < seg.size() && seg[a].first < d) ++a;
+        if (a < seg.size() && seg[a].first == d) continue;  // in top-M
+        pcur = gallop_lower_bound(doc_ids, pcur, hi, d);
+        if (pcur < hi && doc_ids[pcur] == d)
+          row.emplace_back(d, impact[pcur] * w);
       }
+      for (const auto& e : seg) row.emplace_back(e.first, e.second * w);
     }
 
     std::sort(row.begin(), row.end(),

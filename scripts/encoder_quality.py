@@ -123,6 +123,7 @@ def main() -> None:
     rr, rr_losses = train_reranker(
         docs, cfg, steps=args.rerank_steps, k=4, batch_queries=8,
         lr=args.lr, seed=44, synonym_map=syn, flip_p=0.5,
+        init_trunk=jax.tree_util.tree_map(lambda a: a.copy(), res.params),
     )
     log(f"reranker trained: loss {rr_losses[0]:.3f} -> {rr_losses[-1]:.3f}")
 
