@@ -168,14 +168,26 @@ def main() -> None:
             best = min(best, time.time() - s)
         return best, out
 
-    best, out_dev = timeit_prepared(prep)
+    # THREE separated timing passes, headline = the MEDIAN pass (ambient
+    # drift on this tunnel makes single-pass deltas under ~40% noise —
+    # docs/benchmarks.md; round-3 verdict asked for medians of >=3
+    # back-to-back runs, captured here inside the one artifact)
+    pass_bests = []
+    out_dev = None
+    for i in range(3):
+        b_i, out_dev = timeit_prepared(prep)
+        pass_bests.append(b_i)
+        time.sleep(0.5)
+    best = float(np.median(pass_bests))
     nq = prep.n_queries
     qps = nq / best  # RAW: dispatch RTT included, amortised across the scan
     qps_net = nq / max(best - rtt, 1e-9)
     per_batch = best / n_batches
     log(
         f"hybrid    : {per_batch*1e3:8.3f} ms/batch  {qps:>12,.0f} QPS raw "
-        f"(net of {rtt*1e3:.1f} ms RTT: {qps_net:,.0f})"
+        f"(net of {rtt*1e3:.1f} ms RTT: {qps_net:,.0f}; median of 3 "
+        f"passes, spread "
+        f"{(max(pass_bests)-min(pass_bests))/best*100:.0f}%)"
     )
     # full serving call including the host copy-back of the result slab
     s = time.time()
@@ -434,6 +446,8 @@ def main() -> None:
         "value": round(qps, 1),
         "unit": "queries/sec/chip",
         "vs_baseline": round(qps / 100_000.0, 4),
+        # the three separated timing passes behind the median headline
+        "timing_passes_qps": [round(nq / b, 1) for b in pass_bests],
         "value_net_rtt": round(qps_net, 1),
         "value_with_result_copy": round(qps_with_copy, 1),
         "dispatch_rtt_ms": round(rtt * 1e3, 2),
