@@ -179,8 +179,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--heads", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
+        "--synonyms", default=None, metavar="TSV",
+        help="token<TAB>synonym pairs: train under vocabulary mismatch "
+        "(query tokens substitute their synonym surface with --flip-p "
+        "probability — the capability token-overlap embedders lack)",
+    )
+    p.add_argument(
+        "--flip-p", type=float, default=0.5,
+        help="per-token synonym substitution probability (with --synonyms)",
+    )
+    p.add_argument(
         "--reranker", action="store_true",
-        help="also train a cross-encoder reranker into the checkpoint dir",
+        help="also train a cross-encoder reranker into the checkpoint dir "
+        "(trunk warm-started from the just-trained encoder)",
     )
     p.add_argument(
         "--analyzer", action="store_true",
@@ -786,6 +797,20 @@ def run_train(args) -> tuple[str, int]:
     if not texts:
         return "error: corpus is empty", 1
     logs: list[str] = []
+    synonym_map = None
+    if getattr(args, "synonyms", None):
+        synonym_map = {}
+        for ln in Path(args.synonyms).read_text().splitlines():
+            if not ln.strip():
+                continue
+            parts = ln.split("\t")
+            if len(parts) != 2 or not parts[0].strip() or not parts[1].strip():
+                return (
+                    f"error: --synonyms line {ln!r} is not "
+                    "token<TAB>synonym", 1,
+                )
+            synonym_map[parts[0].strip()] = parts[1].strip()
+        logs.append(f"synonyms: {len(synonym_map)} pairs, flip_p={args.flip_p}")
     cfg = EncoderConfig(dim=args.dim, depth=args.depth, heads=args.heads)
     mesh = None
     if getattr(args, "mesh", None):
@@ -816,6 +841,8 @@ def run_train(args) -> tuple[str, int]:
             ckpt_dir=args.out,
             log=logs.append,
             mesh=mesh,
+            synonym_map=synonym_map,
+            flip_p=getattr(args, "flip_p", 0.5),
         )
     except ValueError as e:
         return f"error: {e}", 1
@@ -846,6 +873,11 @@ def run_train(args) -> tuple[str, int]:
         rr, rl = train_reranker(
             texts, cfg, steps=max(10, args.steps // 2), lr=args.lr,
             seed=args.seed,
+            synonym_map=synonym_map,
+            flip_p=getattr(args, "flip_p", 0.5),
+            # warm-start the cross-encoder trunk from the just-trained
+            # encoder (bi-encoder -> cross-encoder hand-off)
+            init_trunk=res.params,
         )
         save_reranker(rr, args.out)
         logs.append(

@@ -202,6 +202,13 @@ def small_batch_device(elements: int, threshold: int = 1_000_000):
     host CPU backend. Returns the CPU device for small problems on non-CPU
     defaults, else None (use the default device).
 
+    This is a PLACEMENT choice, not a bypass: the jitted
+    ``aggregate_batch`` program is still what scan/compare execute in
+    production (application/analyze.py::analyze_batch) — on the host CPU
+    backend below the threshold, on the accelerator above it. The same
+    compiled program serves both, so the device path is exercised by every
+    scan, not reserved for the >=1M-element case.
+
     Use as ``with jax.default_device(d)`` when not None."""
     if elements >= threshold:
         return None

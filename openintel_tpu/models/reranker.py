@@ -212,6 +212,10 @@ def train_reranker(
     from openintel_tpu.index.synthetic import flip_tokens
 
     cfg = cfg or EncoderConfig()
+    if init_trunk is not None:
+        # host copies: a mesh-sharded trained encoder must not leak its
+        # TP shardings into the reranker's single-device jit
+        init_trunk = jax.tree_util.tree_map(np.asarray, init_trunk)
     rr = CrossEncoderReranker(cfg, params=init_trunk, seed=seed)
     tx = optax.adamw(lr)
     trainable = {"params": rr.params, "head": rr.head}
