@@ -157,3 +157,63 @@ def test_mesh_training_matches_single_chip(tmp_path):
     )
     assert any("resumed from step 8" in m for m in logs)
     assert len(res.losses) == 2
+
+
+def test_synonym_flip_machinery():
+    """flip_tokens: deterministic given an rng, substitutes only mapped
+    tokens, flip_p=0 is identity; qrels + pair generators route through it
+    (vocabulary-mismatch training/eval — docs/benchmarks.md)."""
+    import numpy as np
+
+    from openintel_tpu.index.synthetic import (
+        flip_tokens,
+        synthetic_synonym_corpus,
+    )
+    from openintel_tpu.models.eval import synthetic_qrels
+
+    docs, syn = synthetic_synonym_corpus(50, n_concepts=20, seed=3)
+    assert all(t.startswith("wa") for d in docs for t in d.split())
+    assert syn["wa7"] == "wb7"
+
+    rng = np.random.default_rng(0)
+    toks = ["wa1", "unknown", "wa2"]
+    assert flip_tokens(toks, syn, 0.0, rng) == toks
+    flipped = flip_tokens(toks, syn, 1.0, rng)
+    assert flipped == ["wb1", "unknown", "wb2"]  # unmapped survive
+
+    # qrels at flip_p=1.0 never contain a document-surface mapped token
+    qrels = synthetic_qrels(docs, 20, seed=4, synonym_map=syn, flip_p=1.0)
+    for q, rel in qrels:
+        assert rel and all(not t.startswith("wa") for t in q.split())
+    # at flip_p=0 queries reuse document tokens verbatim
+    qrels0 = synthetic_qrels(docs, 20, seed=4, synonym_map=syn, flip_p=0.0)
+    for q, rel in qrels0:
+        d = docs[next(iter(rel))]
+        assert all(t in d.split() for t in q.split())
+
+
+def test_make_pairs_synonym_substitution():
+    """Training pairs under a synonym map: query-side tokens substitute at
+    flip_p=1.0, and the substituted surface hashes to DIFFERENT encoder
+    ids than the document surface (otherwise there is nothing to learn)."""
+    import numpy as np
+
+    from openintel_tpu.index.synthetic import synthetic_synonym_corpus
+    from openintel_tpu.models.encoder import EncoderConfig, NeuralEmbedder
+    from openintel_tpu.models.train import make_pairs
+
+    docs, syn = synthetic_synonym_corpus(30, n_concepts=10, seed=5)
+    emb = NeuralEmbedder(EncoderConfig(vocab_size=4096, dim=32, depth=1,
+                                       heads=2, max_len=16), params={})
+    rng = np.random.default_rng(6)
+    q_ids, q_mask, d_ids, d_mask = make_pairs(
+        docs, emb, 8, rng, synonym_map=syn, flip_p=1.0
+    )
+    doc_vocab = {
+        int(i) for i in np.asarray(d_ids)[np.asarray(d_mask)] if i > 0
+    }
+    q_vocab = {
+        int(i) for i in np.asarray(q_ids)[np.asarray(q_mask)] if i > 0
+    }
+    # fully-flipped queries share no token ids with the documents
+    assert q_vocab and not (q_vocab & doc_vocab)
