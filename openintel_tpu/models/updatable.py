@@ -339,6 +339,16 @@ class UpdatableHybridRetriever:
             st.base.dense, q_dev, c, masks_main, groups, unm_main, n_real
         )
 
+    def _main_arms_ranked(
+        self, st: "_Epoch", term_ids, q_np, q_dev, c: int, masks_main,
+        groups, unm_main, n_real: int, prune_m: int, mb: int,
+    ):
+        """OPTIONAL fused hook: both main arms from one dispatch, as
+        (bm25_vals, bm25_ids, dense_vals, dense_ids) — or None to have the
+        hybrid path call the two single-arm hooks (this default). The mesh
+        subclass answers from ONE sharded program when unfiltered."""
+        return None
+
     def _chunk_size(self, st: "_Epoch", b: int) -> int:
         """Device-batch chunk size for the two-segment search (the mesh
         subclass rounds it to a data-axis multiple)."""
@@ -803,10 +813,12 @@ class UpdatableHybridRetriever:
                 max_postings_per_term=prune_m, multi_budget=mb,
             )
 
-        def bm25_merged():
+        def bm25_merged(main=None):
             # two mask-aware plans (main keeps the C++ planner), two
-            # device reductions, sharded-style merge by (score, doc)
-            bv_m, bi_m = self._main_bm25_ranked(
+            # device reductions, sharded-style merge by (score, doc);
+            # ``main`` short-circuits the main arm when the fused hook
+            # already produced it
+            bv_m, bi_m = main if main is not None else self._main_bm25_ranked(
                 st, term_ids, min(c, st.n_main), masks_main, groups,
                 prune_m, mb,
             )
@@ -822,11 +834,11 @@ class UpdatableHybridRetriever:
                 bv_m, bi_m, np.asarray(bv_d), bi_d2, c,
             )
 
-        def dense_merged():
+        def dense_merged(main=None):
             # main arm (configured kernel) + small exact delta arm, one
             # shared query dtype (see _main_query_dtype)
             q_dev = jnp.asarray(q_np, self._main_query_dtype(st))
-            dv_m, di_m = self._main_dense_ranked(
+            dv_m, di_m = main if main is not None else self._main_dense_ranked(
                 st, q_np, q_dev, min(c, st.n_main), masks_main, groups,
                 unm_main, n_real,
             )
@@ -843,8 +855,14 @@ class UpdatableHybridRetriever:
             return bm25_merged()
         if mode == "dense":
             return dense_merged()
-        _, b_ids = bm25_merged()
-        _, d_ids = dense_merged()
+        fused = self._main_arms_ranked(
+            st, term_ids, q_np,
+            jnp.asarray(q_np, self._main_query_dtype(st)),
+            min(c, st.n_main), masks_main, groups, unm_main, n_real,
+            prune_m, mb,
+        )
+        _, b_ids = bm25_merged(fused[:2] if fused is not None else None)
+        _, d_ids = dense_merged(fused[2:] if fused is not None else None)
         vals, ids = rrf_fuse_device(
             jnp.asarray(b_ids), jnp.asarray(d_ids), k, self.rrf_k
         )

@@ -743,3 +743,109 @@ class ShardedHybridRetriever:
                 n_docs_true=self.n_docs,
             )
         return self._postprocess(vals, ids, b, k)
+
+    def search_with_arms(
+        self,
+        queries: Sequence[str],
+        k: int = 10,
+        *,
+        candidates_per_arm: Optional[int] = None,
+        query_embeddings: Optional[np.ndarray] = None,
+        term_ids: Optional[Sequence[Sequence[int]]] = None,
+        plan_index: Optional[PostingsIndex] = None,
+        max_postings_per_term: Optional[int] = None,
+        multi_budget: Optional[int] = None,
+    ) -> tuple[
+        SearchResult,
+        tuple[np.ndarray, np.ndarray],
+        tuple[np.ndarray, np.ndarray],
+    ]:
+        """Unfiltered hybrid search that ALSO returns the globally-merged
+        per-arm rankings the fusion consumed: (fused SearchResult,
+        (bm25_vals, bm25_ids), (dense_vals, dense_ids)), arms ranked to
+        ``candidates_per_arm``. One corpus-wide dispatch — the sharded
+        live corpus merges these with its delta arms
+        (parallel/updatable.py) instead of dispatching each arm
+        separately. Arm ids are -1-padded with 0.0 scores; corpus-padding
+        docs never appear (masked inside the program).
+
+        ``term_ids``/``plan_index``/``max_postings_per_term``/
+        ``multi_budget`` let a caller bring its OWN statistics view — the
+        updatable wrapper plans over its combined-idf ``main_view`` with
+        the combined-corpus prune budget, so the arm rankings stay
+        bit-identical to its single-arm hooks."""
+        from openintel_tpu.models.retrievers import auto_prune_m
+
+        b = len(queries)
+        if b == 0:
+            z = lambda w: (  # noqa: E731 - tiny local shape helper
+                np.zeros((0, w), np.float32), np.full((0, w), -1, np.int32)
+            )
+            empty = SearchResult(ids=z(k)[1], scores=z(k)[0])
+            return empty, z(k), z(k)
+        k = min(k, self.n_docs)
+        c = min(candidates_per_arm or k, self.n_docs)
+        db = min(self.device_batch, max(b, 1))
+        db = -(-db // self.data_size) * self.data_size
+        pad = (-b) % db
+        nb = (b + pad) // db
+
+        if query_embeddings is None:
+            query_embeddings = self.embedder(list(queries))
+        q_np = np.asarray(query_embeddings, np.float32)
+        if pad:
+            q_np = np.concatenate(
+                [q_np, np.zeros((pad, q_np.shape[1]), np.float32)]
+            )
+        q8 = None
+        if self.kernel in ("int8", "int4"):
+            from openintel_tpu.ops.pallas.dense_topk import quantize_int8
+
+            q8 = jnp.asarray(quantize_int8(q_np))
+            q = jnp.asarray(q_np, jnp.float32)
+        else:
+            q = jnp.asarray(q_np, self._emb.dtype)
+
+        plan_index = plan_index if plan_index is not None else self.postings
+        if term_ids is None:
+            term_ids = [encode_query(plan_index, que) for que in queries]
+        else:
+            term_ids = list(term_ids)
+        term_ids += [[]] * pad
+        if max_postings_per_term is not None:
+            prune_m = max_postings_per_term
+        elif self.max_postings_per_term is not None:
+            prune_m = self.max_postings_per_term
+        else:
+            prune_m = auto_prune_m(self.n_docs, c)
+        pdi, pw, meta = shard_query_plans(
+            plan_index, term_ids, self.n_shards,
+            shard_size=self.shard_size,
+            max_postings_per_term=prune_m,
+            multi_budget=(
+                multi_budget
+                if multi_budget is not None
+                else max(self.multi_budget, c)
+            ),
+        )
+        pdi_d, pw_d = jnp.asarray(pdi), jnp.asarray(pw)
+        outs = [
+            sharded_hybrid_topk(
+                self.mesh, self._emb, q[lo : lo + db],
+                pdi_d[:, lo : lo + db], pw_d[:, lo : lo + db], k,
+                candidates_per_arm=c, rrf_k=self.rrf_k,
+                block_size=self.block_size, kernel=self.kernel,
+                presorted=meta.presorted, max_run=meta.max_terms,
+                interpret=self.interpret,
+                rescore=self._rescore,
+                queries_i8=q8[lo : lo + db] if q8 is not None else None,
+                n_docs_true=self.n_docs,
+                return_arms=True,
+            )
+            for lo in range(0, nb * db, db)
+        ]
+        cat = lambda i: np.concatenate(  # noqa: E731
+            [np.asarray(o[i]) for o in outs]
+        )[:b]
+        fused = self._postprocess(cat(0), cat(1), b, k)
+        return fused, (cat(2), cat(3)), (cat(4), cat(5))

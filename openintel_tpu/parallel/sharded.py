@@ -256,9 +256,17 @@ def sharded_hybrid_topk(
     rescore: Optional[jax.Array] = None,  # (N, D) rows, kernel="int8"
     queries_i8: Optional[jax.Array] = None,  # (B, D) int8, kernel="int8"
     n_docs_true: Optional[int] = None,  # pre-padding corpus size
-) -> tuple[jax.Array, jax.Array]:
+    return_arms: bool = False,
+) -> tuple[jax.Array, ...]:
     """Full hybrid query step, one device program: per-shard BM25 + dense
-    local top-c, ICI all-gather, global merges, RRF fusion, final top-k."""
+    local top-c, ICI all-gather, global merges, RRF fusion, final top-k.
+
+    ``return_arms`` additionally emits the globally-merged per-arm
+    rankings the fusion consumed — (fused_vals, fused_ids, bm25_vals,
+    bm25_ids, dense_vals, dense_ids) — at zero extra corpus work (they
+    exist inside the program either way). The sharded live corpus merges
+    them with its delta arms, paying ONE corpus-wide dispatch instead of
+    two (parallel/updatable.py)."""
     c = candidates_per_arm or k
     n_docs = _dense_n_docs(doc_emb, kernel)
     n_shards = mesh.shape[CORPUS_AXIS]
@@ -273,6 +281,7 @@ def sharded_hybrid_topk(
         mesh, shard_size, k, c, float(rrf_k), block_size, kernel,
         presorted, max_run, interpret,
         n_docs if n_docs_true is None else n_docs_true,
+        return_arms,
     )
     return f(doc_emb, queries, plan_doc_ids, plan_weights, rescore, queries_i8)
 
@@ -280,7 +289,7 @@ def sharded_hybrid_topk(
 @functools.lru_cache(maxsize=64)
 def _hybrid_program(
     mesh, shard_size, k, c, rrf_k, block_size, kernel, presorted, max_run,
-    interpret, n_docs_true,
+    interpret, n_docs_true, return_arms=False,
 ):
     """Build + JIT the full sharded hybrid program once per static config
     (per-batch re-tracing measured ~20x slower on the virtual mesh)."""
@@ -310,10 +319,19 @@ def _hybrid_program(
         d_ids_g = jax.lax.all_gather(d_gids, CORPUS_AXIS)
         b_vals_g = jax.lax.all_gather(b_vals, CORPUS_AXIS)
         b_ids_g = jax.lax.all_gather(b_gids, CORPUS_AXIS)
-        _, d_top = _merge_gathered(d_vals_g, d_ids_g, c)
-        _, b_top = _merge_gathered(b_vals_g, b_ids_g, c)
-        return rrf_fuse_device(b_top, d_top, k, rrf_k)
+        d_mvals, d_top = _merge_gathered(d_vals_g, d_ids_g, c)
+        b_mvals, b_top = _merge_gathered(b_vals_g, b_ids_g, c)
+        fused = rrf_fuse_device(b_top, d_top, k, rrf_k)
+        if not return_arms:
+            return fused
+        # per-arm padding keeps the single-arm contract: 0.0 at -1 ids
+        return (
+            *fused,
+            jnp.where(b_top < 0, 0.0, b_mvals), b_top,
+            jnp.where(d_top < 0, 0.0, d_mvals), d_top,
+        )
 
+    n_out = 6 if return_arms else 2
     return jax.jit(
         jax.shard_map(
             local,
@@ -326,7 +344,7 @@ def _hybrid_program(
                 P(CORPUS_AXIS, None),
                 P(DATA_AXIS, None),
             ),
-            out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+            out_specs=tuple([P(DATA_AXIS, None)] * n_out),
             check_vma=False,
         )
     )

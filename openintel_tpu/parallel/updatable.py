@@ -190,6 +190,40 @@ class ShardedUpdatableHybridRetriever(UpdatableHybridRetriever):
         ids[:n_real, :w] = res.ids
         return vals, ids
 
+    def _main_arms_ranked(
+        self, st: _Epoch, term_ids, q_np, q_dev, c: int, masks_main,
+        groups, unm_main, n_real: int, prune_m: int, mb: int,
+    ):
+        """Both main arms from ONE sharded dispatch: the fused hybrid
+        program already merges per-arm global rankings internally, so the
+        live-corpus hybrid pays one corpus-wide program instead of two.
+        Plans ride the combined-idf view with the combined-corpus prune
+        budget, so the arms are bit-identical to the single-arm hooks.
+        Filtered chunks (tombstones or user masks) return None — they
+        keep the two mask-aware dispatch paths."""
+        if masks_main is not None:
+            return None
+        del q_dev, unm_main, groups
+        b_chunk = len(q_np)
+        vals_z = np.zeros((b_chunk, c), np.float32)
+        ids_z = np.full((b_chunk, c), -1, np.int32)
+        if n_real == 0:
+            return vals_z, ids_z, vals_z.copy(), ids_z.copy()
+        _, (bv, bi), (dv, di) = st.base.search_with_arms(
+            [""] * n_real, k=c, candidates_per_arm=c,
+            query_embeddings=q_np[:n_real],
+            term_ids=[list(t) for t in term_ids[:n_real]],
+            plan_index=st.main_view,
+            max_postings_per_term=prune_m, multi_budget=mb,
+        )
+        out = []
+        for arr, z in ((bv, vals_z), (bi, ids_z), (dv, vals_z.copy()),
+                       (di, ids_z.copy())):
+            w = arr.shape[1]
+            z[:n_real, :w] = arr
+            out.append(z)
+        return tuple(out)
+
     def _single_segment_search(
         self, st: _Epoch, queries, k: int, *, candidates_per_arm,
         mode: str, masks, groups, query_embeddings,

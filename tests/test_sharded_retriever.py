@@ -634,3 +634,23 @@ def test_grouped_int8_sharded_no_leaks(corpus):
     for b in range(4):
         kept = res.ids[b][res.ids[b] >= 0]
         assert kept.size and np.all(masks[groups[b]][kept])
+
+
+def test_search_with_arms_parity(corpus, sharded):
+    """search_with_arms: the fused result equals search(), and each arm
+    ranking equals the corresponding single-arm mode — all from ONE
+    dispatch (the sharded live corpus's fused hybrid path)."""
+    docs, *_ = corpus
+    queries = synthetic_queries_from_docs(docs, 5, seed=21)
+    fused, (bv, bi), (dv, di) = sharded.search_with_arms(
+        queries, k=10, candidates_per_arm=20
+    )
+    want = sharded.search(queries, k=10, candidates_per_arm=20)
+    np.testing.assert_array_equal(fused.ids, want.ids)
+    np.testing.assert_allclose(fused.scores, want.scores, rtol=1e-6)
+    wb = sharded.search(queries, k=20, mode="bm25")
+    np.testing.assert_array_equal(bi, wb.ids)
+    np.testing.assert_allclose(bv, wb.scores, rtol=1e-5, atol=1e-6)
+    wd = sharded.search(queries, k=20, mode="dense")
+    np.testing.assert_array_equal(di, wd.ids)
+    np.testing.assert_allclose(dv, wd.scores, rtol=1e-5, atol=1e-6)
