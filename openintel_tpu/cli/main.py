@@ -1009,6 +1009,16 @@ def run_doctor(args) -> tuple[str, int]:
             "native tier: C++ tokenizer/postings/planner active "
             f"({native._SO.name})"
         )
+    elif native._SO.exists():
+        # a library is on disk but _load refused it: stale source-hash
+        # stamp (or missing symbols) — Python fallbacks serve identical
+        # results, slower; say WHICH state this is (advisor finding r3)
+        lines.append(
+            "native tier: STALE — libopenintel_native.so no longer "
+            "matches the .cpp sources (Python fallbacks active; rebuild "
+            "with `python -c \"from openintel_tpu import native; "
+            "native.build(force=True)\"`)"
+        )
     else:
         lines.append(
             "native tier: NOT built — Python fallbacks active "
