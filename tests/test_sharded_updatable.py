@@ -220,3 +220,47 @@ def test_concurrent_searches_during_sharded_updates(corpus, extra_docs):
         for t in threads:
             t.join(timeout=120)
     assert not errors, errors[:1]
+
+
+def test_unfiltered_live_hybrid_uses_fused_arms(corpus, extra_docs, monkeypatch):
+    """With a delta and NO tombstones, the hybrid must answer through the
+    ONE fused sharded dispatch (search_with_arms), never the two
+    single-arm main dispatches; with tombstones it must fall back to the
+    mask-aware paths (the fused program is unfiltered-only)."""
+    sharded, single = _pair(corpus)
+    sharded.add_documents(extra_docs)
+    single.add_documents(extra_docs)
+    docs, *_ = corpus
+    queries = synthetic_queries_from_docs(docs, 3, seed=95)
+
+    def forbid(name):
+        def _boom(*a, **k):
+            raise AssertionError(f"{name} must not run on the fused path")
+        return _boom
+
+    monkeypatch.setattr(sharded, "_main_bm25_ranked", forbid("bm25 hook"))
+    monkeypatch.setattr(sharded, "_main_dense_ranked", forbid("dense hook"))
+    got = sharded.search(queries, k=8, candidates_per_arm=16)
+    _assert_same(got, single.search(queries, k=8, candidates_per_arm=16))
+    monkeypatch.undo()
+
+    # tombstones -> masks_main exists -> the fused hook declines and the
+    # mask-aware single-arm hooks run
+    sharded.delete_ids([1])
+    single.delete_ids([1])
+    ran = {"bm25": 0, "dense": 0}
+    orig_b = type(sharded)._main_bm25_ranked
+    orig_d = type(sharded)._main_dense_ranked
+    monkeypatch.setattr(
+        sharded, "_main_bm25_ranked",
+        lambda *a, **k: (ran.__setitem__("bm25", ran["bm25"] + 1),
+                         orig_b(sharded, *a, **k))[1],
+    )
+    monkeypatch.setattr(
+        sharded, "_main_dense_ranked",
+        lambda *a, **k: (ran.__setitem__("dense", ran["dense"] + 1),
+                         orig_d(sharded, *a, **k))[1],
+    )
+    got = sharded.search(queries, k=8, candidates_per_arm=16)
+    _assert_same(got, single.search(queries, k=8, candidates_per_arm=16))
+    assert ran["bm25"] >= 1 and ran["dense"] >= 1
