@@ -20,6 +20,14 @@ Env: AB_REPS (default 6), AB_SAMPLE recall queries (default 128)
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO_ROOT not in _sys.path:
+    _sys.path.insert(0, _REPO_ROOT)  # allow `python scripts/<name>.py` from anywhere
+
+
 import functools
 import os
 import sys

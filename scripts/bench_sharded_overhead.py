@@ -27,6 +27,14 @@ Usage: python scripts/bench_sharded_overhead.py   (forces its own platform)
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO_ROOT not in _sys.path:
+    _sys.path.insert(0, _REPO_ROOT)  # allow `python scripts/<name>.py` from anywhere
+
+
 import json
 import os
 import re
