@@ -127,10 +127,16 @@ def main() -> int:
         )
 
     # One jitted scan per (arm, stage): candidates only / + exact rescore.
+    # rescore_op MUST be an explicit argument, not a closure capture: a
+    # closed-over device array becomes an HLO *constant*, and XLA copies the
+    # 1.92 GB literal through its passes — every earlier A/B attempt ground
+    # to ~20 GB RSS / tens of minutes of single-thread CPU at exactly this
+    # compile and never produced a measurement (bench.py passes rescore_op
+    # explicitly, which is why the same program compiles there in seconds).
     @functools.partial(
         jax.jit, static_argnames=("arm", "c", "bc", "full")
     )
-    def run(emb_op, q8b, qfb, arm, c, bc, full):
+    def run(emb_op, rescore_op, q8b, qfb, arm, c, bc, full):
         def body(acc, xs):
             q8, qf = xs
             if arm == "int8":
@@ -144,7 +150,7 @@ def main() -> int:
                     interpret=interpret,
                 )
             if full:
-                _, ids = exact_rescore(rescore_rows, qf, cids, k)
+                _, ids = exact_rescore(rescore_op, qf, cids, k)
             else:
                 ids = cids
             return acc + jnp.sum(ids), ids
@@ -152,12 +158,12 @@ def main() -> int:
         return jax.lax.scan(body, jnp.int32(0), (q8b, qfb))
 
     def timeit(emb_op, arm, c, bc, full):
-        acc, _ = run(emb_op, q8s, qfs, arm, c, bc, full)
+        acc, _ = run(emb_op, rescore_rows, q8s, qfs, arm, c, bc, full)
         _ = int(acc)  # compile + warm + force
         best = float("inf")
         for _ in range(reps):
             s = time.time()
-            acc, outs = run(emb_op, q8s, qfs, arm, c, bc, full)
+            acc, outs = run(emb_op, rescore_rows, q8s, qfs, arm, c, bc, full)
             _ = int(acc)
             best = min(best, time.time() - s)
         return best, outs
