@@ -53,6 +53,9 @@ class PostingsIndex:
     vocab: Vocab
     config: BM25Config
     impact_order: Optional[np.ndarray] = None  # (nnz,) int64, lazy
+    # max_m -> (offsets, doc_ids, impacts): per-term doc-sorted top-M view
+    # consumed by the C++ planner's emit phase (pruned_cache); lazy
+    _pruned_cache: Optional[dict] = None
 
     @property
     def nnz(self) -> int:
@@ -91,6 +94,50 @@ class PostingsIndex:
         lo, hi = int(self.term_offsets[term_id]), int(self.term_offsets[term_id + 1])
         sel = order[lo : min(hi, lo + max_m)]
         return self.doc_ids[sel], self.impact[sel]
+
+    def pruned_cache(
+        self, max_m: int
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Every term's top-``max_m``-by-impact postings, doc-ascending, as
+        one contiguous CSR triple (offsets (V+1,) i64, doc_ids i32,
+        impacts f32).
+
+        The C++ planner's emit phase reads a pruned term's contribution
+        straight from these slices (a linear copy) instead of three
+        dependent random gathers per posting through ``impact_order`` plus
+        a per-term sort — measured ~20% of plan-build cost at bench scale.
+        The selected SET per term is identical to :meth:`pruned_postings`
+        (same (-impact, doc) tie-breaking); only the emission order differs,
+        and plan rows are doc-sorted afterwards either way. Built once per
+        distinct ``max_m`` and memoized on the index."""
+        if self._pruned_cache is None:
+            self._pruned_cache = {}
+        hit = self._pruned_cache.get(max_m)
+        if hit is not None:
+            return hit
+        order = self.ensure_impact_order()
+        seg = np.diff(self.term_offsets).astype(np.int64)
+        take = np.minimum(seg, max_m)
+        offs = np.concatenate(
+            [np.zeros(1, np.int64), np.cumsum(take, dtype=np.int64)]
+        )
+        if self.nnz and offs[-1] > 0:
+            pos_in_seg = np.arange(self.nnz, dtype=np.int64) - np.repeat(
+                self.term_offsets[:-1].astype(np.int64), seg
+            )
+            sel = order[pos_in_seg < np.repeat(take, seg)]
+            docs = self.doc_ids[sel]
+            imps = self.impact[sel]
+            term_of = np.repeat(np.arange(seg.shape[0], dtype=np.int64), take)
+            o2 = np.lexsort((docs, term_of))
+            docs = np.ascontiguousarray(docs[o2], dtype=np.int32)
+            imps = np.ascontiguousarray(imps[o2], dtype=np.float32)
+        else:
+            docs = np.zeros(0, np.int32)
+            imps = np.zeros(0, np.float32)
+        out = (offs, docs, imps)
+        self._pruned_cache[max_m] = out
+        return out
 
 
 @dataclass

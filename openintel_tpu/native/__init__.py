@@ -114,6 +114,7 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         i64p, i32p, f32p, i64p, f32p, ctypes.c_int64,
         i32p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, u8p,
+        i64p, i32p, f32p,  # pruned cache (nullable): offsets, doc_ids, impacts
         i32p, f32p, ctypes.c_int64, i64p, ctypes.c_int64,
     ]
     lib.openintel_src_hash.restype = ctypes.c_char_p
@@ -271,6 +272,20 @@ def native_build_query_plan(
             raise ValueError(
                 f"doc_mask shape {mask_u8.shape} != ({index.n_docs},)"
             )
+    # Prebuilt doc-sorted top-M cache (index.pruned_cache): the planner's
+    # emit phase reads contiguous slices instead of random impact_order
+    # gathers (~20% of plan cost at bench scale). Building it costs one
+    # vectorized pass over the index, so gate on batches big enough to
+    # amortize; once built, every later call (any B) reuses it. Filtered
+    # plans can't use it (their top-M-unmasked selection differs).
+    p_offs = p_doc = p_imp = None
+    cached = getattr(index, "_pruned_cache", None)
+    if doc_mask is None and (
+        b >= 32 or (cached is not None and max_postings_per_term in cached)
+    ):
+        p_offs, p_doc, p_imp = index.pruned_cache(max_postings_per_term)
+        p_offs = np.ascontiguousarray(p_offs, dtype=np.int64)
+
     cap = int(t_max * (max_postings_per_term + multi_budget))
     while True:
         out_ids = np.full((b, cap), index.n_docs, dtype=np.int32)
@@ -289,6 +304,9 @@ def native_build_query_plan(
             max_postings_per_term,
             multi_budget,
             mask_u8.ctypes.data_as(u8p) if mask_u8 is not None else None,
+            p_offs.ctypes.data_as(i64p) if p_offs is not None else None,
+            p_doc.ctypes.data_as(i32p) if p_doc is not None else None,
+            p_imp.ctypes.data_as(f32p) if p_imp is not None else None,
             out_ids.ctypes.data_as(i32p),
             out_w.ctypes.data_as(f32p),
             cap,

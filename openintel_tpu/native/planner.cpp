@@ -24,6 +24,10 @@
 #include <thread>
 #include <vector>
 
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 struct MultiDoc {
@@ -61,6 +65,113 @@ inline int64_t gallop_lower_bound(const int32_t* a, int64_t lo, int64_t hi,
   return std::lower_bound(a + prev + 1, a + end, t) - a;
 }
 
+// One postings match discovered during pairwise intersection: doc `doc`
+// matches the query term with accumulation key `key` at global posting
+// index `pos`. `key` orders the later score accumulation (query-term order
+// with the largest list last — the reference accumulation order).
+struct Hit {
+  int64_t pos;
+  int32_t doc;
+  uint16_t key;
+};
+
+inline void emit_hits(int32_t doc, int64_t pos_a, uint16_t key_a,
+                      int64_t pos_b, uint16_t key_b, std::vector<Hit>& out) {
+  out.push_back(Hit{pos_a, doc, key_a});
+  out.push_back(Hit{pos_b, doc, key_b});
+}
+
+#if defined(__AVX512F__)
+// Vectorized sorted-i32 intersection of ids[alo, ahi) x ids[blo, bhi).
+// Block-pair scheme: compare a 16-lane block of `a` against all 16
+// rotations of a 16-lane block of `b` (covers every pair; rotations use
+// immediate-count valignd so the 16 compares are independent), then advance
+// the block whose max is <= the other's (elements left behind can never
+// match the other list's remaining elements, so no match is missed; doc ids
+// are unique within a postings list, so no match repeats). ~1-2
+// cycles/element vs ~8 for the scalar merge on the mispredict-heavy
+// comparable-size case. Matches are rare, so their position decode (a
+// 16-element scan of the b block) stays scalar off the hot path.
+inline void simd_intersect(const int32_t* ids, int64_t alo, int64_t ahi,
+                           int64_t blo, int64_t bhi, uint16_t key_a,
+                           uint16_t key_b, std::vector<Hit>& out) {
+  const int32_t* a = ids + alo;
+  const int32_t* b = ids + blo;
+  const int64_t na = ahi - alo, nb = bhi - blo;
+  int64_t i = 0, j = 0;
+  while (i + 16 <= na && j + 16 <= nb) {
+    const __m512i va = _mm512_loadu_si512(a + i);
+    const __m512i vb = _mm512_loadu_si512(b + j);
+    __mmask16 m = _mm512_cmpeq_epi32_mask(va, vb);
+#define OPENINTEL_ROT_CMP(r) \
+  m |= _mm512_cmpeq_epi32_mask(va, _mm512_alignr_epi32(vb, vb, r));
+    OPENINTEL_ROT_CMP(1) OPENINTEL_ROT_CMP(2) OPENINTEL_ROT_CMP(3)
+    OPENINTEL_ROT_CMP(4) OPENINTEL_ROT_CMP(5) OPENINTEL_ROT_CMP(6)
+    OPENINTEL_ROT_CMP(7) OPENINTEL_ROT_CMP(8) OPENINTEL_ROT_CMP(9)
+    OPENINTEL_ROT_CMP(10) OPENINTEL_ROT_CMP(11) OPENINTEL_ROT_CMP(12)
+    OPENINTEL_ROT_CMP(13) OPENINTEL_ROT_CMP(14) OPENINTEL_ROT_CMP(15)
+#undef OPENINTEL_ROT_CMP
+    while (m) {
+      const int lane = __builtin_ctz(m);
+      m &= m - 1;
+      const int32_t d = a[i + lane];
+      // b's position: the match is inside the current b block by
+      // construction (the mask came from comparing these two blocks)
+      const int32_t* bp = std::lower_bound(b + j, b + j + 16, d);
+      emit_hits(d, alo + i + lane, key_a, blo + (bp - b), key_b, out);
+    }
+    const int32_t amax = a[i + 15], bmax = b[j + 15];
+    i += (amax <= bmax) ? 16 : 0;
+    j += (bmax <= amax) ? 16 : 0;
+  }
+  // scalar tail
+  while (i < na && j < nb) {
+    const int32_t x = a[i], y = b[j];
+    if (x == y) emit_hits(x, alo + i, key_a, blo + j, key_b, out);
+    i += (x <= y);
+    j += (y <= x);
+  }
+}
+#endif
+
+// Matches between the ascending ranges ids[alo, ahi) and ids[blo, bhi),
+// appended to `out` as one Hit PER SIDE (doc, key, global posting index).
+// Adaptive: comparable sizes take a vectorized (or mostly-branchless
+// scalar) merge; skewed sizes gallop the smaller list's elements through
+// the larger with a monotonic forward cursor.
+void intersect_ranges(const int32_t* ids, int64_t alo, int64_t ahi,
+                      int64_t blo, int64_t bhi, uint16_t key_a, uint16_t key_b,
+                      std::vector<Hit>& out) {
+  int64_t na = ahi - alo, nb = bhi - blo;
+  if (na > nb) {
+    std::swap(alo, blo);
+    std::swap(ahi, bhi);
+    std::swap(na, nb);
+    std::swap(key_a, key_b);
+  }
+  if (na == 0) return;
+  if (nb / na >= 24) {
+    int64_t cur = blo;
+    for (int64_t i = alo; i < ahi; ++i) {
+      cur = gallop_lower_bound(ids, cur, bhi, ids[i]);
+      if (cur >= bhi) return;
+      if (ids[cur] == ids[i]) emit_hits(ids[i], i, key_a, cur, key_b, out);
+    }
+    return;
+  }
+#if defined(__AVX512F__)
+  simd_intersect(ids, alo, ahi, blo, bhi, key_a, key_b, out);
+#else
+  int64_t i = alo, j = blo;
+  while (i < ahi && j < bhi) {
+    const int32_t a = ids[i], b = ids[j];
+    if (a == b) emit_hits(a, i, key_a, j, key_b, out);
+    i += (a <= b);
+    j += (b <= a);
+  }
+#endif
+}
+
 // Builds plans for queries [b_lo, b_hi); returns max width or -(needed).
 // `doc_mask` (nullable, n_docs bytes, 1 = eligible) builds the FILTERED
 // plan with the NumPy reference's semantics (ops/bm25.py::build_query_plan
@@ -76,14 +187,20 @@ int64_t plan_build_range(const int64_t* term_offsets, const int32_t* doc_ids,
                          const int32_t* q_terms, int64_t b_lo, int64_t b_hi,
                          int64_t T, int64_t max_m, int64_t multi_budget,
                          const uint8_t* doc_mask,
+                         const int64_t* pruned_offsets,
+                         const int32_t* pruned_doc_ids,
+                         const float* pruned_impact,
                          int32_t* out_ids, float* out_w, int64_t cap,
                          int64_t* out_widths) {
   std::vector<int32_t> terms;
   std::vector<int32_t> qtf;
-  std::vector<int64_t> cursor;
   std::vector<std::pair<int32_t, float>> row;
   std::vector<std::pair<int32_t, float>> seg;
+  std::vector<int32_t> seg_doc;
+  std::vector<float> seg_imp;
   std::vector<int32_t> multi_sorted;
+  std::vector<Hit> hits;
+  std::vector<double> key_w;
   int64_t max_width = 0;
 
   for (int64_t b = b_lo; b < b_hi; ++b) {
@@ -122,69 +239,77 @@ int64_t plan_build_range(const int64_t* term_offsets, const int32_t* doc_ids,
     }
 
     if (prune && nt > 1 && multi_budget > 0) {
-      // Exact scores of multi-term docs. Every multi-term doc appears in at
-      // least one NON-largest list, so it suffices to k-way merge the
-      // smaller nt-1 lists and binary-search each union doc in the largest —
-      // O(sum small dfs * (T + log df_max)) instead of O(df_max * T), a big
-      // win on the common skewed query (one stop-wordy term + rare terms).
+      // Exact top-`multi_budget` docs matching >= 2 distinct query terms,
+      // by TRUE score. Two phases (replacing the previous k-way union walk,
+      // which paid ~30 cycles/doc on the ~95% of union docs matching only
+      // ONE term — measured 0.47 of the 0.51 ms/query planner cost at
+      // bench scale):
+      //   1. candidate docs = union of all pairwise postings intersections
+      //      (cheap: a tight merge / gallop per pair, no scoring, no heap);
+      //   2. exact-score ONLY the candidates with per-term galloping
+      //      forward cursors (candidates are few: random co-occurrence
+      //      makes |intersections| << |union|).
+      // Scores accumulate in the SAME order as before (small terms in
+      // query-term order, the largest list last) so near-tie selection at
+      // the budget boundary is bit-identical to the NumPy reference path.
       size_t big = 0;
       for (size_t j = 1; j < nt; ++j) {
         if (term_offsets[terms[j] + 1] - term_offsets[terms[j]] >
             term_offsets[terms[big] + 1] - term_offsets[terms[big]])
           big = j;
       }
-      const int64_t big_lo = term_offsets[terms[big]];
-      const int64_t big_hi = term_offsets[terms[big] + 1];
-      const double big_w =
-          static_cast<double>(idf[terms[big]]) * qtf[big];
-
-      cursor.assign(nt, 0);
-      int64_t big_cur = big_lo;
+      // accumulation-order keys: query-term order, the largest list last
+      // (matching the reference paths); per-key weights idf * qtf
+      key_w.assign(nt + 1, 0.0);
+      const uint16_t big_key = static_cast<uint16_t>(nt);
+      for (size_t j = 0; j < nt; ++j) {
+        const uint16_t key =
+            (j == big) ? big_key : static_cast<uint16_t>(j);
+        key_w[key] = static_cast<double>(idf[terms[j]]) * qtf[j];
+      }
+      hits.clear();
+      for (size_t i = 0; i + 1 < nt; ++i) {
+        const uint16_t ki = (i == big) ? big_key : static_cast<uint16_t>(i);
+        for (size_t j = i + 1; j < nt; ++j) {
+          const uint16_t kj =
+              (j == big) ? big_key : static_cast<uint16_t>(j);
+          intersect_ranges(doc_ids, term_offsets[terms[i]],
+                           term_offsets[terms[i] + 1], term_offsets[terms[j]],
+                           term_offsets[terms[j] + 1], ki, kj, hits);
+        }
+      }
+      // hits -> per-doc exact scores: sort by (doc, key), dedup the
+      // (doc, key) repeats (the same match rediscovered via another pair —
+      // identical pos by postings uniqueness), accumulate each run in key
+      // order (the reference order), keep the top-B in the bounded heap.
+      std::sort(hits.begin(), hits.end(), [](const Hit& x, const Hit& y) {
+        if (x.doc != y.doc) return x.doc < y.doc;
+        return x.key < y.key;
+      });
       std::priority_queue<MultiDoc, std::vector<MultiDoc>, WorstFirst> heap;
-      for (;;) {
-        int32_t m = INT32_MAX;
-        for (size_t j = 0; j < nt; ++j) {
-          if (j == big) continue;
-          int64_t lo = term_offsets[terms[j]] + cursor[j];
-          if (lo < term_offsets[terms[j] + 1]) m = std::min(m, doc_ids[lo]);
-        }
-        if (m == INT32_MAX) break;
-        // a masked doc can never enter the plan: advance the cursors but
-        // skip the score accumulation and the big-list binary search
-        const bool eligible = doc_mask == nullptr || doc_mask[m];
-        int matched = 0;
+      for (size_t h = 0; h < hits.size();) {
+        const int32_t m = hits[h].doc;
         double score = 0.0;
-        for (size_t j = 0; j < nt; ++j) {
-          if (j == big) continue;
-          int64_t lo = term_offsets[terms[j]] + cursor[j];
-          if (lo < term_offsets[terms[j] + 1] && doc_ids[lo] == m) {
-            if (eligible)
-              score += static_cast<double>(impact[lo]) *
-                       static_cast<double>(idf[terms[j]]) * qtf[j];
-            cursor[j]++;
-            matched++;
-          }
+        uint32_t prev_key = UINT32_MAX;
+        size_t e = h;
+        for (; e < hits.size() && hits[e].doc == m; ++e) {
+          if (hits[e].key == prev_key) continue;
+          prev_key = hits[e].key;
+          score += static_cast<double>(impact[hits[e].pos]) *
+                   key_w[hits[e].key];
         }
-        if (!eligible) continue;
-        // membership in the largest list: union docs m arrive ascending,
-        // so a galloping forward cursor replaces the from-scratch binary
-        // search (the skewed-df hot path — docs/operations.md)
-        big_cur = gallop_lower_bound(doc_ids, big_cur, big_hi, m);
-        if (big_cur < big_hi && doc_ids[big_cur] == m) {
-          score += static_cast<double>(impact[big_cur]) * big_w;
-          matched++;
-        }
-        if (matched >= 2) {
-          MultiDoc cand{score, m};
-          if (static_cast<int64_t>(heap.size()) < multi_budget) {
-            heap.push(cand);
-          } else {
-            const MultiDoc& worst = heap.top();
-            if (cand.score > worst.score ||
-                (cand.score == worst.score && cand.doc < worst.doc)) {
-              heap.pop();
-              heap.push(cand);
-            }
+        h = e;
+        // a masked doc can never enter the plan
+        if (doc_mask != nullptr && !doc_mask[m]) continue;
+        MultiDoc md{score, m};
+        if (static_cast<int64_t>(heap.size()) < multi_budget) {
+          heap.push(md);
+        } else {
+          const MultiDoc& worst = heap.top();
+          if (md.score > worst.score ||
+              (md.score == worst.score && md.doc < worst.doc)) {
+            heap.pop();
+            heap.push(md);
           }
         }
       }
@@ -207,46 +332,68 @@ int64_t plan_build_range(const int64_t* term_offsets, const int32_t* doc_ids,
             row.emplace_back(doc_ids[p], impact[p] * w);
         continue;
       }
-      // top-M by impact (order array is (-impact, doc)-sorted per segment,
-      // and its values are GLOBAL posting indices) — emit (doc, impact)
-      // DIRECTLY from the order walk, never touching the other df - M
-      // postings. The old merged walk over the full segment was O(df) per
-      // pruned term, which made stop-wordy terms (df in the 100k s) the
-      // planner's dominant cost; this is O(M log M + |multi| log df).
-      // Under a mask: the first M UNMASKED entries of the impact walk.
-      seg.clear();
-      if (doc_mask == nullptr) {
-        for (int64_t p = 0; p < max_m; ++p) {
-          const int64_t idx = impact_order[lo + p];
-          seg.emplace_back(doc_ids[idx], impact[idx]);
-        }
+      // top-M by impact. Fast path: the prebuilt doc-sorted pruned cache
+      // (index.pruned_cache — one contiguous (doc, impact) slice per term,
+      // same (-impact, doc) top-M selection), a linear copy. Fallback (no
+      // cache, or under a mask where the top-M *unmasked* selection
+      // differs): walk the impact-order permutation — (order array is
+      // (-impact, doc)-sorted per segment, values are GLOBAL posting
+      // indices) — never touching the other df - M postings, then doc-sort.
+      const int32_t* sdoc;
+      const float* simp;
+      int64_t scnt;
+      if (pruned_offsets != nullptr && doc_mask == nullptr) {
+        const int64_t plo = pruned_offsets[t];
+        sdoc = pruned_doc_ids + plo;
+        simp = pruned_impact + plo;
+        scnt = pruned_offsets[t + 1] - plo;
       } else {
-        for (int64_t p = 0;
-             p < df && static_cast<int64_t>(seg.size()) < max_m; ++p) {
-          const int64_t idx = impact_order[lo + p];
-          if (doc_mask[doc_ids[idx]]) seg.emplace_back(doc_ids[idx], impact[idx]);
+        seg.clear();
+        if (doc_mask == nullptr) {
+          for (int64_t p = 0; p < max_m; ++p) {
+            const int64_t idx = impact_order[lo + p];
+            seg.emplace_back(doc_ids[idx], impact[idx]);
+          }
+        } else {
+          // under a mask: the first M UNMASKED entries of the impact walk
+          for (int64_t p = 0;
+               p < df && static_cast<int64_t>(seg.size()) < max_m; ++p) {
+            const int64_t idx = impact_order[lo + p];
+            if (doc_mask[doc_ids[idx]])
+              seg.emplace_back(doc_ids[idx], impact[idx]);
+          }
         }
+        std::sort(seg.begin(), seg.end(),
+                  [](const std::pair<int32_t, float>& x,
+                     const std::pair<int32_t, float>& y) {
+                    return x.first < y.first;
+                  });
+        seg_doc.resize(seg.size());
+        seg_imp.resize(seg.size());
+        for (size_t p = 0; p < seg.size(); ++p) {
+          seg_doc[p] = seg[p].first;
+          seg_imp[p] = seg[p].second;
+        }
+        sdoc = seg_doc.data();
+        simp = seg_imp.data();
+        scnt = static_cast<int64_t>(seg_doc.size());
       }
-      std::sort(seg.begin(), seg.end(),
-                [](const std::pair<int32_t, float>& x,
-                   const std::pair<int32_t, float>& y) {
-                  return x.first < y.first;
-                });
       // union in the forced multi docs this term also matches: both lists
       // ascending -> one walk; docs already in the top-M are skipped
       // (same one-entry-per-(term, doc) multiset as the old merged walk),
       // absent docs gallop past. multi_sorted is already mask-filtered.
-      size_t a = 0;
+      int64_t a = 0;
       int64_t pcur = lo;
       for (size_t c = 0; c < multi_sorted.size(); ++c) {
         const int32_t d = multi_sorted[c];
-        while (a < seg.size() && seg[a].first < d) ++a;
-        if (a < seg.size() && seg[a].first == d) continue;  // in top-M
+        while (a < scnt && sdoc[a] < d) ++a;
+        if (a < scnt && sdoc[a] == d) continue;  // in top-M
         pcur = gallop_lower_bound(doc_ids, pcur, hi, d);
         if (pcur < hi && doc_ids[pcur] == d)
           row.emplace_back(d, impact[pcur] * w);
       }
-      for (const auto& e : seg) row.emplace_back(e.first, e.second * w);
+      for (int64_t p = 0; p < scnt; ++p)
+        row.emplace_back(sdoc[p], simp[p] * w);
     }
 
     std::sort(row.begin(), row.end(),
@@ -283,6 +430,9 @@ int64_t plan_build_masked(const int64_t* term_offsets, const int32_t* doc_ids,
                           const int32_t* q_terms, int64_t B, int64_t T,
                           int64_t max_m, int64_t multi_budget,
                           const uint8_t* doc_mask,
+                          const int64_t* pruned_offsets,
+                          const int32_t* pruned_doc_ids,
+                          const float* pruned_impact,
                           int32_t* out_ids, float* out_w, int64_t cap,
                           int64_t* out_widths, int64_t n_threads) {
   if (n_threads <= 0) {
@@ -293,8 +443,9 @@ int64_t plan_build_masked(const int64_t* term_offsets, const int32_t* doc_ids,
   if (n_threads == 1) {
     return plan_build_range(term_offsets, doc_ids, impact, impact_order, idf,
                             n_terms_vocab, q_terms, 0, B, T, max_m,
-                            multi_budget, doc_mask, out_ids, out_w, cap,
-                            out_widths);
+                            multi_budget, doc_mask, pruned_offsets,
+                            pruned_doc_ids, pruned_impact, out_ids, out_w,
+                            cap, out_widths);
   }
   std::vector<int64_t> results(n_threads, 0);
   std::vector<std::thread> workers;
@@ -306,7 +457,9 @@ int64_t plan_build_masked(const int64_t* term_offsets, const int32_t* doc_ids,
       results[w] = plan_build_range(term_offsets, doc_ids, impact,
                                     impact_order, idf, n_terms_vocab, q_terms,
                                     lo, hi, T, max_m, multi_budget, doc_mask,
-                                    out_ids, out_w, cap, out_widths);
+                                    pruned_offsets, pruned_doc_ids,
+                                    pruned_impact, out_ids, out_w, cap,
+                                    out_widths);
     });
   }
   for (auto& t : workers) t.join();
@@ -328,8 +481,8 @@ int64_t plan_build(const int64_t* term_offsets, const int32_t* doc_ids,
                    int64_t* out_widths, int64_t n_threads) {
   return plan_build_masked(term_offsets, doc_ids, impact, impact_order, idf,
                            n_terms_vocab, q_terms, B, T, max_m, multi_budget,
-                           nullptr, out_ids, out_w, cap, out_widths,
-                           n_threads);
+                           nullptr, nullptr, nullptr, nullptr, out_ids, out_w,
+                           cap, out_widths, n_threads);
 }
 
 // Source-hash stamp: build() passes -DOPENINTEL_SRC_HASH="<sha256 of the
