@@ -106,11 +106,24 @@ class CrossEncoderReranker:
         queries: Sequence[str],
         candidate_texts: Sequence[Sequence[str]],
         candidate_ids: np.ndarray,  # (B, k) first-stage ids (-1 padded)
+        first_stage_weight: float = 0.0,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Re-score and re-order first-stage candidates.
 
         Returns (scores (B, k), ids (B, k)) sorted by reranker score
-        descending; -1-padded slots stay at the tail."""
+        descending; -1-padded slots stay at the tail.
+
+        ``first_stage_weight`` in [0, 1] interpolates the cross-encoder's
+        per-row z-scored output with the first stage's (z-scored)
+        reciprocal-rank prior — candidate_ids arrive first-stage-sorted,
+        so position IS the first-stage rank. 0 = pure cross-encoder
+        (this method's default: unit-testable in isolation); the
+        production composition (rerank_search_result) defaults to 0.5,
+        the measured-best two-stage blend (docs/benchmarks.md "Reranker
+        uplift"): the cross-encoder sees only a 32-token slate and cannot
+        recover corpus statistics (IDF, length norm) from it, so keeping
+        the first stage's evidence in the final score is what turns the
+        reranker from ranking-destroying to ranking-improving."""
         b = len(queries)
         k = candidate_ids.shape[1]
         counts = [len(c) for c in candidate_texts]
@@ -139,6 +152,15 @@ class CrossEncoderReranker:
             for i, c in enumerate(counts):
                 s[i, :c] = flat[lo : lo + c]
                 lo += c
+        if first_stage_weight > 0.0:
+            real = np.isfinite(s) & (np.asarray(candidate_ids) >= 0)
+            masked = np.where(real, s, np.nan)
+            mu = np.nanmean(masked, axis=1, keepdims=True)
+            sd = np.nanstd(masked, axis=1, keepdims=True) + 1e-9
+            z = (s - mu) / sd
+            prior = 1.0 / (np.arange(k, dtype=s.dtype) + 1.0)
+            prior = (prior - prior.mean()) / (prior.std() + 1e-9)
+            s = (1.0 - first_stage_weight) * z + first_stage_weight * prior
         s = np.where(candidate_ids >= 0, s, -np.inf)  # padding stays last
         order = np.argsort(-s, axis=1, kind="stable")
         out_ids = np.take_along_axis(candidate_ids, order, axis=1)
@@ -146,18 +168,27 @@ class CrossEncoderReranker:
         return np.where(np.isfinite(out_s), out_s, 0.0), out_ids
 
 
-def rerank_search_result(rr, queries: Sequence[str], res, docs: Sequence[str]):
+def rerank_search_result(
+    rr,
+    queries: Sequence[str],
+    res,
+    docs: Sequence[str],
+    first_stage_weight: float = 0.5,
+):
     """Second-stage rerank of a first-stage SearchResult against the docs
     sidecar — the one shared implementation behind CLI ``search --rerank``
     and MCP ``search_corpus`` (duplicating the candidate-text gathering in
-    each surface let them drift)."""
+    each surface let them drift). ``first_stage_weight=0.5`` is the
+    measured-best two-stage blend (see CrossEncoderReranker.rerank)."""
     from openintel_tpu.models.retrievers import SearchResult
 
     cand_texts = [
         [docs[int(d)] if 0 <= d < len(docs) else "" for d in res.ids[i]]
         for i in range(len(queries))
     ]
-    scores, ids = rr.rerank(queries, cand_texts, res.ids)
+    scores, ids = rr.rerank(
+        queries, cand_texts, res.ids, first_stage_weight=first_stage_weight
+    )
     return SearchResult(ids=ids, scores=scores)
 
 
@@ -199,9 +230,25 @@ def train_reranker(
     synonym_map: Optional[dict] = None,  # query-side vocab mismatch
     flip_p: float = 0.5,
     init_trunk: Optional[dict] = None,  # warm-start (e.g. trained encoder)
+    hard_negatives: bool = True,
 ):
     """Self-supervised listwise training: for each sampled doc, the query is
-    a token subset; candidates = [positive, k-1 random negatives].
+    a token subset; candidates = [positive, k-1 negatives].
+
+    ``hard_negatives`` (default) mines negatives from documents SHARING
+    query tokens with the positive (a host inverted index over the corpus,
+    sampled with multiplicity so docs matching several query terms — the
+    hardest — are favoured). This matches the reranker's deployment
+    distribution: at serving time every candidate it scores came out of
+    first-stage retrieval and therefore overlaps the query. A reranker
+    trained on RANDOM negatives only learns "any overlap => relevant",
+    which cannot order a first-stage top-k and measurably *destroys* the
+    ranking it reorders (docs/benchmarks.md "Reranker uplift": MRR@10
+    0.52 -> 0.22 with random negatives, measured before this default).
+    At most half the slate is hard; random negatives fill the rest, so
+    the model keeps learning that overlap matters at all (the standard
+    mixed-negative recipe — all-hard slates collapse at small scale).
+
     ``synonym_map`` trains under vocabulary mismatch (same semantics as
     models/train.py::make_pairs). ``init_trunk`` warm-starts the trunk
     from an already-trained encoder's params (the standard bi-encoder ->
@@ -231,6 +278,13 @@ def train_reranker(
         return optax.apply_updates(tr, updates), opt_state, loss
 
     rng = np.random.default_rng(seed)
+    postings: Optional[dict] = None
+    if hard_negatives:
+        # token -> doc ids containing it; one host pass over the corpus
+        postings = {}
+        for i, t in enumerate(texts):
+            for tok in set(t.split()):
+                postings.setdefault(tok, []).append(i)
     losses = []
     for _ in range(steps):
         queries, cands = [], []
@@ -240,9 +294,39 @@ def train_reranker(
             take = max(1, min(len(toks), int(rng.integers(1, 5))))
             chosen = list(rng.choice(toks, size=take, replace=False))
             if synonym_map:
-                chosen = flip_tokens(chosen, synonym_map, flip_p, rng)
-            queries.append(" ".join(chosen))
-            negs = []
+                # mine on the ORIGINAL surface (documents never carry the
+                # synonym surface), flip only the rendered query
+                queries.append(
+                    " ".join(flip_tokens(chosen, synonym_map, flip_p, rng))
+                )
+            else:
+                queries.append(" ".join(chosen))
+            negs: list = []
+            seen = {pos}
+            if postings is not None and len(set(chosen)) >= 2:
+                # single-token queries are excluded: a "hard negative"
+                # containing the whole query is a false negative — pure
+                # label noise. Same reason a multi-token full match (every
+                # query token present) is skipped below.
+                pool = []
+                for tok in chosen:
+                    pool.extend(postings.get(tok, ()))
+                pool = np.asarray(pool, dtype=np.int64)
+                qset = set(chosen)
+                if pool.size:
+                    # with-replacement draw keeps multiplicity: a doc
+                    # matching several query terms is proportionally more
+                    # likely — the first-stage-top-k-like hard negative
+                    for d in rng.choice(pool, size=min(pool.size, 8 * k)):
+                        d = int(d)
+                        if len(negs) >= (k - 1 + 1) // 2:
+                            break  # at most half the slate is hard
+                        if d in seen or texts[d] == texts[pos]:
+                            continue
+                        seen.add(d)
+                        if qset <= set(texts[d].split()):
+                            continue  # full match: potential false negative
+                        negs.append(texts[d])
             for _ in range(20 * k):  # bounded: degenerate corpora can't hang
                 if len(negs) >= k - 1:
                     break

@@ -46,13 +46,20 @@ def main() -> None:
     ap.add_argument("--n-docs", type=int, default=100_000)
     ap.add_argument("--n-concepts", type=int, default=2000)
     ap.add_argument("--steps", type=int, default=4000)
-    ap.add_argument("--rerank-steps", type=int, default=600)
+    ap.add_argument("--rerank-steps", type=int, default=3000)
     ap.add_argument("--batch", type=int, default=96)
     ap.add_argument("--lr", type=float, default=1.5e-3)
     ap.add_argument("--dim", type=int, default=128)
     ap.add_argument("--queries", type=int, default=500)
     ap.add_argument("--ckpt-dir", default="/tmp/encoder_quality_ckpt")
     ap.add_argument("--out", default=None, help="results JSON path")
+    ap.add_argument(
+        "--rerank-only",
+        action="store_true",
+        help="skip the 6-arm retrieval tables (keep the existing JSON's) "
+        "and re-measure only the reranker uplift — the cheap iteration "
+        "loop for reranker-training changes",
+    )
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -103,7 +110,17 @@ def main() -> None:
         "encoder_step": res.step,
         "tables": {},
     }
-    for dist, flip in (("exact", 0.0), ("mismatch", 1.0)):
+    out_path = Path(
+        args.out
+        or Path(__file__).parent.parent / "docs" / "encoder_quality.json"
+    )
+    if args.rerank_only and out_path.exists():
+        results["tables"] = json.loads(out_path.read_text()).get(
+            "tables", {}
+        )
+        log("rerank-only: retrieval tables carried from existing JSON")
+    for dist, flip in (() if args.rerank_only else (
+        ("exact", 0.0), ("mismatch", 1.0))):
         qrels = synthetic_qrels(
             docs, args.queries, seed=43, terms_per_query=4,
             synonym_map=syn, flip_p=flip,
@@ -169,10 +186,6 @@ def main() -> None:
         f"{rer.recall_at_k:.3f}"
     )
 
-    out_path = Path(
-        args.out
-        or Path(__file__).parent.parent / "docs" / "encoder_quality.json"
-    )
     out_path.write_text(json.dumps(results, indent=2))
     log(f"wrote {out_path}")
 

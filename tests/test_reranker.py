@@ -29,26 +29,32 @@ def test_rerank_shapes_and_padding_last():
 
 
 def test_training_reduces_listwise_loss():
-    """Compare a FIXED eval batch before vs after training (running losses
-    are stochastic-batch noisy at this scale)."""
-    import jax
-
-    from openintel_tpu.models.reranker import listwise_loss
-
-    rr0 = CrossEncoderReranker(CFG, seed=1)
-    queries = ["quick brown fox", "lazy dogs sun", "calls puts yolo"]
-    cands = [
-        [TEXTS[0], TEXTS[3], TEXTS[5]],
-        [TEXTS[1], TEXTS[2], TEXTS[4]],
-        [TEXTS[2], TEXTS[0], TEXTS[3]],
-    ]
-    ids, mask = rr0.encode_pairs(queries, cands)
-    l0 = float(listwise_loss(rr0.params, rr0.head, CFG, ids, mask, 3))
-    rr, _ = train_reranker(
-        TEXTS, CFG, steps=20, k=3, batch_queries=6, lr=3e-3, seed=1
+    """Window means of the running training loss (single fixed eval
+    batches are noise-dominated at this 6-doc scale, especially under
+    the mixed hard/random negative distribution)."""
+    rr, losses = train_reranker(
+        TEXTS, CFG, steps=60, k=3, batch_queries=6, lr=3e-3, seed=1
     )
-    l1 = float(listwise_loss(rr.params, rr.head, CFG, ids, mask, 3))
-    assert l1 < l0, (l0, l1)
+    first, last = np.mean(losses[:15]), np.mean(losses[-15:])
+    assert last < first - 0.05, (first, last)
+
+
+def test_first_stage_blend_prior():
+    """first_stage_weight=1.0 must reproduce the first-stage order exactly
+    (the reciprocal-rank prior dominates); 0.0 is the pure cross-encoder.
+    Padding stays at the tail in both."""
+    rr = CrossEncoderReranker(CFG, seed=3)
+    ids = np.array([[7, 3, 9, -1]])
+    cands = [[TEXTS[1], TEXTS[2], TEXTS[4], ""]]
+    _, out_prior = rr.rerank(["lazy dogs"], cands, ids, first_stage_weight=1.0)
+    assert out_prior[0].tolist() == [7, 3, 9, -1]
+    scores, out_pure = rr.rerank(["lazy dogs"], cands, ids)
+    assert out_pure[0, 3] == -1  # padding last regardless of blend
+    # half blend is a strict interpolation: it can only produce orders
+    # between the two extremes; sanity-check it runs and pads correctly
+    _, out_half = rr.rerank(["lazy dogs"], cands, ids, first_stage_weight=0.5)
+    assert out_half[0, 3] == -1
+    assert set(out_half[0, :3].tolist()) == {7, 3, 9}
 
 
 def test_trained_reranker_prefers_positive():

@@ -503,7 +503,7 @@ def test_reranker_composes_with_updatable():
     upd.add_documents(["fresh topic1 addendum"])
 
     class FakeReranker:  # identity scores: proves the plumbing only
-        def rerank(self, queries, cand_texts, ids):
+        def rerank(self, queries, cand_texts, ids, first_stage_weight=0.0):
             scores = np.array(
                 [
                     [float(len(t)) for t in row]  # longer text ranks higher
