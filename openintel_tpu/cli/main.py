@@ -221,6 +221,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--encoder", default=None,
                    help="embed with a trained encoder checkpoint dir")
+    p.add_argument(
+        "--rerank", default=None, metavar="CKPT",
+        help="also evaluate the two-stage path (hybrid top-2k -> "
+        "cross-encoder blend rerank -> top-k) with this reranker "
+        "checkpoint dir, reported as the 'rerank' row next to the "
+        "first-stage rows — the uplift measurement",
+    )
     p.add_argument("--dim", type=int, default=384)
     p.add_argument(
         "--kernel", choices=["auto", "xla", "pallas", "fast", "int8", "int4"],
@@ -952,6 +959,27 @@ def run_evaluate(args) -> tuple[str, int]:
         texts, qrels, k=args.k, modes=modes, embedder=embedder, dim=args.dim,
         kernel=kernel_from_flag(getattr(args, "kernel", "auto")),
     )
+    if getattr(args, "rerank", None):
+        from openintel_tpu.models.eval import evaluate_retriever
+        from openintel_tpu.models.reranker import (
+            RerankedRetriever,
+            load_reranker,
+        )
+        from openintel_tpu.models.retrievers import HybridRetriever
+
+        first = HybridRetriever.build(
+            texts, dim=args.dim, embedder=embedder,
+            kernel=kernel_from_flag(getattr(args, "kernel", "auto")),
+        )
+        two_stage = RerankedRetriever(load_reranker(args.rerank), first, texts)
+        r = evaluate_retriever(two_stage, qrels, k=args.k, mode="hybrid")
+        results = list(results) + [
+            type(r)(
+                mode="rerank", k=r.k, n_queries=r.n_queries,
+                recall_at_k=r.recall_at_k, mrr_at_k=r.mrr_at_k,
+                hit_rate=r.hit_rate,
+            )
+        ]
     if args.format == "json":
         return json.dumps([r.to_dict() for r in results], indent=2), 0
     lines = [

@@ -192,6 +192,40 @@ def rerank_search_result(
     return SearchResult(ids=ids, scores=scores)
 
 
+class RerankedRetriever:
+    """Two-stage composition behind CLI ``search --rerank``, ``evaluate
+    --rerank`` and the quality experiments: first-stage top-``2k`` (with a
+    widened candidate pool) -> cross-encoder blend rerank -> top-``k``.
+    Duck-types the SearchResult ``search`` surface so the eval harness and
+    coalescer treat it like any retriever."""
+
+    def __init__(
+        self,
+        rr: CrossEncoderReranker,
+        first,
+        docs: Sequence[str],
+        first_stage_weight: float = 0.5,
+    ):
+        self.rr = rr
+        self.first = first
+        self.docs = docs
+        self.first_stage_weight = first_stage_weight
+
+    def search(self, queries: Sequence[str], k: int = 10, **kw):
+        from openintel_tpu.models.retrievers import SearchResult
+
+        kw.pop("mode", None)  # the composition is inherently hybrid+rerank
+        # the composition owns its first-stage pool width (a caller's
+        # 2*k-style default is sized for single-stage retrieval)
+        kw["candidates_per_arm"] = max(4 * k, 40)
+        res = self.first.search(queries, k=2 * k, **kw)
+        out = rerank_search_result(
+            self.rr, queries, res, self.docs,
+            first_stage_weight=self.first_stage_weight,
+        )
+        return SearchResult(ids=out.ids[:, :k], scores=out.scores[:, :k])
+
+
 def save_reranker(rr: CrossEncoderReranker, ckpt_dir) -> None:
     from pathlib import Path
 

@@ -1,0 +1,186 @@
+"""On-chip decomposition of the int8 turbo candidate kernel: where does
+the 1.6-1.8 ms/sub-batch (net) actually go?
+
+Probes, all over the IDENTICAL (D, N) int8 corpus stream and grid:
+
+- dot-only:   the unrolled 128-col sub-dots, summed into scratch (int32
+              add per element instead of key-pack+fold) — pure
+              MXU + stream + one VPU add. The MXU/stream floor.
+- slots=1:    production fold, one candidate slot (3 VPU ops/element:
+              mul-add pack, max fold).
+- slots=2:    production fold, two slots (5 VPU ops/element) — the
+              served configuration.
+- +approx:    slots=2 plus the approx_max_k reduction and id decode —
+              the full candidate pass as served.
+
+If dot-only ~= slots=2, the VPU work overlaps the MXU stream and the
+kernel is at its compute floor (the only lever left is a faster int8
+MXU path). If dot-only << slots=2, the fold is the wall and cutting
+VPU ops/element pays.
+
+Timing methodology = bench.py's (single jitted lax.scan over NB
+sub-batches, scalar readback, best-of-reps).
+
+Usage: python scripts/bench_kernel_decomp.py [N_DOCS] [BATCH] [NB]
+Env: AB_REPS (default 5).
+"""
+
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO_ROOT not in _sys.path:
+    _sys.path.insert(0, _REPO_ROOT)
+
+
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_250_000
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    nb = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    reps = int(os.environ.get("AB_REPS", "5"))
+    dim = 384
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from openintel_tpu.ops.pallas.dense_topk import (
+        _TURBO_UNIT,
+        dense_topk_fast_i8,
+        pad_corpus_t_i8,
+        quantize_int8,
+    )
+
+    print(f"backend: {jax.default_backend()}; devices: {jax.devices()}", flush=True)
+    if jax.default_backend() != "tpu":
+        print("needs the TPU; aborting", flush=True)
+        return 1
+
+    rng = np.random.default_rng(1)
+    t0 = time.time()
+    emb = rng.standard_normal((n_docs, dim), dtype=np.float32)
+    emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    total_q = nb * batch
+    q = rng.standard_normal((total_q, dim)).astype(np.float32)
+    q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    emb_t8 = jax.device_put(jnp.asarray(quantize_int8(emb).T))
+    emb_t8 = jax.block_until_ready(pad_corpus_t_i8(emb_t8))
+    q8 = jax.device_put(
+        jnp.asarray(quantize_int8(q).reshape(nb, batch, dim))
+    )
+    jax.block_until_ready(q8)
+    n_padded = emb_t8.shape[1]
+    print(
+        f"corpus {n_docs}->{n_padded} cols, {nb}x{batch} queries "
+        f"({time.time()-t0:.1f}s)",
+        flush=True,
+    )
+
+    block_c = 8192
+    sub = block_c // 128
+    steps = _TURBO_UNIT // block_c  # grid steps per super (padding unit)
+    n_steps = n_padded // block_c
+
+    # --- dot-only probe: identical stream/grid, no packing/fold ---------
+    def _dot_only_kernel(q_ref, e_ref, out_ref, acc_ref):
+        j = pl.program_id(0)
+        acc = None
+        for i in range(sub):
+            s = jax.lax.dot_general(
+                q_ref[:],
+                e_ref[:, i * 128 : (i + 1) * 128],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            acc = s if acc is None else acc + s
+
+        @pl.when(j == 0)
+        def _reset():
+            acc_ref[:] = acc
+
+        @pl.when(j != 0)
+        def _combine():
+            acc_ref[:] = acc_ref[:] + acc
+
+        @pl.when(j == n_steps - 1)
+        def _write():
+            out_ref[:] = acc_ref[:]
+
+    def dot_only(qb):
+        return pl.pallas_call(
+            _dot_only_kernel,
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec((batch, dim), lambda j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((dim, block_c), lambda j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((batch, 128), lambda j: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((batch, 128), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((batch, 128), jnp.int32)],
+        )(qb, emb_t8)
+
+    @jax.jit
+    def run_dot_only(q8b):
+        def body(acc, q8i):
+            out = dot_only(q8i)
+            return acc + jnp.sum(out), 0
+
+        acc, _ = jax.lax.scan(body, jnp.int32(0), q8b)
+        return acc
+
+    @functools.partial(jax.jit, static_argnames=("slots", "approx"))
+    def run_turbo(emb_op, q8b, slots, approx):
+        def body(acc, q8i):
+            if approx:
+                _, ids = dense_topk_fast_i8(
+                    emb_op, q8i, k=32, block_c=block_c, n_docs=n_docs,
+                    slots=slots,
+                )
+                return acc + jnp.sum(ids), 0
+            # kernel only: reach the packed fold without approx_max_k by
+            # running the full function? No public split — approx=False
+            # is handled by timing dot_only instead. (unreachable)
+            return acc, 0
+
+        acc, _ = jax.lax.scan(body, jnp.int32(0), q8b)
+        return acc
+
+    def timeit(label, fn, *args):
+        _ = int(fn(*args))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            s = time.time()
+            _ = int(fn(*args))
+            best = min(best, time.time() - s)
+        print(
+            f"{label:<28} {best/nb*1e3:8.3f} ms/sub-batch  "
+            f"{best/total_q*1e6:7.3f} us/q  ({total_q/best:>10,.0f} QPS)",
+            flush=True,
+        )
+        return best
+
+    timeit("dot-only (MXU+stream floor)", run_dot_only, q8)
+    timeit("turbo slots=1 (+approx+dec)", run_turbo, emb_t8, q8, 1, True)
+    timeit("turbo slots=2 (+approx+dec)", run_turbo, emb_t8, q8, 2, True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -152,28 +152,13 @@ def main() -> None:
     )
     log(f"reranker trained: loss {rr_losses[0]:.3f} -> {rr_losses[-1]:.3f}")
 
-    class _Reranked:
-        """First-stage hybrid top-20 -> cross-encoder reorder -> top-10
-        (the CLI --rerank composition, measured on the eval harness)."""
-
-        def __init__(self, first):
-            self.first = first
-
-        def search(self, queries, k=10, **kw):
-            from openintel_tpu.models.reranker import rerank_search_result
-
-            res = self.first.search(queries, k=2 * k, candidates_per_arm=40)
-            out = rerank_search_result(rr, queries, res, docs)
-            from openintel_tpu.models.retrievers import SearchResult
-
-            return SearchResult(
-                ids=out.ids[:, :k], scores=out.scores[:, :k]
-            )
+    from openintel_tpu.models.reranker import RerankedRetriever
 
     qrels = synthetic_qrels(docs, args.queries, seed=43, terms_per_query=4)
     first = HybridRetriever.build(docs, dim=args.dim, kernel="xla")
+    two_stage = RerankedRetriever(rr, first, docs)
     base = evaluate_retriever(first, qrels, k=10, mode="hybrid")
-    rer = evaluate_retriever(_Reranked(first), qrels, k=10, mode="hybrid")
+    rer = evaluate_retriever(two_stage, qrels, k=10, mode="hybrid")
     results["rerank_uplift_exact"] = {
         "first_stage_mrr@10": round(base.mrr_at_k, 4),
         "reranked_mrr@10": round(rer.mrr_at_k, 4),

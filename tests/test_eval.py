@@ -164,3 +164,60 @@ def test_var_kwargs_retriever_receives_mode():
     evaluate_retriever(Wrapper(), [("q", {0})], k=3, mode="dense")
     assert seen.get("mode") == "dense"
     assert seen.get("candidates_per_arm") == 6
+
+
+def test_cli_evaluate_rerank(tmp_path, capsys):
+    """--rerank CKPT adds the two-stage row (RerankedRetriever over the
+    hybrid first stage) next to the first-stage rows."""
+    from openintel_tpu.cli.main import main
+    from openintel_tpu.models.encoder import EncoderConfig
+    from openintel_tpu.models.reranker import save_reranker, train_reranker
+
+    docs = [
+        "alpha beta gamma delta",
+        "epsilon zeta eta theta",
+        "iota kappa lambda mu",
+        "nu xi omicron pi",
+        "rho sigma tau upsilon",
+        "phi chi psi omega",
+    ]
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("\n".join(docs) + "\n")
+    cfg = EncoderConfig(vocab_size=128, dim=16, depth=1, heads=2, max_len=16)
+    rr, _ = train_reranker(docs, cfg, steps=2, k=2, batch_queries=2, seed=0)
+    save_reranker(rr, tmp_path / "ck")
+    code = main(
+        ["evaluate", str(corpus), "--n-synthetic", "4", "-k", "2",
+         "--dim", "16", "--rerank", str(tmp_path / "ck"),
+         "--format", "json"]
+    )
+    out = capsys.readouterr().out
+    assert code == 0
+    doc = json.loads(out)
+    assert {r["mode"] for r in doc} == {"bm25", "dense", "hybrid", "rerank"}
+    rer = next(r for r in doc if r["mode"] == "rerank")
+    assert 0.0 <= rer["mrr_at_k"] <= 1.0
+
+
+def test_reranked_retriever_blend_parity_with_script_composition():
+    """RerankedRetriever == the inlined top-2k -> blend -> top-k recipe it
+    replaced (scripts/encoder_quality.py round-4), on the same inputs."""
+    from openintel_tpu.models.encoder import EncoderConfig
+    from openintel_tpu.models.reranker import (
+        CrossEncoderReranker,
+        RerankedRetriever,
+        rerank_search_result,
+    )
+    from openintel_tpu.models.retrievers import HybridRetriever
+
+    docs = [f"tok{i} tok{(i*7)%23} tok{(i*3)%17} filler{i%5}" for i in range(60)]
+    cfg = EncoderConfig(vocab_size=256, dim=16, depth=1, heads=2, max_len=16)
+    rr = CrossEncoderReranker(cfg, seed=5)
+    first = HybridRetriever.build(docs, dim=16, kernel="xla")
+    queries = ["tok3 tok14", "tok7 filler2"]
+    k = 5
+    got = RerankedRetriever(rr, first, docs).search(queries, k=k)
+    res = first.search(queries, k=2 * k, candidates_per_arm=max(4 * k, 40))
+    want = rerank_search_result(rr, queries, res, docs)
+    np.testing.assert_array_equal(got.ids, want.ids[:, :k])
+    np.testing.assert_array_equal(got.scores, want.scores[:, :k])
