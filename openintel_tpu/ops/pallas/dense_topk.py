@@ -588,6 +588,204 @@ def _turbo_kernel_i8_top2(
         out2_ref[:] = acc_ref[:, 128:]
 
 
+def _turbo_kernel_i8_top2g(
+    q_ref, e_ref, k1_ref, k2_ref, s1_ref, s2_ref, acc_ref, *,
+    sub: int, steps: int, group: int, n_steps: int
+):
+    """Grouped top-2 variant: ONE top-2-per-lane candidate pair per GROUP
+    of ``group`` consecutive supers instead of per super, with the winning
+    ABSOLUTE super index tracked in separate int32 outputs (the packed key
+    has only 7 position bits — the sub-dot index within a super — so the
+    super identity cannot ride in the key across a group).
+
+    Why: the post-kernel reduction was the measured wall of the whole
+    candidate pass (scripts/bench_kernel_decomp.py: the pack+fold kernel
+    runs at ~97% of the pure-dot floor, then ``approx_max_k`` over the
+    (B, 2*n_super*128) per-super candidate buffer costs ~1.06 ms/sub-batch
+    — 60% of the pass). Folding groups of supers IN the kernel shrinks the
+    output ``group``-fold, so the reduction becomes one exact
+    ``lax.top_k`` over a few-thousand-wide buffer. The in-kernel cost is
+    one indexed disjoint-set merge per grid step — the same 2-max merge
+    the per-super kernel already runs, plus 4 where-selects for the index
+    tracking — and the VPU had measured headroom (fold ~= dot-only).
+
+    Candidate capacity drops from top-2 per (lane, super) to top-2 per
+    (lane, group): a true candidate is lost only when >= 2 docs with
+    higher int8 scores share BOTH its lane (id mod 128) and its
+    group-of-supers (id div 16384*group) — measured on-chip before
+    adoption (scripts/bench_topk_reduce_ab.py / bench_grouped_ab.py).
+
+    The merge keeps slots disjoint (different fold positions by
+    construction), so the union's true top-2 is
+    [max(g1, a1), max(min(g1, a1), max(g2, a2))] as in the per-super
+    kernel; ties keep the incumbent in slot 1 and route the incoming copy
+    through the displaced-loser path. Sentinel-0 keys (lanes with < 2
+    contributions in the FIRST block of a group) never win a merge (real
+    keys >= _I8_FLAG128 > 0) and are masked at decode.
+
+    The final group may be short (n_super % group != 0): the write fires
+    on the group boundary OR the last grid step."""
+    j = pl.program_id(0)
+    base = (j % steps) * sub
+    a1 = a2 = None
+    for i in range(sub):
+        s = jax.lax.dot_general(
+            q_ref[:],
+            e_ref[:, i * 128 : (i + 1) * 128],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        key = s * 128 + jnp.int32(_I8_FLAG128 + base + i)
+        if a1 is None:
+            a1 = key
+            a2 = jnp.zeros_like(key)
+        else:
+            a2 = jnp.maximum(a2, jnp.minimum(a1, key))
+            a1 = jnp.maximum(a1, key)
+
+    gsteps = steps * group
+    cur = (j // steps).astype(jnp.int32)  # absolute super index
+
+    @pl.when(j % gsteps == 0)
+    def _reset():
+        acc_ref[:, :128] = a1
+        acc_ref[:, 128:256] = a2
+        acc_ref[:, 256:384] = jnp.full_like(a1, cur)
+        acc_ref[:, 384:] = jnp.full_like(a1, cur)
+
+    @pl.when(j % gsteps != 0)
+    def _combine():
+        g1 = acc_ref[:, :128]
+        g2 = acc_ref[:, 128:256]
+        s1 = acc_ref[:, 256:384]
+        s2 = acc_ref[:, 384:]
+        upd1 = a1 > g1
+        m = jnp.minimum(g1, a1)  # displaced slot-1 loser
+        sup_m = jnp.where(upd1, s1, cur)
+        c2 = jnp.maximum(g2, a2)
+        sup_c2 = jnp.where(a2 > g2, cur, s2)
+        acc_ref[:, :128] = jnp.maximum(g1, a1)
+        acc_ref[:, 256:384] = jnp.where(upd1, cur, s1)
+        acc_ref[:, 128:256] = jnp.maximum(m, c2)
+        acc_ref[:, 384:] = jnp.where(m >= c2, sup_m, sup_c2)
+
+    @pl.when((j % gsteps == gsteps - 1) | (j == n_steps - 1))
+    def _write():
+        k1_ref[:] = acc_ref[:, :128]
+        k2_ref[:] = acc_ref[:, 128:256]
+        s1_ref[:] = acc_ref[:, 256:384]
+        s2_ref[:] = acc_ref[:, 384:]
+
+
+def auto_i8_group(n_docs: int, c: int) -> int:
+    """Group size for ``dense_topk_fast_i8_grouped``: hold the number of
+    candidate GROUPS (ng) roughly constant (>= 8) so the exact-top_k width
+    (2*ng*128 columns) — and the per-cell collision probability, which
+    depends on the count of higher-scoring docs per (lane, group) cell,
+    not on docs per cell — stay constant as the corpus grows. ng widens
+    with the requested candidate count so the fetch stays a small
+    fraction of capacity (width >= ~4c). Measured (bench_grouped_ab.py,
+    1.25M docs, 512 queries): ng=5..19 all reach recall@10 = 1.0000 after
+    rescore; ng=8 is the conservative default."""
+    n_super = -(-max(n_docs, 1) // _TURBO_UNIT)
+    ng = max(8, -(-c // 64))
+    return max(1, -(-n_super // ng))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "block_c", "interpret", "n_docs", "group"),
+)
+def dense_topk_fast_i8_grouped(
+    doc_emb_t: jax.Array,  # (D, N) int8 quantised unit-norm COLUMNS
+    queries: jax.Array,  # (B, D) int8 quantised unit-norm rows
+    k: int = 10,
+    block_c: int = 8192,
+    interpret: bool = False,
+    n_docs: int | None = None,
+    group: int = 8,  # supers folded per candidate pair (see kernel doc)
+) -> tuple[jax.Array, jax.Array]:
+    """int8 approximate cosine top-k, grouped-reduction turbo variant:
+    identical corpus stream and MXU volume to ``dense_topk_fast_i8``, but
+    the candidate fold keeps top-2 per (lane, ``group``-supers) with
+    in-kernel super-index tracking, so the downstream reduction is one
+    exact ``lax.top_k`` over ``2*ceil(n_super/group)*128`` columns instead
+    of ``approx_max_k`` over ``2*n_super*128`` — the measured wall of the
+    per-super kernel's pass. Same (vals, ids) contract as
+    ``dense_topk_fast_i8``."""
+    assert doc_emb_t.dtype == jnp.int8 and queries.dtype == jnp.int8
+    assert group >= 1
+    dim, n_stored = doc_emb_t.shape
+    n_docs = n_stored if n_docs is None else n_docs
+    b = queries.shape[0]
+    assert block_c % 128 == 0 and _TURBO_UNIT % block_c == 0, (
+        "block_c must be a multiple of 128 dividing 16384"
+    )
+    if n_stored % _TURBO_UNIT != 0 or n_stored < _TURBO_UNIT:
+        doc_emb_t = pad_corpus_t_i8(doc_emb_t)
+    sub_batch = 32
+    b_pad = _round_up(b, sub_batch)
+    if b_pad != b:
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((b_pad - b, dim), queries.dtype)], axis=0
+        )
+    sub = block_c // 128
+    steps = _SUPER // sub
+    n_steps = doc_emb_t.shape[1] // block_c
+    n_super = doc_emb_t.shape[1] // _TURBO_UNIT
+    gsteps = steps * group
+    ng = -(-n_super // group)
+    width = 2 * ng * 128
+    k_req = k
+    k = min(k, width)
+    out_block = pl.BlockSpec(
+        (b_pad, 128), lambda j: (0, j // gsteps), memory_space=pltpu.VMEM
+    )
+    k1, k2, s1, s2 = pl.pallas_call(
+        functools.partial(
+            _turbo_kernel_i8_top2g,
+            sub=sub, steps=steps, group=group, n_steps=n_steps,
+        ),
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((b_pad, dim), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, block_c), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_block] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, ng * 128), jnp.int32)
+            for _ in range(4)
+        ],
+        scratch_shapes=[pltpu.VMEM((b_pad, 512), jnp.int32)],
+        interpret=interpret,
+    )(queries, doc_emb_t)
+
+    keys = jnp.concatenate([k1, k2], axis=1)  # (b_pad, width)
+    sups = jnp.concatenate([s1, s2], axis=1)
+    lane = (jnp.arange(width, dtype=jnp.int32) % 128)[None, :]
+    pos = keys & 127
+    ids = (sups * (_TURBO_UNIT // 128) + pos) * 128 + lane
+    valid = (keys > 0) & (ids < n_docs)
+    masked = jnp.where(valid, keys, jnp.int32(-(2**31)))
+    # exact top_k over the narrow buffer: no bucket-collision margin
+    # needed (that over-fetch existed for approx_max_k's bucketed maxima)
+    kv, sel = jax.lax.top_k(masked, k)
+    ids = jnp.take_along_axis(ids, sel, axis=1)
+    valid = jnp.take_along_axis(valid, sel, axis=1)
+    pos_sel = kv & 127
+    vals = (
+        ((kv - pos_sel - jnp.int32(_I8_FLAG128)) // 128).astype(jnp.float32)
+        / _I8_SCALE
+    )
+    out_vals = jnp.where(valid, vals, 0.0)[:b]
+    out_ids = jnp.where(valid, ids, -1)[:b]
+    if k < k_req:
+        pad_w = k_req - k
+        out_vals = jnp.pad(out_vals, ((0, 0), (0, pad_w)))
+        out_ids = jnp.pad(out_ids, ((0, 0), (0, pad_w)), constant_values=-1)
+    return out_vals, out_ids
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "block_c", "interpret", "n_docs", "slots")
 )

@@ -120,7 +120,10 @@ def main() -> int:
         def _write():
             out_ref[:] = acc_ref[:]
 
-    def dot_only(qb):
+    def dot_only(qb, emb_op):
+        # emb_op is an explicit ARGUMENT end to end: a closure capture
+        # would become an HLO literal and ship the 484 MB corpus inside
+        # the remote-compile request (HTTP 413 — the int4 A/B's trap)
         return pl.pallas_call(
             _dot_only_kernel,
             grid=(n_steps,),
@@ -134,12 +137,12 @@ def main() -> int:
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((batch, 128), jnp.int32),
             scratch_shapes=[pltpu.VMEM((batch, 128), jnp.int32)],
-        )(qb, emb_t8)
+        )(qb, emb_op)
 
     @jax.jit
-    def run_dot_only(q8b):
+    def run_dot_only(q8b, emb_op):
         def body(acc, q8i):
-            out = dot_only(q8i)
+            out = dot_only(q8i, emb_op)
             return acc + jnp.sum(out), 0
 
         acc, _ = jax.lax.scan(body, jnp.int32(0), q8b)
@@ -176,7 +179,46 @@ def main() -> int:
         )
         return best
 
-    timeit("dot-only (MXU+stream floor)", run_dot_only, q8)
+    # --- fold-no-approx probe: the production top-2 packed kernel, sum
+    # of the packed outputs instead of approx_max_k + decode -------------
+    from openintel_tpu.ops.pallas.dense_topk import _turbo_kernel_i8_top2
+
+    n_super = n_padded // _TURBO_UNIT
+    half = n_super * 128
+
+    def fold_only(qb, emb_op):
+        out_block = pl.BlockSpec(
+            (batch, 128), lambda j: (0, j // (_TURBO_UNIT // block_c)),
+            memory_space=pltpu.VMEM,
+        )
+        return pl.pallas_call(
+            functools.partial(_turbo_kernel_i8_top2, sub=sub, steps=steps),
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec((batch, dim), lambda j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((dim, block_c), lambda j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[out_block, out_block],
+            out_shape=[
+                jax.ShapeDtypeStruct((batch, half), jnp.int32),
+                jax.ShapeDtypeStruct((batch, half), jnp.int32),
+            ],
+            scratch_shapes=[pltpu.VMEM((batch, 256), jnp.int32)],
+        )(qb, emb_op)
+
+    @jax.jit
+    def run_fold_only(q8b, emb_op):
+        def body(acc, q8i):
+            p1, p2 = fold_only(q8i, emb_op)
+            return acc + jnp.sum(p1) + jnp.sum(p2), 0
+
+        acc, _ = jax.lax.scan(body, jnp.int32(0), q8b)
+        return acc
+
+    timeit("dot-only (MXU+stream floor)", run_dot_only, q8, emb_t8)
+    timeit("fold-only (pack+2max, no topk)", run_fold_only, q8, emb_t8)
     timeit("turbo slots=1 (+approx+dec)", run_turbo, emb_t8, q8, 1, True)
     timeit("turbo slots=2 (+approx+dec)", run_turbo, emb_t8, q8, 2, True)
     return 0

@@ -444,3 +444,61 @@ def test_int4_multi_super_slots_and_clamp():
     ids = np.asarray(ids)
     assert ids.shape == (b, 1000)
     assert (ids[:, 768:] == -1).all()
+
+
+def test_grouped_kernel_matches_per_super_and_oracle():
+    """dense_topk_fast_i8_grouped: candidate pass + rescore recovers the
+    exact top-k at every group size, including a tail group (n_super not
+    divisible by group), and the super-index tracking decodes ids
+    correctly across supers."""
+    import jax.numpy as jnp
+
+    from openintel_tpu.ops.pallas.dense_topk import (
+        dense_topk_fast_i8_grouped,
+        exact_rescore,
+        pad_corpus_t_i8,
+        quantize_int8,
+    )
+
+    n = 40_000  # pads to 3 supers: group=2 exercises the short tail group
+    emb = synthetic_embeddings(n, dim=64, seed=21)
+    q, _ = synthetic_query_embeddings(emb, 7, seed=22)
+    emb_i8 = pad_corpus_t_i8(jnp.asarray(quantize_int8(emb.T)))
+    q_i8 = jnp.asarray(quantize_int8(q))
+    ref_vals, ref_ids = ref.cosine_topk(emb, q, 10)
+    for group in (1, 2, 4):
+        _, cids = dense_topk_fast_i8_grouped(
+            emb_i8, q_i8, k=32, block_c=4096, n_docs=n, interpret=True,
+            group=group,
+        )
+        got = np.asarray(cids)
+        assert got.max() < n and np.all((got >= 0) | (got == -1))
+        rvals, rids = exact_rescore(jnp.asarray(emb), jnp.asarray(q), cids, 10)
+        rec = np.mean(np.asarray(rids) == ref_ids)
+        assert rec >= 0.99, (group, rec)
+
+
+def test_grouped_kernel_clamps_k_beyond_capacity():
+    """k beyond 2*ceil(n_super/group)*128 clamps and -1-pads like the
+    per-super kernel."""
+    import jax.numpy as jnp
+
+    from openintel_tpu.ops.pallas.dense_topk import (
+        dense_topk_fast_i8_grouped,
+        pad_corpus_t_i8,
+        quantize_int8,
+    )
+
+    n = 20_000  # 2 supers; group=2 -> ng=1 -> capacity 256
+    emb = synthetic_embeddings(n, dim=32, seed=23)
+    q, _ = synthetic_query_embeddings(emb, 3, seed=24)
+    emb_i8 = pad_corpus_t_i8(jnp.asarray(quantize_int8(emb.T)))
+    q_i8 = jnp.asarray(quantize_int8(q))
+    vals, ids = dense_topk_fast_i8_grouped(
+        emb_i8, q_i8, k=300, block_c=4096, n_docs=n, interpret=True, group=2,
+    )
+    assert ids.shape == (3, 300)
+    got = np.asarray(ids)
+    assert np.all(got[:, 256:] == -1)  # capacity 2*1*128
+    real = got[:, :256]
+    assert np.all((real == -1) | ((real >= 0) & (real < n)))
