@@ -8,9 +8,11 @@
 //      multi-term docs by score — see ops/bm25.py);
 //   2. per term, emit the union of its top-`max_m` postings by impact
 //      (via the prebuilt impact_order permutation, ties doc-ascending)
-//      and its postings for the selected multi docs;
-//   3. sort the row by doc id (the device's segmented scan wants sorted
-//      runs) and write (doc_ids, weights).
+//      and its postings for the selected multi docs, as ONE ascending run
+//      per term;
+//   3. cursor-merge the per-term runs straight into the doc-id-sorted
+//      (doc_ids, weights) output row (the device's segmented scan wants
+//      sorted runs; the merge replaces a materialise + std::sort + copy).
 //
 // Mirrors openintel_tpu/ops/bm25.py::build_query_plan exactly, including
 // tie-breaking, so the two paths produce identical candidate sets.
@@ -194,13 +196,17 @@ int64_t plan_build_range(const int64_t* term_offsets, const int32_t* doc_ids,
                          int64_t* out_widths) {
   std::vector<int32_t> terms;
   std::vector<int32_t> qtf;
-  std::vector<std::pair<int32_t, float>> row;
   std::vector<std::pair<int32_t, float>> seg;
   std::vector<int32_t> seg_doc;
   std::vector<float> seg_imp;
   std::vector<int32_t> multi_sorted;
   std::vector<Hit> hits;
   std::vector<double> key_w;
+  std::vector<int32_t> run_doc;
+  std::vector<float> run_w;
+  std::vector<int64_t> run_start;
+  std::vector<int64_t> merge_cur;
+  std::vector<int64_t> merge_end;
   int64_t max_width = 0;
 
   for (int64_t b = b_lo; b < b_hi; ++b) {
@@ -224,7 +230,6 @@ int64_t plan_build_range(const int64_t* term_offsets, const int32_t* doc_ids,
       }
     }
     const size_t nt = terms.size();
-    row.clear();
     multi_sorted.clear();
 
     // Per-query prune flag, matching the NumPy reference exactly: any term
@@ -278,49 +283,76 @@ int64_t plan_build_range(const int64_t* term_offsets, const int32_t* doc_ids,
                            term_offsets[terms[j] + 1], ki, kj, hits);
         }
       }
-      // hits -> per-doc exact scores: sort by (doc, key), dedup the
-      // (doc, key) repeats (the same match rediscovered via another pair —
-      // identical pos by postings uniqueness), accumulate each run in key
-      // order (the reference order), keep the top-B in the bounded heap.
-      std::sort(hits.begin(), hits.end(), [](const Hit& x, const Hit& y) {
-        if (x.doc != y.doc) return x.doc < y.doc;
-        return x.key < y.key;
-      });
-      std::priority_queue<MultiDoc, std::vector<MultiDoc>, WorstFirst> heap;
-      for (size_t h = 0; h < hits.size();) {
-        const int32_t m = hits[h].doc;
-        double score = 0.0;
-        uint32_t prev_key = UINT32_MAX;
-        size_t e = h;
-        for (; e < hits.size() && hits[e].doc == m; ++e) {
-          if (hits[e].key == prev_key) continue;
-          prev_key = hits[e].key;
-          score += static_cast<double>(impact[hits[e].pos]) *
-                   key_w[hits[e].key];
-        }
-        h = e;
-        // a masked doc can never enter the plan
-        if (doc_mask != nullptr && !doc_mask[m]) continue;
-        MultiDoc md{score, m};
-        if (static_cast<int64_t>(heap.size()) < multi_budget) {
-          heap.push(md);
-        } else {
-          const MultiDoc& worst = heap.top();
-          if (md.score > worst.score ||
-              (md.score == worst.score && md.doc < worst.doc)) {
-            heap.pop();
+      if (hits.size() <= 2 * static_cast<size_t>(multi_budget)) {
+        // Every multi doc carries >= 2 hits, so n_multi <= hits/2 <=
+        // multi_budget: the bounded heap could never overflow and the
+        // selection is simply ALL distinct (unmasked) docs — skip the
+        // (doc, key) sort and the exact-score accumulation entirely.
+        // Measured: most queries at bench scale land here (random
+        // co-occurrence keeps |intersections| well under the budget).
+        for (const Hit& h : hits)
+          if (doc_mask == nullptr || doc_mask[h.doc])
+            multi_sorted.push_back(h.doc);
+        std::sort(multi_sorted.begin(), multi_sorted.end());
+        multi_sorted.erase(
+            std::unique(multi_sorted.begin(), multi_sorted.end()),
+            multi_sorted.end());
+      } else {
+        // hits -> per-doc exact scores: sort by (doc, key), dedup the
+        // (doc, key) repeats (the same match rediscovered via another
+        // pair — identical pos by postings uniqueness), accumulate each
+        // run in key order (the reference order), keep the top-B in the
+        // bounded heap.
+        std::sort(hits.begin(), hits.end(), [](const Hit& x, const Hit& y) {
+          if (x.doc != y.doc) return x.doc < y.doc;
+          return x.key < y.key;
+        });
+        std::priority_queue<MultiDoc, std::vector<MultiDoc>, WorstFirst>
+            heap;
+        for (size_t h = 0; h < hits.size();) {
+          const int32_t m = hits[h].doc;
+          double score = 0.0;
+          uint32_t prev_key = UINT32_MAX;
+          size_t e = h;
+          for (; e < hits.size() && hits[e].doc == m; ++e) {
+            if (hits[e].key == prev_key) continue;
+            prev_key = hits[e].key;
+            score += static_cast<double>(impact[hits[e].pos]) *
+                     key_w[hits[e].key];
+          }
+          h = e;
+          // a masked doc can never enter the plan
+          if (doc_mask != nullptr && !doc_mask[m]) continue;
+          MultiDoc md{score, m};
+          if (static_cast<int64_t>(heap.size()) < multi_budget) {
             heap.push(md);
+          } else {
+            const MultiDoc& worst = heap.top();
+            if (md.score > worst.score ||
+                (md.score == worst.score && md.doc < worst.doc)) {
+              heap.pop();
+              heap.push(md);
+            }
           }
         }
+        multi_sorted.reserve(heap.size());
+        while (!heap.empty()) {
+          multi_sorted.push_back(heap.top().doc);
+          heap.pop();
+        }
+        std::sort(multi_sorted.begin(), multi_sorted.end());
       }
-      multi_sorted.reserve(heap.size());
-      while (!heap.empty()) {
-        multi_sorted.push_back(heap.top().doc);
-        heap.pop();
-      }
-      std::sort(multi_sorted.begin(), multi_sorted.end());
     }
 
+    // Per-term emission into one ASCENDING run per term (run_doc/run_w,
+    // boundaries in run_start), then a cursor merge straight into the
+    // output row — the row used to be materialised unsorted and
+    // std::sort'ed, but it is by construction a concatenation of per-term
+    // ascending runs, so the k-way merge is linear and fuses the sort
+    // with the output copy (~15% of plan cost at bench scale).
+    run_doc.clear();
+    run_w.clear();
+    run_start.assign(1, 0);
     for (size_t j = 0; j < nt; ++j) {
       const int32_t t = terms[j];
       const int64_t lo = term_offsets[t], hi = term_offsets[t + 1];
@@ -328,8 +360,11 @@ int64_t plan_build_range(const int64_t* term_offsets, const int32_t* doc_ids,
       const int64_t df = hi - lo;
       if (!prune || df <= max_m) {
         for (int64_t p = lo; p < hi; ++p)
-          if (doc_mask == nullptr || doc_mask[doc_ids[p]])
-            row.emplace_back(doc_ids[p], impact[p] * w);
+          if (doc_mask == nullptr || doc_mask[doc_ids[p]]) {
+            run_doc.push_back(doc_ids[p]);
+            run_w.push_back(impact[p] * w);
+          }
+        run_start.push_back(static_cast<int64_t>(run_doc.size()));
         continue;
       }
       // top-M by impact. Fast path: the prebuilt doc-sorted pruned cache
@@ -379,36 +414,79 @@ int64_t plan_build_range(const int64_t* term_offsets, const int32_t* doc_ids,
         scnt = static_cast<int64_t>(seg_doc.size());
       }
       // union in the forced multi docs this term also matches: both lists
-      // ascending -> one walk; docs already in the top-M are skipped
-      // (same one-entry-per-(term, doc) multiset as the old merged walk),
-      // absent docs gallop past. multi_sorted is already mask-filtered.
+      // ascending -> ONE merged ascending walk (top-M entries emitted in
+      // place, multi-only docs gallop into the full postings); same
+      // one-entry-per-(term, doc) multiset as the old two-runs-then-sort
+      // emission. multi_sorted is already mask-filtered.
       int64_t a = 0;
       int64_t pcur = lo;
       for (size_t c = 0; c < multi_sorted.size(); ++c) {
         const int32_t d = multi_sorted[c];
-        while (a < scnt && sdoc[a] < d) ++a;
+        while (a < scnt && sdoc[a] < d) {
+          run_doc.push_back(sdoc[a]);
+          run_w.push_back(simp[a] * w);
+          ++a;
+        }
         if (a < scnt && sdoc[a] == d) continue;  // in top-M
         pcur = gallop_lower_bound(doc_ids, pcur, hi, d);
-        if (pcur < hi && doc_ids[pcur] == d)
-          row.emplace_back(d, impact[pcur] * w);
+        if (pcur < hi && doc_ids[pcur] == d) {
+          run_doc.push_back(d);
+          run_w.push_back(impact[pcur] * w);
+        }
       }
-      for (int64_t p = 0; p < scnt; ++p)
-        row.emplace_back(sdoc[p], simp[p] * w);
+      for (int64_t p = a; p < scnt; ++p) {
+        run_doc.push_back(sdoc[p]);
+        run_w.push_back(simp[p] * w);
+      }
+      run_start.push_back(static_cast<int64_t>(run_doc.size()));
     }
 
-    std::sort(row.begin(), row.end(),
-              [](const std::pair<int32_t, float>& x,
-                 const std::pair<int32_t, float>& y) { return x.first < y.first; });
-
-    const int64_t width = static_cast<int64_t>(row.size());
+    const int64_t width = static_cast<int64_t>(run_doc.size());
     if (width > cap) return -width;
     max_width = std::max(max_width, width);
     out_widths[b] = width;
     int32_t* oi = out_ids + b * cap;
     float* ow = out_w + b * cap;
-    for (int64_t i = 0; i < width; ++i) {
-      oi[i] = row[i].first;
-      ow[i] = row[i].second;
+    // cursor merge of the per-term ascending runs into the output row;
+    // equal doc ids (a multi doc forced into several terms) may land in
+    // any relative order — the device segmented scan reduces by doc, and
+    // the NumPy reference's np.sort is equally tie-agnostic.
+    const size_t n_runs_total = run_start.size() - 1;
+    merge_cur.assign(run_start.begin(), run_start.end() - 1);
+    merge_end.assign(run_start.begin() + 1, run_start.end());
+    size_t nruns = 0;
+    for (size_t r = 0; r < n_runs_total; ++r) {
+      if (merge_cur[r] < merge_end[r]) {
+        merge_cur[nruns] = merge_cur[r];
+        merge_end[nruns] = merge_end[r];
+        ++nruns;
+      }
+    }
+    int64_t o = 0;
+    while (nruns > 1) {
+      size_t best = 0;
+      int32_t bd = run_doc[merge_cur[0]];
+      for (size_t r = 1; r < nruns; ++r) {
+        const int32_t d = run_doc[merge_cur[r]];
+        if (d < bd) {
+          bd = d;
+          best = r;
+        }
+      }
+      oi[o] = bd;
+      ow[o] = run_w[merge_cur[best]];
+      ++o;
+      if (++merge_cur[best] >= merge_end[best]) {
+        merge_cur[best] = merge_cur[nruns - 1];
+        merge_end[best] = merge_end[nruns - 1];
+        --nruns;
+      }
+    }
+    if (nruns == 1) {
+      for (int64_t p = merge_cur[0]; p < merge_end[0]; ++p, ++o) {
+        oi[o] = run_doc[p];
+        ow[o] = run_w[p];
+      }
     }
   }
   return max_width;
