@@ -33,10 +33,22 @@ def _src_hash() -> str:
 
 
 def build(force: bool = False) -> Path:
-    """Compile the native library (g++ -O3 -march=native -shared -fPIC)."""
+    """Compile the native library (g++ -O3 -march=native -shared -fPIC).
+
+    Freshness requires BOTH a not-older mtime and a matching source-hash
+    stamp: mtimes are unreliable across git operations and copies, and a
+    newer-mtime .so built from older sources would otherwise never be
+    rebuilt here while _load (correctly) refuses its stale stamp — leaving
+    the Python fallback serving forever with no path back to native."""
     fresh = _SO.exists() and all(
         _SO.stat().st_mtime >= s.stat().st_mtime for s in _SRCS
     )
+    if fresh:
+        # The stamp is a string literal in .rodata, so a byte search finds
+        # it without dlopen — loading here would pin the old mapping for
+        # the whole process (dlopen caches by path), poisoning the post-
+        # rebuild _load() with the stale image.
+        fresh = _src_hash().encode("ascii") in _SO.read_bytes()
     if fresh and not force:
         return _SO
     subprocess.run(

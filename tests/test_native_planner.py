@@ -142,6 +142,43 @@ def test_source_hash_mismatch_degrades_to_python(monkeypatch):
     assert native._load() is None
 
 
+def test_build_rebuilds_newer_mtime_stale_hash_library(tmp_path, monkeypatch):
+    """A .so whose mtime is NEWER than the sources but whose embedded hash
+    does not match them (mtimes lie across git operations and copies) must
+    be rebuilt by build(), not skipped — otherwise _load refuses the stamp
+    and the Python fallback serves forever with no path back to native."""
+    import ctypes
+    import shutil
+
+    from openintel_tpu import native
+
+    if not native._SO.exists():  # pragma: no cover - toolchain-less host
+        import pytest
+
+        pytest.skip("native library not built")
+    # stage the real sources + a hash-stale .so with a newer mtime
+    srcs = [tmp_path / s.name for s in native._SRCS]
+    for src, dst in zip(native._SRCS, srcs):
+        shutil.copy(src, dst)
+    so = tmp_path / native._SO.name
+    monkeypatch.setattr(native, "_SRCS", srcs)
+    monkeypatch.setattr(native, "_SO", so)
+    monkeypatch.setattr(native, "_lib", None)
+    native.build()  # genuine build of the staged sources
+    # make the sources differ from what the .so was built from, then give
+    # the .so the newest mtime (the lying-mtime scenario)
+    with open(srcs[-1], "a") as f:
+        f.write("\n// drift\n")
+    import os
+
+    newest = max(s.stat().st_mtime for s in srcs) + 10
+    os.utime(so, (newest, newest))
+    native.build()  # must detect the stale stamp and rebuild
+    lib = ctypes.CDLL(str(so))
+    lib.openintel_src_hash.restype = ctypes.c_char_p
+    assert lib.openintel_src_hash().decode("ascii") == native._src_hash()
+
+
 def test_built_library_carries_matching_source_hash():
     """build() stamps the current source hash into the .so and _load
     accepts it (fresh library loads; only a stale one is refused)."""
