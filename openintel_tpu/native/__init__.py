@@ -51,15 +51,48 @@ def build(force: bool = False) -> Path:
         fresh = _src_hash().encode("ascii") in _SO.read_bytes()
     if fresh and not force:
         return _SO
+    # Compile to a temp path and rename into place: dlopen caches by
+    # dev/inode and ctypes never dlcloses, so rewriting the .so IN PLACE
+    # (same inode) would hand every post-rebuild load the pinned stale
+    # image — os.replace gives the fresh build a new inode. Also drop the
+    # cached handle; the next _load() dlopens the new file.
+    import os
+
+    global _lib
+    tmp = _SO.with_name(_SO.name + ".tmp")
     subprocess.run(
         ["g++", "-O3", "-march=native", "-shared", "-fPIC",
          f'-DOPENINTEL_SRC_HASH="{_src_hash()}"']
         + [str(s) for s in _SRCS]
-        + ["-o", str(_SO)],
+        + ["-o", str(tmp)],
         check=True,
         capture_output=True,
     )
+    os.replace(tmp, _SO)
+    _lib = None
+    # retire content-addressed aliases of older builds (_so_unique)
+    keep = _so_unique().name
+    for old in _SO.parent.glob(f".{_SO.stem}.*{_SO.suffix}"):
+        if old.name != keep:
+            try:
+                old.unlink()
+            except OSError:
+                pass
     return _SO
+
+
+def _so_unique(h: Optional[str] = None) -> Path:
+    """Content-addressed alias of the canonical .so, used for dlopen.
+
+    glibc's dlopen matches loaded libraries by PATHNAME before it ever
+    looks at the file, and ctypes never dlcloses — so once a stale build
+    has been opened under the canonical name (e.g. an import side effect
+    before an explicit rebuild), every later dlopen of that name returns
+    the pinned stale image, fresh inode or not. Loading through a name
+    that embeds the source hash makes aliasing impossible."""
+    return _SO.with_name(
+        f".{_SO.stem}.{(h or _src_hash())[:16]}{_SO.suffix}"
+    )
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -75,10 +108,24 @@ def _load() -> Optional[ctypes.CDLL]:
     # that no longer matches the on-disk .cpp sources) degrades to the
     # Python path until an explicit build() — it can never silently serve
     # older planner semantics.
+    h = _src_hash()
+    if h.encode("ascii") not in _SO.read_bytes():
+        return None  # stale stamp: refuse without pinning it into dlopen
     try:
-        lib = _bind(ctypes.CDLL(str(_SO)))
+        uniq = _so_unique(h)
+        if not uniq.exists():
+            import os
+            import shutil
+
+            tmp = uniq.with_name(uniq.name + f".{os.getpid()}.tmp")
+            try:
+                os.link(_SO, tmp)
+            except OSError:
+                shutil.copy2(_SO, tmp)
+            os.replace(tmp, uniq)
+        lib = _bind(ctypes.CDLL(str(uniq)))
         stamped = lib.openintel_src_hash()
-        if (stamped or b"").decode("ascii", "replace") != _src_hash():
+        if (stamped or b"").decode("ascii", "replace") != h:
             return None
     except (AttributeError, OSError):
         # missing symbol / unloadable library: Python fallbacks take over
@@ -121,12 +168,14 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         i32p, f32p, ctypes.c_int64, i64p, ctypes.c_int64,
     ]
     u8p = ctypes.POINTER(ctypes.c_uint8)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
     lib.plan_build_masked.restype = ctypes.c_int64
     lib.plan_build_masked.argtypes = [
         i64p, i32p, f32p, i64p, f32p, ctypes.c_int64,
         i32p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, u8p,
         i64p, i32p, f32p,  # pruned cache (nullable): offsets, doc_ids, impacts
+        i32p, u64p, ctypes.c_int64,  # bitmap cache (nullable): slots, words, stride
         i32p, f32p, ctypes.c_int64, i64p, ctypes.c_int64,
     ]
     lib.openintel_src_hash.restype = ctypes.c_char_p
@@ -242,6 +291,7 @@ def native_build_query_plan(
     multi_budget: int,
     n_threads: int = 0,  # 0 = hardware concurrency
     doc_mask=None,  # (n_docs,) bool — filtered plans (planner.cpp)
+    bitmap_min_df: Optional[int] = None,  # df threshold override (tests)
 ):
     """C++ pruned-plan assembly (see planner.cpp); returns
     (doc_ids (B, W) int32 sentinel-padded, weights (B, W) f32, max_terms,
@@ -298,6 +348,24 @@ def native_build_query_plan(
         p_offs, p_doc, p_imp = index.pruned_cache(max_postings_per_term)
         p_offs = np.ascontiguousarray(p_offs, dtype=np.int64)
 
+    # Postings membership bitmaps for high-df terms: the multi-term pair
+    # intersections become O(smaller-df) bit probes instead of merges
+    # (planner.cpp::bitmap_intersect). Mask-independent (intersections are
+    # raw either way; the mask filters afterwards), so filtered plans use
+    # them too. The df threshold bounds memory to a few hundred rows.
+    bm_slots = bm_words = None
+    bm_stride = 0
+    bm_cached = getattr(index, "_bitmap_cache", None)
+    forced = bitmap_min_df is not None
+    if not forced:
+        bitmap_min_df = max(8192, index.n_docs // 256)
+    if forced or b >= 32 or (
+        bm_cached is not None and bitmap_min_df in bm_cached
+    ):
+        bm_slots, bm_words = index.bitmap_cache(bitmap_min_df)
+        if bm_words is not None:
+            bm_stride = bm_words.shape[1]
+
     cap = int(t_max * (max_postings_per_term + multi_budget))
     while True:
         out_ids = np.full((b, cap), index.n_docs, dtype=np.int32)
@@ -319,6 +387,11 @@ def native_build_query_plan(
             p_offs.ctypes.data_as(i64p) if p_offs is not None else None,
             p_doc.ctypes.data_as(i32p) if p_doc is not None else None,
             p_imp.ctypes.data_as(f32p) if p_imp is not None else None,
+            bm_slots.ctypes.data_as(i32p) if bm_slots is not None else None,
+            bm_words.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint64)
+            ) if bm_words is not None else None,
+            bm_stride,
             out_ids.ctypes.data_as(i32p),
             out_w.ctypes.data_as(f32p),
             cap,

@@ -30,6 +30,37 @@
 #include <immintrin.h>
 #endif
 
+// Phase profiling, compiled in only with -DOPENINTEL_PROFILE (the
+// production .so carries none of it). scripts/profile_planner.py builds a
+// profile variant into /tmp and reads the per-phase nanosecond totals:
+//   0 term-dedup+prune-check  1 pairwise-intersections  2 multi-selection
+//   3 per-term-emission       4 k-way-merge-output
+#ifdef OPENINTEL_PROFILE
+#include <ctime>
+namespace {
+std::atomic<long long> g_prof_ns[5] = {};
+inline long long prof_now_ns() {
+  timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return ts.tv_sec * 1000000000LL + ts.tv_nsec;
+}
+}  // namespace
+extern "C" {
+void planner_prof_reset() {
+  for (auto& a : g_prof_ns) a.store(0);
+}
+void planner_prof_read(long long* out, long long n) {
+  for (long long i = 0; i < n && i < 5; ++i) out[i] = g_prof_ns[i].load();
+}
+}
+#define PROF_T(v) const long long v = prof_now_ns()
+#define PROF_ACC(i, v) \
+  g_prof_ns[i].fetch_add(prof_now_ns() - (v), std::memory_order_relaxed)
+#else
+#define PROF_T(v) (void)0
+#define PROF_ACC(i, v) (void)0
+#endif
+
 namespace {
 
 struct MultiDoc {
@@ -136,6 +167,80 @@ inline void simd_intersect(const int32_t* ids, int64_t alo, int64_t ahi,
 }
 #endif
 
+// Membership-based intersection for a pair whose LARGER side has a
+// precomputed postings bitmap (index.bitmap_cache): iterate the smaller
+// list — ascending, so the bit probes stream sequentially through the
+// bitmap row with near-perfect prefetch — and test each doc's bit. A
+// hit's position in the larger list (needed for its impact value) comes
+// from a monotonic galloping cursor; hits are rare, so the lookups are
+// off the hot path. O(na) probes replaces the O(na+nb) merge on
+// comparable-size high-df pairs and the O(na log) scattered gallop on
+// skewed ones — the pairwise merge was 51% of plan-assembly cost at
+// bench scale.
+inline void bitmap_intersect(const int32_t* ids, int64_t alo, int64_t ahi,
+                             int64_t blo, int64_t bhi, const uint64_t* bm,
+                             uint16_t key_a, uint16_t key_b,
+                             std::vector<Hit>& out) {
+  int64_t cur = blo;
+  for (int64_t i = alo; i < ahi; ++i) {
+    const uint32_t d = static_cast<uint32_t>(ids[i]);
+    if (bm[d >> 6] & (1ull << (d & 63))) {
+      cur = gallop_lower_bound(ids, cur, bhi, ids[i]);
+      emit_hits(ids[i], i, key_a, cur, key_b, out);
+      ++cur;
+    }
+  }
+}
+
+// Word-AND intersection when BOTH sides have bitmaps and the smaller list
+// is large: AND the two bitmap rows 64 docs at a time (8 words per AVX512
+// vector) and decode the rare nonzero words to doc ids; positions come
+// from monotonic galloping cursors on both lists (matches ascending).
+// Cost is a CONSTANT ~n_words/8 vector ops — independent of the two dfs —
+// vs O(min-df) probes / O(df_a+df_b) merge, so it wins exactly on the
+// big x big pairs where every other strategy is at its worst.
+inline void bitmap_and_intersect(const int32_t* ids, int64_t alo, int64_t ahi,
+                                 int64_t blo, int64_t bhi,
+                                 const uint64_t* bm_a, const uint64_t* bm_b,
+                                 int64_t n_words, uint16_t key_a,
+                                 uint16_t key_b, std::vector<Hit>& out) {
+  int64_t ca = alo, cb = blo;
+  auto decode = [&](uint64_t word, int64_t w) {
+    while (word) {
+      const int bit = __builtin_ctzll(word);
+      word &= word - 1;
+      const int32_t d = static_cast<int32_t>((w << 6) + bit);
+      ca = gallop_lower_bound(ids, ca, ahi, d);
+      cb = gallop_lower_bound(ids, cb, bhi, d);
+      emit_hits(d, ca, key_a, cb, key_b, out);
+      ++ca;
+      ++cb;
+    }
+  };
+  int64_t w = 0;
+#if defined(__AVX512F__)
+  for (; w + 8 <= n_words; w += 8) {
+    const __m512i va = _mm512_loadu_si512(bm_a + w);
+    const __m512i vb = _mm512_loadu_si512(bm_b + w);
+    const __m512i x = _mm512_and_si512(va, vb);
+    __mmask8 nz = _mm512_test_epi64_mask(x, x);
+    if (nz) {
+      alignas(64) uint64_t tmp[8];
+      _mm512_store_si512(tmp, x);
+      while (nz) {
+        const int lane = __builtin_ctz(nz);
+        nz &= nz - 1;
+        decode(tmp[lane], w + lane);
+      }
+    }
+  }
+#endif
+  for (; w < n_words; ++w) {
+    const uint64_t x = bm_a[w] & bm_b[w];
+    if (x) decode(x, w);
+  }
+}
+
 // Matches between the ascending ranges ids[alo, ahi) and ids[blo, bhi),
 // appended to `out` as one Hit PER SIDE (doc, key, global posting index).
 // Adaptive: comparable sizes take a vectorized (or mostly-branchless
@@ -192,6 +297,8 @@ int64_t plan_build_range(const int64_t* term_offsets, const int32_t* doc_ids,
                          const int64_t* pruned_offsets,
                          const int32_t* pruned_doc_ids,
                          const float* pruned_impact,
+                         const int32_t* bm_slots, const uint64_t* bm_words,
+                         int64_t bm_stride,
                          int32_t* out_ids, float* out_w, int64_t cap,
                          int64_t* out_widths) {
   std::vector<int32_t> terms;
@@ -201,6 +308,10 @@ int64_t plan_build_range(const int64_t* term_offsets, const int32_t* doc_ids,
   std::vector<float> seg_imp;
   std::vector<int32_t> multi_sorted;
   std::vector<Hit> hits;
+  std::vector<int64_t> run_end;
+  std::vector<int64_t> hit_cur;
+  std::vector<int64_t> hit_end;
+  std::vector<Hit> loc;
   std::vector<double> key_w;
   std::vector<int32_t> run_doc;
   std::vector<float> run_w;
@@ -210,6 +321,7 @@ int64_t plan_build_range(const int64_t* term_offsets, const int32_t* doc_ids,
   int64_t max_width = 0;
 
   for (int64_t b = b_lo; b < b_hi; ++b) {
+    PROF_T(prof_t0);
     const int32_t* qt = q_terms + b * T;
     terms.clear();
     qtf.clear();
@@ -242,6 +354,7 @@ int64_t plan_build_range(const int64_t* term_offsets, const int32_t* doc_ids,
       int64_t df = term_offsets[terms[j] + 1] - term_offsets[terms[j]];
       if (df > max_m) prune = true;
     }
+    PROF_ACC(0, prof_t0);
 
     if (prune && nt > 1 && multi_budget > 0) {
       // Exact top-`multi_budget` docs matching >= 2 distinct query terms,
@@ -273,16 +386,47 @@ int64_t plan_build_range(const int64_t* term_offsets, const int32_t* doc_ids,
         key_w[key] = static_cast<double>(idf[terms[j]]) * qtf[j];
       }
       hits.clear();
+      run_end.clear();
+      PROF_T(prof_t1);
       for (size_t i = 0; i + 1 < nt; ++i) {
         const uint16_t ki = (i == big) ? big_key : static_cast<uint16_t>(i);
         for (size_t j = i + 1; j < nt; ++j) {
           const uint16_t kj =
               (j == big) ? big_key : static_cast<uint16_t>(j);
-          intersect_ranges(doc_ids, term_offsets[terms[i]],
-                           term_offsets[terms[i] + 1], term_offsets[terms[j]],
-                           term_offsets[terms[j] + 1], ki, kj, hits);
+          // ranges + keys ordered smaller-list-first
+          int64_t slo = term_offsets[terms[i]], shi = term_offsets[terms[i] + 1];
+          int64_t llo = term_offsets[terms[j]], lhi = term_offsets[terms[j] + 1];
+          uint16_t ks = ki, kl = kj;
+          int32_t t_small = terms[i], t_large = terms[j];
+          if (shi - slo > lhi - llo) {
+            std::swap(slo, llo);
+            std::swap(shi, lhi);
+            std::swap(ks, kl);
+            std::swap(t_small, t_large);
+          }
+          const int32_t slot_l =
+              (bm_slots != nullptr) ? bm_slots[t_large] : -1;
+          const int32_t slot_s =
+              (bm_slots != nullptr) ? bm_slots[t_small] : -1;
+          if (slot_l >= 0 && slot_s >= 0 && (shi - slo) * 4 >= bm_stride) {
+            // both big: constant-cost word AND beats per-element probes
+            bitmap_and_intersect(
+                doc_ids, slo, shi, llo, lhi,
+                bm_words + static_cast<int64_t>(slot_s) * bm_stride,
+                bm_words + static_cast<int64_t>(slot_l) * bm_stride,
+                bm_stride, ks, kl, hits);
+          } else if (slot_l >= 0) {
+            bitmap_intersect(doc_ids, slo, shi, llo, lhi,
+                             bm_words + static_cast<int64_t>(slot_l) * bm_stride,
+                             ks, kl, hits);
+          } else {
+            intersect_ranges(doc_ids, slo, shi, llo, lhi, ks, kl, hits);
+          }
+          run_end.push_back(static_cast<int64_t>(hits.size()));
         }
       }
+      PROF_ACC(1, prof_t1);
+      PROF_T(prof_t2);
       if (hits.size() <= 2 * static_cast<size_t>(multi_budget)) {
         // Every multi doc carries >= 2 hits, so n_multi <= hits/2 <=
         // multi_budget: the bounded heap could never overflow and the
@@ -298,29 +442,71 @@ int64_t plan_build_range(const int64_t* term_offsets, const int32_t* doc_ids,
             std::unique(multi_sorted.begin(), multi_sorted.end()),
             multi_sorted.end());
       } else {
-        // hits -> per-doc exact scores: sort by (doc, key), dedup the
-        // (doc, key) repeats (the same match rediscovered via another
-        // pair — identical pos by postings uniqueness), accumulate each
-        // run in key order (the reference order), keep the top-B in the
-        // bounded heap.
-        std::sort(hits.begin(), hits.end(), [](const Hit& x, const Hit& y) {
-          if (x.doc != y.doc) return x.doc < y.doc;
-          return x.key < y.key;
-        });
+        // hits -> per-doc exact scores. `hits` is a concatenation of
+        // per-pair doc-ascending runs (boundaries in run_end), so the
+        // (doc, key) grouping the old global std::sort produced comes
+        // from a k-way min-merge over <= nt(nt-1)/2 runs: linear in
+        // |hits| (the sort was the dominant cost of this phase at bench
+        // scale). Per doc, the <= 2-per-run entries are insertion-sorted
+        // by key and accumulated with the same same-key dedup (the
+        // duplicate is the same match rediscovered via another pair —
+        // identical pos by postings uniqueness), so scores and
+        // tie-breaking are bit-identical to the sorted path. Degenerate
+        // many-term queries (> 64 runs: O(runs) scan per doc group)
+        // fall back to the global sort.
         std::priority_queue<MultiDoc, std::vector<MultiDoc>, WorstFirst>
             heap;
-        for (size_t h = 0; h < hits.size();) {
-          const int32_t m = hits[h].doc;
+        hit_cur.clear();
+        hit_end.clear();
+        int64_t prev_end = 0;
+        for (size_t r = 0; r < run_end.size(); ++r) {
+          if (run_end[r] > prev_end) {
+            hit_cur.push_back(prev_end);
+            hit_end.push_back(run_end[r]);
+          }
+          prev_end = run_end[r];
+        }
+        const bool merge_runs = hit_cur.size() <= 64;
+        if (!merge_runs) {
+          std::sort(hits.begin(), hits.end(),
+                    [](const Hit& x, const Hit& y) {
+                      if (x.doc != y.doc) return x.doc < y.doc;
+                      return x.key < y.key;
+                    });
+          hit_cur.assign(1, 0);
+          hit_end.assign(1, static_cast<int64_t>(hits.size()));
+        }
+        size_t nlive = hit_cur.size();
+        while (nlive > 0) {
+          int32_t m = hits[hit_cur[0]].doc;
+          for (size_t r = 1; r < nlive; ++r)
+            m = std::min(m, hits[hit_cur[r]].doc);
+          loc.clear();
+          for (size_t r = 0; r < nlive;) {
+            while (hit_cur[r] < hit_end[r] && hits[hit_cur[r]].doc == m)
+              loc.push_back(hits[hit_cur[r]++]);
+            if (hit_cur[r] >= hit_end[r]) {
+              hit_cur[r] = hit_cur[nlive - 1];
+              hit_end[r] = hit_end[nlive - 1];
+              --nlive;
+            } else {
+              ++r;
+            }
+          }
+          // insertion sort by key (<= 2 entries per live run)
+          for (size_t a = 1; a < loc.size(); ++a) {
+            const Hit h = loc[a];
+            size_t p = a;
+            for (; p > 0 && loc[p - 1].key > h.key; --p) loc[p] = loc[p - 1];
+            loc[p] = h;
+          }
           double score = 0.0;
           uint32_t prev_key = UINT32_MAX;
-          size_t e = h;
-          for (; e < hits.size() && hits[e].doc == m; ++e) {
-            if (hits[e].key == prev_key) continue;
-            prev_key = hits[e].key;
-            score += static_cast<double>(impact[hits[e].pos]) *
-                     key_w[hits[e].key];
+          for (const Hit& h : loc) {
+            if (h.key == prev_key) continue;
+            prev_key = h.key;
+            score += static_cast<double>(impact[h.pos]) * key_w[h.key];
           }
-          h = e;
           // a masked doc can never enter the plan
           if (doc_mask != nullptr && !doc_mask[m]) continue;
           MultiDoc md{score, m};
@@ -342,6 +528,7 @@ int64_t plan_build_range(const int64_t* term_offsets, const int32_t* doc_ids,
         }
         std::sort(multi_sorted.begin(), multi_sorted.end());
       }
+      PROF_ACC(2, prof_t2);
     }
 
     // Per-term emission into one ASCENDING run per term (run_doc/run_w,
@@ -350,6 +537,7 @@ int64_t plan_build_range(const int64_t* term_offsets, const int32_t* doc_ids,
     // std::sort'ed, but it is by construction a concatenation of per-term
     // ascending runs, so the k-way merge is linear and fuses the sort
     // with the output copy (~15% of plan cost at bench scale).
+    PROF_T(prof_t3);
     run_doc.clear();
     run_w.clear();
     run_start.assign(1, 0);
@@ -441,10 +629,12 @@ int64_t plan_build_range(const int64_t* term_offsets, const int32_t* doc_ids,
       run_start.push_back(static_cast<int64_t>(run_doc.size()));
     }
 
+    PROF_ACC(3, prof_t3);
     const int64_t width = static_cast<int64_t>(run_doc.size());
     if (width > cap) return -width;
     max_width = std::max(max_width, width);
     out_widths[b] = width;
+    PROF_T(prof_t4);
     int32_t* oi = out_ids + b * cap;
     float* ow = out_w + b * cap;
     // cursor merge of the per-term ascending runs into the output row;
@@ -488,6 +678,7 @@ int64_t plan_build_range(const int64_t* term_offsets, const int32_t* doc_ids,
         ow[o] = run_w[p];
       }
     }
+    PROF_ACC(4, prof_t4);
   }
   return max_width;
 }
@@ -511,6 +702,8 @@ int64_t plan_build_masked(const int64_t* term_offsets, const int32_t* doc_ids,
                           const int64_t* pruned_offsets,
                           const int32_t* pruned_doc_ids,
                           const float* pruned_impact,
+                          const int32_t* bm_slots, const uint64_t* bm_words,
+                          int64_t bm_stride,
                           int32_t* out_ids, float* out_w, int64_t cap,
                           int64_t* out_widths, int64_t n_threads) {
   if (n_threads <= 0) {
@@ -522,8 +715,8 @@ int64_t plan_build_masked(const int64_t* term_offsets, const int32_t* doc_ids,
     return plan_build_range(term_offsets, doc_ids, impact, impact_order, idf,
                             n_terms_vocab, q_terms, 0, B, T, max_m,
                             multi_budget, doc_mask, pruned_offsets,
-                            pruned_doc_ids, pruned_impact, out_ids, out_w,
-                            cap, out_widths);
+                            pruned_doc_ids, pruned_impact, bm_slots, bm_words,
+                            bm_stride, out_ids, out_w, cap, out_widths);
   }
   std::vector<int64_t> results(n_threads, 0);
   std::vector<std::thread> workers;
@@ -536,7 +729,8 @@ int64_t plan_build_masked(const int64_t* term_offsets, const int32_t* doc_ids,
                                     impact_order, idf, n_terms_vocab, q_terms,
                                     lo, hi, T, max_m, multi_budget, doc_mask,
                                     pruned_offsets, pruned_doc_ids,
-                                    pruned_impact, out_ids, out_w, cap,
+                                    pruned_impact, bm_slots, bm_words,
+                                    bm_stride, out_ids, out_w, cap,
                                     out_widths);
     });
   }
@@ -559,8 +753,9 @@ int64_t plan_build(const int64_t* term_offsets, const int32_t* doc_ids,
                    int64_t* out_widths, int64_t n_threads) {
   return plan_build_masked(term_offsets, doc_ids, impact, impact_order, idf,
                            n_terms_vocab, q_terms, B, T, max_m, multi_budget,
-                           nullptr, nullptr, nullptr, nullptr, out_ids, out_w,
-                           cap, out_widths, n_threads);
+                           nullptr, nullptr, nullptr, nullptr, nullptr,
+                           nullptr, 0, out_ids, out_w, cap, out_widths,
+                           n_threads);
 }
 
 // Source-hash stamp: build() passes -DOPENINTEL_SRC_HASH="<sha256 of the
@@ -576,3 +771,7 @@ const char* openintel_src_hash() {
 }
 
 }  // extern "C"
+
+
+
+

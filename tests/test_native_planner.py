@@ -110,6 +110,72 @@ def test_native_plan_edge_cases(lib, idx):
     assert (np.asarray(in_)[0] == -1).all()  # empty query ranks nothing
 
 
+def _row_sets(out_ids, out_w, n_docs):
+    return [
+        {
+            (int(d), round(float(w), 5))
+            for d, w in zip(ri, rw)
+            if d < n_docs
+        }
+        for ri, rw in zip(out_ids, out_w)
+    ]
+
+
+def test_bitmap_intersection_candidate_sets_identical(lib, idx):
+    """Forcing membership bitmaps onto EVERY term (bitmap_min_df=1) must
+    leave candidate sets bit-identical to the merge/gallop path and to the
+    NumPy reference — the bitmap is an execution strategy for the pairwise
+    intersections, never a semantics change. Exercises both the
+    no-overflow fast path (ample budget) and the bounded-heap path (tiny
+    multi budget), plus the filtered (doc_mask) plan."""
+    rng = np.random.default_rng(55)
+    term_ids = [list(rng.integers(1, 40, size=4)) for _ in range(12)]
+
+    for budget in (256, 2):  # fast path / heap path
+        nat = native.native_build_query_plan(
+            idx, term_ids, max_postings_per_term=32, multi_budget=budget,
+            n_threads=1,
+        )
+        bmp = native.native_build_query_plan(
+            idx, term_ids, max_postings_per_term=32, multi_budget=budget,
+            n_threads=1, bitmap_min_df=1,
+        )
+        assert nat is not None and bmp is not None
+        assert _row_sets(bmp[0], bmp[1], idx.n_docs) == _row_sets(
+            nat[0], nat[1], idx.n_docs
+        )
+
+    mask = np.zeros(idx.n_docs, dtype=bool)
+    mask[::3] = True
+    nat = native.native_build_query_plan(
+        idx, term_ids, max_postings_per_term=32, multi_budget=64,
+        n_threads=1, doc_mask=mask,
+    )
+    bmp = native.native_build_query_plan(
+        idx, term_ids, max_postings_per_term=32, multi_budget=64,
+        n_threads=1, doc_mask=mask, bitmap_min_df=1,
+    )
+    assert _row_sets(bmp[0], bmp[1], idx.n_docs) == _row_sets(
+        nat[0], nat[1], idx.n_docs
+    )
+
+
+def test_bitmap_cache_bits_match_postings(idx):
+    """bitmap_cache rows decode back to exactly each term's postings."""
+    slots, words = idx.bitmap_cache(1)
+    assert slots is not None
+    for t in (1, 7, 39, 200):
+        s = int(slots[t])
+        assert s >= 0
+        lo, hi = int(idx.term_offsets[t]), int(idx.term_offsets[t + 1])
+        docs = np.flatnonzero(
+            np.unpackbits(
+                words[s].view(np.uint8), bitorder="little"
+            )[: idx.n_docs]
+        )
+        np.testing.assert_array_equal(docs, np.sort(idx.doc_ids[lo:hi]))
+
+
 def test_stale_or_broken_library_degrades_to_python(monkeypatch):
     """A library missing a symbol (stale prebuilt .so) must make _load return
     None — Python fallbacks take over — instead of crashing every import."""
@@ -181,11 +247,15 @@ def test_build_rebuilds_newer_mtime_stale_hash_library(tmp_path, monkeypatch):
 
 def test_built_library_carries_matching_source_hash():
     """build() stamps the current source hash into the .so and _load
-    accepts it (fresh library loads; only a stale one is refused)."""
+    accepts it (fresh library loads; only a stale one is refused). Loads
+    through _load() — the serving path — which dlopens the content-
+    addressed alias; the canonical pathname may be pinned to an older
+    image in this very process (dlopen name-caching, see _so_unique)."""
     from openintel_tpu import native
 
     native.build()
-    lib = native._bind(__import__("ctypes").CDLL(str(native._SO)))
+    lib = native._load()
+    assert lib is not None
     assert lib.openintel_src_hash().decode("ascii") == native._src_hash()
 
 
