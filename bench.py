@@ -213,6 +213,14 @@ def main() -> None:
     from openintel_tpu.ops.bm25 import build_query_plan
 
     prune_m = auto_prune_m(n_docs, c_arm)
+    from openintel_tpu import native as _native
+
+    native_planner_active = _native._load() is not None
+    if not native_planner_active:
+        log(
+            "WARNING: native planner unavailable (stale/missing .so) — "
+            "plan-build figures below measure the PYTHON fallback"
+        )
     s = time.time()
     _plan = build_query_plan(
         index, term_ids,
@@ -460,6 +468,11 @@ def main() -> None:
             plan_build_secs / total_q * 1e3, 3
         ),
         "plan_cores_for_device_rate": plan_cores_for_device_rate,
+        # evidence hygiene: whether the C++ planner actually served the
+        # plan-build figures above. False means the Python fallback ran
+        # (e.g. a hash-stale .so) and the planner numbers are ~5-7x the
+        # native rate — a silent regression this flag makes loud.
+        "native_planner": native_planner_active,
         "recall_at_10_vs_exact": round(recall, 4),
         "recall_at_10_min": round(recall_min, 4),
         "recall_at_10_vs_stored": round(recall_stored, 4),
