@@ -15,7 +15,13 @@ prefix, executed via subprocess only.
 """
 
 import json
+import pathlib
 import sys
+
+# Run as ``python tests/multihost_child.py`` — script dir (tests/) is on
+# sys.path but the repo root is not; add it so the package resolves even
+# when the parent's PYTHONPATH doesn't propagate.
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def main() -> None:

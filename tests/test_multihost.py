@@ -35,6 +35,12 @@ def _child_env() -> dict:
     }
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    # ``python tests/multihost_child.py`` puts tests/ (not the repo root) on
+    # the child's sys.path — export the root so the package imports without
+    # relying on an installed dist or an ambient PYTHONPATH.
+    root = str(Path(__file__).resolve().parent.parent)
+    prior = env.get("PYTHONPATH")
+    env["PYTHONPATH"] = root if not prior else root + os.pathsep + prior
     return env
 
 
