@@ -90,11 +90,11 @@ def main() -> None:
     # full precision instead (2x memory) — used to verify that the
     # residual recall-vs-f32 gap is storage precision and nothing else.
     store = os.environ.get("BENCH_STORE", "bf16" if on_tpu else "f32")
-    store_dtype = np.float32
-    if store == "bf16":
-        import ml_dtypes
+    # the same mapping `openintel index --dense-store` serves (the bench's
+    # f32 control IS the CLI's recall-critical deployment switch)
+    from openintel_tpu.index.schema import dense_store_dtype
 
-        store_dtype = ml_dtypes.bfloat16
+    store_dtype = dense_store_dtype(store)
     dense_index = DenseIndex.from_embeddings(emb, dtype=store_dtype)
     log(
         f"dense index [{dense_mode}, stored "

@@ -149,7 +149,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("corpus", help="text file, one document per line")
     p.add_argument("--out", required=True, help="output path prefix")
     p.add_argument("--dim", type=int, default=384, help="embedding dim")
-    p.add_argument("--bf16", action="store_true", help="store embeddings as bfloat16")
+    p.add_argument(
+        "--dense-store", choices=["f32", "bf16"], default=None,
+        help="dense embedding storage precision: f32 (default; "
+        "recall-critical deployments) or bf16 (half the index memory/HBM "
+        "at a ~0.9 min recall@10 floor vs f32 on adversarially close "
+        "neighbors — docs/kernels.md)",
+    )
+    p.add_argument(
+        "--bf16", action="store_true",
+        help="alias for --dense-store bf16 (kept for compatibility)",
+    )
     p.add_argument(
         "--encoder", default=None,
         help="embed with a trained encoder checkpoint dir (from `train`)",
@@ -486,9 +496,12 @@ def run_index(args) -> tuple[str, int]:
     ]
     if not texts:
         return "error: corpus is empty", 1
-    import jax.numpy as jnp
+    from openintel_tpu.index.schema import dense_store_dtype
 
-    dtype = jnp.bfloat16.dtype if args.bf16 else np.float32
+    if args.dense_store and args.bf16 and args.dense_store != "bf16":
+        return "error: --bf16 conflicts with --dense-store f32", 1
+    store = args.dense_store or ("bf16" if args.bf16 else "f32")
+    dtype = dense_store_dtype(store)
     embedder = None
     if args.encoder:
         from openintel_tpu.models.train import load_embedder
@@ -513,6 +526,18 @@ def run_index(args) -> tuple[str, int]:
             return err, 1
         postings = load_postings(f"{prefix}.postings.npz")
         dense_idx = load_dense(f"{prefix}.dense.npz")
+        from openintel_tpu.index.schema import dense_store_name
+
+        stored = dense_store_name(np.asarray(dense_idx.embeddings).dtype)
+        if (args.dense_store or args.bf16) and store != stored:
+            # silently converting on append would change the recall
+            # characteristics of every EXISTING row mid-stream
+            return (
+                f"error: index at {prefix} stores dense rows as {stored}; "
+                f"--append keeps the existing precision (rebuild without "
+                f"--append to change it)",
+                1,
+            )
         n_before = postings.n_docs
         upd = UpdatableHybridRetriever(
             postings, dense_idx, embedder, kernel="xla"
@@ -547,12 +572,8 @@ def run_index(args) -> tuple[str, int]:
             embedder=embedder or HashingEmbedder(dim=args.dim),
             log=lambda m: print(m, file=sys.stderr),
         )
-        if args.bf16:
-            import jax.numpy as jnp
-
-            dense_idx.embeddings = np.asarray(
-                dense_idx.embeddings, jnp.bfloat16.dtype
-            )
+        if dtype != np.float32:
+            dense_idx.embeddings = np.asarray(dense_idx.embeddings, dtype)
         save_index(
             args.out, postings, dense_idx, texts, encoder=args.encoder
         )
@@ -570,8 +591,7 @@ def run_index(args) -> tuple[str, int]:
     )
     return (
         f"indexed {len(texts)} docs -> {args.out}.postings.npz + "
-        f"{args.out}.dense.npz ({args.dim}d"
-        f"{', bf16' if args.bf16 else ''})\n",
+        f"{args.out}.dense.npz ({args.dim}d, dense store {store})\n",
         0,
     )
 
@@ -1081,17 +1101,33 @@ def run_doctor(args) -> tuple[str, int]:
             postings = load_postings(f"{args.index}.postings.npz")
             dense = load_dense(f"{args.index}.dense.npz")
             emb = "?"
+            meta_store = None
             meta_p = f"{args.index}.meta.json"
             from pathlib import Path
 
             if Path(meta_p).exists():
-                emb = json.loads(Path(meta_p).read_text()).get("embedder", "?")
+                meta = json.loads(Path(meta_p).read_text())
+                emb = meta.get("embedder", "?")
+                meta_store = meta.get("dense_store")
+            import numpy as np
+
+            from openintel_tpu.index.schema import dense_store_name
+
+            actual_store = dense_store_name(
+                np.asarray(dense.embeddings).dtype
+            )
             lines.append(
                 f"index '{args.index}': {postings.n_docs} docs, "
                 f"{postings.nnz:,} postings, vocab {postings.vocab.size}, "
                 f"dense {dense.dim}d "
-                f"({np_dtype_name(dense.embeddings)}, embedder {emb}) — OK"
+                f"(store {actual_store}, embedder {emb}) — OK"
             )
+            if meta_store is not None and meta_store != actual_store:
+                lines.append(
+                    f"  MISMATCH: meta declares dense store {meta_store} "
+                    f"but the matrix is {actual_store}"
+                )
+                ok = False
             if postings.n_docs != dense.n_docs:
                 lines.append(
                     f"  MISMATCH: postings {postings.n_docs} docs vs dense "
@@ -1104,12 +1140,6 @@ def run_doctor(args) -> tuple[str, int]:
 
     lines.append("status: ok" if ok else "status: problems found")
     return "\n".join(lines) + "\n", 0 if ok else 1
-
-
-def np_dtype_name(arr) -> str:
-    import numpy as np
-
-    return str(np.asarray(arr).dtype)
 
 
 def main(argv: Optional[list[str]] = None) -> int:

@@ -213,8 +213,18 @@ def save_index(
     save_dense(dense, f"{prefix}.dense.npz")
     if docs is not None:
         Path(f"{prefix}.docs.txt").write_text("\n".join(docs))
+    from openintel_tpu.index.schema import dense_store_name
+
     Path(f"{prefix}.meta.json").write_text(
         json.dumps(
-            {"embedder": "neural" if encoder else "hashing", "dim": dense.dim}
+            {
+                "embedder": "neural" if encoder else "hashing",
+                "dim": dense.dim,
+                # derived from the matrix actually written (never a caller
+                # claim), so meta cannot disagree with the stored dtype
+                "dense_store": dense_store_name(
+                    np.asarray(dense.embeddings).dtype
+                ),
+            }
         )
     )

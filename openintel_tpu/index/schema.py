@@ -186,6 +186,40 @@ class PostingsIndex:
         return out
 
 
+def dense_store_dtype(name: str) -> np.dtype:
+    """Map the user-facing dense storage choice to a numpy dtype.
+
+    ``bf16`` halves index memory/HBM at a measured recall@10 floor of
+    ~0.9-vs-f32 on adversarially close neighbors (docs/kernels.md "Storage
+    precision"); ``f32`` is the recall-critical deployment switch
+    (`openintel index --dense-store f32`). THE single mapping shared by the
+    CLI, bench.py's BENCH_STORE control, and tests — so "what does f32 mean"
+    cannot drift between surfaces."""
+    if name == "f32":
+        return np.dtype(np.float32)
+    if name == "bf16":
+        import ml_dtypes
+
+        return np.dtype(ml_dtypes.bfloat16)
+    raise ValueError(f"unknown dense store {name!r} (choices: f32, bf16)")
+
+
+def dense_store_name(dtype) -> str:
+    """Inverse of :func:`dense_store_dtype` for checkpoint meta / doctor
+    reporting; unknown dtypes report their numpy name verbatim."""
+    dt = np.dtype(dtype)
+    if dt == np.float32:
+        return "f32"
+    try:
+        import ml_dtypes
+
+        if dt == np.dtype(ml_dtypes.bfloat16):
+            return "bf16"
+    except ImportError:  # pragma: no cover - ml_dtypes ships with jax
+        pass
+    return dt.name
+
+
 @dataclass
 class DenseIndex:
     """L2-normalised document embeddings; cosine similarity == dot product."""

@@ -447,3 +447,66 @@ def test_filter_flag_validation(tmp_path, capsys):
         "--exclude-ids", "0-9999999999",
     )
     assert code == 1 and "out of range" in out
+
+
+def test_index_dense_store_flag(tmp_path, capsys):
+    """--dense-store wires storage precision end-to-end: checkpoint meta
+    records it, the loaded matrix carries it, doctor reports it, and search
+    serves whichever precision is stored (VERDICT r4 item 9)."""
+    import ml_dtypes
+    import numpy as np
+
+    from openintel_tpu.index.checkpoint import load_dense
+
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text(
+        "the quick brown fox\nlazy dogs sleep all day\n"
+        "market analysis of tech stocks\nfoxes and dogs living together\n"
+    )
+    for store, want in (
+        ("f32", np.dtype(np.float32)),
+        ("bf16", np.dtype(ml_dtypes.bfloat16)),
+    ):
+        prefix = tmp_path / f"idx_{store}"
+        out, code = run_cli(
+            capsys, "index", str(corpus), "--out", str(prefix),
+            "--dim", "64", "--dense-store", store,
+        )
+        assert code == 0 and f"dense store {store}" in out
+        assert load_dense(f"{prefix}.dense.npz").embeddings.dtype == want
+        meta = json.loads((tmp_path / f"idx_{store}.meta.json").read_text())
+        assert meta["dense_store"] == store
+        out, code = run_cli(capsys, "doctor", "--index", str(prefix))
+        assert code == 0 and f"store {store}" in out
+        out, code = run_cli(
+            capsys, "search", "quick fox", "--index", str(prefix),
+            "-k", "1", "--format", "json",
+        )
+        assert code == 0
+        assert json.loads(out)[0]["hits"][0]["doc_id"] == 0
+
+    # --bf16 stays a working alias; conflicting combo is rejected
+    out, code = run_cli(
+        capsys, "index", str(corpus), "--out", str(tmp_path / "idx_a"),
+        "--dim", "64", "--bf16",
+    )
+    assert code == 0 and "dense store bf16" in out
+    out, code = run_cli(
+        capsys, "index", str(corpus), "--out", str(tmp_path / "idx_b"),
+        "--dim", "64", "--bf16", "--dense-store", "f32",
+    )
+    assert code == 1 and "conflicts" in out
+
+    # --append keeps the existing precision and refuses a conflicting flag
+    out, code = run_cli(
+        capsys, "index", str(corpus), "--out", str(tmp_path / "idx_a"),
+        "--append", "--dense-store", "f32",
+    )
+    assert code == 1 and "keeps the existing precision" in out
+    out, code = run_cli(
+        capsys, "index", str(corpus), "--out", str(tmp_path / "idx_a"),
+        "--append",
+    )
+    assert code == 0
+    emb = load_dense(f"{tmp_path / 'idx_a'}.dense.npz").embeddings
+    assert emb.dtype == np.dtype(ml_dtypes.bfloat16) and emb.shape[0] == 8
