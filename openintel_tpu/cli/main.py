@@ -257,6 +257,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("setup", help="guided credential setup with live verify")
     p.add_argument("source", choices=["reddit", "bluesky", "x"])
     p.add_argument("--forget", action="store_true", help="delete stored credentials")
+    p.add_argument(
+        "--verify", action="store_true",
+        help="non-interactively probe resolved (env/keychain) credentials "
+        "and exit 0 iff they work (CI-friendly)",
+    )
 
     p = sub.add_parser("mcp", help="serve the MCP tool surface over stdio")
     p.add_argument("--offline", action="store_true")
@@ -1272,7 +1277,7 @@ def _dispatch(args) -> int:
     elif args.command == "setup":
         from openintel_tpu.cli.setup import run_setup
 
-        out, code = run_setup(args.source, forget=args.forget)
+        out, code = run_setup(args.source, forget=args.forget, verify=args.verify)
     elif args.command == "mcp":
         from openintel_tpu.mcp.server import serve
 

@@ -1,10 +1,14 @@
-"""Opt-in live-network tests (reference test strategy item 7: #[ignore]d
-live tests run explicitly, asserting well-formedness invariants, never exact
-values — reference: src/adapters/sources/reddit/mod.rs:157-176,
-bluesky/mod.rs:159-174, yahoo/mod.rs:123-141).
+"""Opt-in live tests (reference test strategy item 7: #[ignore]d live tests
+run explicitly, asserting well-formedness invariants, never exact values —
+reference: src/adapters/sources/reddit/mod.rs:157-176,
+bluesky/mod.rs:159-174, yahoo/mod.rs:123-141, x/mod.rs:262-279,
+config/store.rs:158-171).
 
 Run with OPENINTEL_LIVE=1 on a machine with egress; CI and the hermetic
-suite always skip them. The X test is omitted entirely (paid API)."""
+suite always skip them. The X probe is PAID (~$0.05 per run: up to 10 reads
+at $0.005) and additionally requires OPENINTEL_LIVE_PAID=1, mirroring the
+reference's explicit cost warning in its #[ignore] attribute. The keystore
+round-trip needs a real OS keychain backend, not egress."""
 
 import asyncio
 import os
@@ -70,3 +74,57 @@ def test_bluesky_fetch_live():
         )
     )
     assert len(posts) <= 5
+
+
+@live
+@pytest.mark.skipif(
+    os.environ.get("OPENINTEL_LIVE_PAID") != "1",
+    reason="PAID X API probe (~$0.05: up to 10 reads at $0.005); "
+    "opt in with OPENINTEL_LIVE_PAID=1",
+)
+def test_x_pulse_live_paid():
+    """PAID probe (reference: src/adapters/sources/x/mod.rs:262-279 —
+    '#[ignore] paid: ≈$0.05'). One recent-search call against the default
+    macro accounts; asserts billing accounting and post well-formedness,
+    never exact values."""
+    from openintel_tpu.application.pulse import DEFAULT_PULSE_ACCOUNTS
+    from openintel_tpu.config.secrets import Credentials
+    from openintel_tpu.config.store import KeychainStore
+    from openintel_tpu.sources.x import XPulseSource
+
+    creds = Credentials.load(KeychainStore())
+    if not creds.x_bearer:
+        pytest.skip("x bearer not configured")
+    fetch = asyncio.run(
+        XPulseSource(creds.x_bearer).pulse(
+            Ticker.parse("AAPL"), list(DEFAULT_PULSE_ACCOUNTS), [], 24, 10
+        )
+    )
+    # posts_returned is what X bills (counted before client truncation) —
+    # it can exceed what we keep, never the reverse.
+    assert fetch.posts_returned >= len(fetch.posts)
+    assert len(fetch.posts) <= 10
+    assert all(p.text.value for p in fetch.posts)
+
+
+@live
+def test_keystore_round_trip_live():
+    """Real-keychain round trip (reference: src/config/store.rs:158-171):
+    set → get → delete → get-None → idempotent re-delete, under a test key
+    that never collides with real credentials."""
+    from openintel_tpu.config.store import KeychainStore, StoreError
+
+    store = KeychainStore()
+    key = "live-test-round-trip"
+    try:
+        store.set(key, "s3cret-value")
+    except StoreError:
+        pytest.skip("no usable OS keychain backend on this machine")
+    try:
+        assert store.get(key) == "s3cret-value"
+        store.set(key, "rotated")  # overwrite, not append
+        assert store.get(key) == "rotated"
+    finally:
+        store.delete(key)
+    assert store.get(key) is None
+    store.delete(key)  # idempotent second delete

@@ -2,7 +2,7 @@
 (reference: src/cli/setup.rs:698+ — happy path, 3-failure exit, EOF,
 save-failure fallback, paid-source confirm, --forget)."""
 
-from openintel_tpu.cli.setup import run_setup, SetupIo
+from openintel_tpu.cli.setup import plan, run_setup, SetupIo
 from openintel_tpu.config import secrets as sec
 from openintel_tpu.config.store import InMemoryStore
 
@@ -118,14 +118,131 @@ def test_forget_is_idempotent():
     assert code == 0  # second delete still succeeds
 
 
-def test_non_tty_prints_guide_and_env_state(monkeypatch):
-    monkeypatch.setenv(sec.ENV_REDDIT_CLIENT_ID, "x")
+def test_plan_truth_table():
+    """The four non-interactive modes by which credentials resolve
+    (reference: src/cli/setup.rs:36-43)."""
+    assert plan(True, True) == "verify"
+    assert plan(False, True) == "missing_first"
+    assert plan(True, False) == "missing_second"
+    assert plan(False, False) == "guide"
+
+
+def test_non_tty_no_creds_prints_guide(monkeypatch):
+    monkeypatch.delenv(sec.ENV_REDDIT_CLIENT_ID, raising=False)
     monkeypatch.delenv(sec.ENV_REDDIT_CLIENT_SECRET, raising=False)
     io = ScriptedIo([], tty=False)
     out, code = run_setup("reddit", store=InMemoryStore(), io=io, probe=ok_probe)
-    assert code == 0
-    assert "OPENINTEL_REDDIT_CLIENT_ID: set" in out
+    assert code == 1
+    assert "Reddit setup" in out
+    assert "OPENINTEL_REDDIT_CLIENT_ID: unset" in out
     assert "OPENINTEL_REDDIT_CLIENT_SECRET: unset" in out
+
+
+def test_non_tty_partial_names_missing_variable(monkeypatch):
+    """Half-configured: the warning names exactly the unset variable and the
+    probe never runs (setup.rs partial plan)."""
+    probe_calls = []
+
+    async def spy_probe(*args):
+        probe_calls.append(args)
+        return 1
+
+    monkeypatch.setenv(sec.ENV_REDDIT_CLIENT_ID, "id-only")
+    monkeypatch.delenv(sec.ENV_REDDIT_CLIENT_SECRET, raising=False)
+    io = ScriptedIo([], tty=False)
+    out, code = run_setup("reddit", store=InMemoryStore(), io=io, probe=spy_probe)
+    assert code == 1
+    assert "half-configured" in out
+    assert "OPENINTEL_REDDIT_CLIENT_SECRET is not set" in out
+    assert probe_calls == []
+
+
+def test_non_tty_verify_probes_resolved_creds(monkeypatch):
+    """Both creds set -> live probe with the resolved values, OK evidence
+    line + try command, exit 0 (setup.rs verify plan)."""
+    probe_calls = []
+
+    async def spy_probe(*args):
+        probe_calls.append(args)
+        return 3
+
+    monkeypatch.setenv(sec.ENV_REDDIT_CLIENT_ID, "env-id")
+    monkeypatch.setenv(sec.ENV_REDDIT_CLIENT_SECRET, "env-secret")
+    io = ScriptedIo([], tty=False)
+    out, code = run_setup("reddit", store=InMemoryStore(), io=io, probe=spy_probe)
+    assert code == 0
+    assert probe_calls == [("env-id", "env-secret")]
+    assert "OK: Reddit is configured and working" in out
+    assert "pulled 3 recent post(s)" in out
+    assert "openintel analyze GME --enable-reddit" in out
+
+
+def test_non_tty_verify_zero_posts_is_still_ok(monkeypatch):
+    async def empty_probe(*args):
+        return 0
+
+    monkeypatch.setenv(sec.ENV_REDDIT_CLIENT_ID, "id")
+    monkeypatch.setenv(sec.ENV_REDDIT_CLIENT_SECRET, "secret")
+    io = ScriptedIo([], tty=False)
+    out, code = run_setup("reddit", store=InMemoryStore(), io=io, probe=empty_probe)
+    assert code == 0
+    assert "no recent posts" in out
+
+
+def test_non_tty_verify_failure_maps_hint(monkeypatch):
+    async def bad_probe(*args):
+        raise RuntimeError("reddit: unauthorized (401)")
+
+    monkeypatch.setenv(sec.ENV_REDDIT_CLIENT_ID, "id")
+    monkeypatch.setenv(sec.ENV_REDDIT_CLIENT_SECRET, "wrong")
+    io = ScriptedIo([], tty=False)
+    out, code = run_setup("reddit", store=InMemoryStore(), io=io, probe=bad_probe)
+    assert code == 1
+    assert "FAILED:" in out
+    assert "reddit.com/prefs/apps" in out  # the unauthorized hint
+
+
+def test_verify_flag_forces_noninteractive_on_tty(monkeypatch):
+    """--verify on a real TTY still takes the probe-and-exit path; no
+    prompts are consumed."""
+    monkeypatch.setenv(sec.ENV_REDDIT_CLIENT_ID, "id")
+    monkeypatch.setenv(sec.ENV_REDDIT_CLIENT_SECRET, "secret")
+    io = ScriptedIo(["would-be-eaten\n"], tty=True)
+    out, code = run_setup(
+        "reddit", verify=True, store=InMemoryStore(), io=io, probe=ok_probe
+    )
+    assert code == 0
+    assert io.lines == ["would-be-eaten\n"]  # nothing consumed
+
+
+def test_verify_resolves_from_keychain_when_env_unset(monkeypatch):
+    """env -> keychain precedence: verify works off stored credentials too."""
+    monkeypatch.delenv(sec.ENV_REDDIT_CLIENT_ID, raising=False)
+    monkeypatch.delenv(sec.ENV_REDDIT_CLIENT_SECRET, raising=False)
+    store = InMemoryStore()
+    store.set(sec.KEY_REDDIT_CLIENT_ID, "kc-id")
+    store.set(sec.KEY_REDDIT_CLIENT_SECRET, "kc-secret")
+    probe_calls = []
+
+    async def spy_probe(*args):
+        probe_calls.append(args)
+        return 1
+
+    out, code = run_setup(
+        "reddit", verify=True, store=store, io=ScriptedIo([]), probe=spy_probe
+    )
+    assert code == 0
+    assert probe_calls == [("kc-id", "kc-secret")]
+
+
+def test_x_verify_announces_cost(monkeypatch):
+    """The paid source states its cost up front even when it cannot confirm
+    interactively (setup.rs:662-686)."""
+    monkeypatch.setenv(sec.ENV_X_BEARER, "tok")
+    io = ScriptedIo([], tty=False)
+    out, code = run_setup("x", store=InMemoryStore(), io=io, probe=ok_probe)
+    assert code == 0
+    assert "$0.05" in out
 
 
 def test_replace_existing_accepted_overwrites():
