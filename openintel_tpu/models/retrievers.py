@@ -25,7 +25,14 @@ from openintel_tpu.ops.dense import (
     dense_topk_xla,
     dense_topk_xla_masked,
 )
-from openintel_tpu.ops.fusion import RRF_K, mask_compact_ranked, rrf_fuse_device
+from openintel_tpu.ops.fusion import (
+    BLEND_ALPHA,
+    RRF_K,
+    mask_compact_ranked,
+    mask_compact_ranked_vals,
+    rrf_fuse_device,
+    zblend_fuse_device,
+)
 
 
 @dataclass
@@ -621,18 +628,33 @@ class HybridRetriever:
         embedder: Optional[Callable[[Sequence[str]], np.ndarray]] = None,
         *,
         rrf_k: float = RRF_K,
+        fusion: str = "rrf",  # "rrf" | "zblend" (A/B: scripts/fusion_ab.py)
+        blend_alpha: float = BLEND_ALPHA,
         use_pallas: Optional[bool] = None,
         kernel: Optional[str] = None,  # "xla" | "pallas" | "fast" | "int8" | "int4" | None=auto
         device_batch: int = 256,
     ):
+        if fusion not in ("rrf", "zblend"):
+            raise ValueError(f"unknown fusion {fusion!r}")
         self.bm25 = BM25Retriever(postings)
         self.dense = DenseRetriever(
             dense, embedder, use_pallas=use_pallas, kernel=kernel
         )
         self.rrf_k = rrf_k
+        self.fusion = fusion
+        self.blend_alpha = blend_alpha
         self.device_batch = max(1, device_batch)
         self._fused = self._make_fused()
         self._fused_filtered = self._make_fused_filtered()
+
+    def _fuse_arms(self, b_vals, b_ids, d_vals, d_ids, k):
+        """Fuse the scored arm rankings by the configured function (RRF by
+        default; measured A/B in docs/benchmarks.md 'Fusion')."""
+        if self.fusion == "zblend":
+            return zblend_fuse_device(
+                b_vals, b_ids, d_vals, d_ids, k, self.blend_alpha
+            )
+        return rrf_fuse_device(b_ids, d_ids, k, self.rrf_k)
 
     @classmethod
     def build(
@@ -644,6 +666,8 @@ class HybridRetriever:
         dim: int = 384,
         dtype=np.float32,
         rrf_k: float = RRF_K,
+        fusion: str = "rrf",
+        blend_alpha: float = BLEND_ALPHA,
         use_pallas: Optional[bool] = None,
         kernel: Optional[str] = None,
         device_batch: int = 256,
@@ -652,7 +676,8 @@ class HybridRetriever:
         postings = build_postings_index(texts, config=config)
         dense = DenseIndex.from_embeddings(embedder(list(texts)), dtype=dtype)
         return cls(
-            postings, dense, embedder, rrf_k=rrf_k, use_pallas=use_pallas,
+            postings, dense, embedder, rrf_k=rrf_k, fusion=fusion,
+            blend_alpha=blend_alpha, use_pallas=use_pallas,
             kernel=kernel, device_batch=device_batch,
         )
 
@@ -672,7 +697,7 @@ class HybridRetriever:
         keys the remaining variation (shapes + static ints)."""
         kernel = self.dense.kernel
         interpret = self.dense._interpret
-        rrf_k = self.rrf_k
+        fuse = self._fuse_arms
 
         import functools
 
@@ -694,7 +719,7 @@ class HybridRetriever:
                 b_vals, b_ids = bm25_topk_device(
                     di, w, n_docs, c, presorted=presorted, max_run=max_run
                 )
-                vals, ids = rrf_fuse_device(b_ids, d_ids, k, rrf_k)
+                vals, ids = fuse(b_vals, b_ids, d_vals, d_ids, k)
                 return carry, (vals, ids)
 
             _, (vals, ids) = jax.lax.scan(
@@ -719,7 +744,8 @@ class HybridRetriever:
         selectivity. See docs/specs/filtered-search.md."""
         kernel = self.dense.kernel
         interpret = self.dense._interpret
-        rrf_k = self.rrf_k
+        fuse = self._fuse_arms
+        score_fusion = self.fusion == "zblend"
 
         import functools
 
@@ -739,18 +765,24 @@ class HybridRetriever:
 
             def body(carry, xs):
                 qb, qb8, gb, di, w = xs
-                _, d_ids = dense_arm_topk(
+                d_vals, d_ids = dense_arm_topk(
                     kernel, emb_op, qb, c_fetch,
                     n_docs=n_docs, interpret=interpret, block_c=block_c,
                     candidates=c_fetch, rescore_op=rescore_op, q8=qb8,
                 )
                 flat_ix = gb[:, None] * n_docs + jnp.maximum(d_ids, 0)
                 keep = jnp.take(mask_flat, flat_ix) & (d_ids >= 0)
-                d_ids_f, d_surv = mask_compact_ranked(d_ids, keep, c)
+                if score_fusion:  # carry scores through the compact
+                    d_vals_f, d_ids_f, d_surv = mask_compact_ranked_vals(
+                        d_ids, d_vals, keep, c
+                    )
+                else:
+                    d_ids_f, d_surv = mask_compact_ranked(d_ids, keep, c)
+                    d_vals_f = jnp.zeros_like(d_ids_f, jnp.float32)
                 b_vals, b_ids = bm25_topk_device(
                     di, w, n_docs, c, presorted=presorted, max_run=max_run
                 )
-                vals, ids = rrf_fuse_device(b_ids, d_ids_f, k, rrf_k)
+                vals, ids = fuse(b_vals, b_ids, d_vals_f, d_ids_f, k)
                 return carry, (vals, ids, d_surv)
 
             _, (vals, ids, surv) = jax.lax.scan(
@@ -1040,7 +1072,7 @@ class HybridRetriever:
                 presorted=prep.presorted,
                 max_run=prep.max_run,
             )
-            vals, ids = rrf_fuse_device(b_ids, d_ids, k, self.rrf_k)
+            vals, ids = self._fuse_arms(b_vals, b_ids, d_vals, d_ids, k)
             return np.asarray(vals), np.asarray(ids)
 
         out_vals, out_ids = run_per_group(groups_flat[rows], k, arm)

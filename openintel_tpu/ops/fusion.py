@@ -1,7 +1,15 @@
-"""Reciprocal-rank fusion on device.
+"""Rank fusion on device: reciprocal-rank fusion + z-normalised score blend.
 
-Fuses ranked id lists from the lexical and dense arms into one ranking:
+RRF fuses ranked id lists from the lexical and dense arms into one ranking:
 fused(d) = sum over lists with d at 1-based rank r of 1/(rrf_k + r).
+
+``zblend_fuse_device`` is the score-fusion alternative (the reference's own
+fusion ancestry is a weighted, renormalised score blend —
+src/domain/engine/speculation_engine.rs:151-176): each arm's top-C scores
+are z-normalised per query over its own candidate list, candidates missing
+from an arm take that arm's minimum z (the pessimistic fill), and the fused
+score is alpha * z_lexical + (1 - alpha) * z_dense. Measured A/B vs RRF on
+the quality harness: scripts/fusion_ab.py -> docs/benchmarks.md "Fusion".
 
 Device formulation (all static shapes, one fused program):
 - candidates = concat of the input id lists (B, C);
@@ -120,6 +128,79 @@ def rrf_fuse_device(
     if c < k:  # fewer candidates than requested: pad columns to the
         # reference's (B, k) contract instead of returning a short array
         # (a short array crashes run_prepared's reshape downstream)
+        fused_sorted = jnp.pad(
+            fused_sorted, ((0, 0), (0, k - c)), constant_values=-jnp.inf
+        )
+        ids_sorted = jnp.pad(
+            ids_sorted, ((0, 0), (0, k - c)), constant_values=-1
+        )
+    vals = fused_sorted[:, :k]
+    ids = ids_sorted[:, :k]
+    invalid = vals == NEG_INF
+    return jnp.where(invalid, 0.0, vals), jnp.where(invalid, -1, ids)
+
+
+BLEND_ALPHA = 0.5  # lexical weight in the z-blend (dense gets 1 - alpha)
+_Z_EPS = 1e-6
+
+
+@partial(jax.jit, static_argnames=("k", "alpha"))
+def zblend_fuse_device(
+    vals_a: jax.Array,  # (B, Ka) f32 scores aligned with ids_a
+    ids_a: jax.Array,  # (B, Ka) int32 ranked ids (rank 1 first); -1 = padding
+    vals_b: jax.Array,  # (B, Kb) f32
+    ids_b: jax.Array,  # (B, Kb) int32
+    k: int,
+    alpha: float = BLEND_ALPHA,
+) -> tuple[jax.Array, jax.Array]:
+    """Z-normalised score blend of two scored candidate lists.
+
+    Per query and per arm: z = (score - mean) / (std + eps) over that arm's
+    VALID entries (ids >= 0); a candidate absent from an arm takes the
+    arm's minimum z. Fused = alpha * z_a + (1 - alpha) * z_b; final order
+    by (-fused, doc_id) — the same deterministic ascending-doc-id tie break
+    as :func:`rrf_fuse_device` and the NumPy oracle
+    (ops/reference.py::zblend_fuse)."""
+    cand = jnp.concatenate([ids_a, ids_b], axis=1)  # (B, C)
+    b, c = cand.shape
+
+    def arm_score(vals: jax.Array, ids: jax.Array) -> jax.Array:
+        valid = ids >= 0
+        vf = vals.astype(jnp.float32)
+        n = jnp.maximum(jnp.sum(valid, axis=1, keepdims=True), 1)
+        mean = jnp.sum(jnp.where(valid, vf, 0.0), axis=1, keepdims=True) / n
+        var = (
+            jnp.sum(jnp.where(valid, (vf - mean) ** 2, 0.0), axis=1,
+                    keepdims=True)
+            / n
+        )
+        z = (vf - mean) / jnp.sqrt(var + _Z_EPS)
+        # pessimistic fill: an arm that never surfaced the candidate votes
+        # with its own worst observed z (0 when the arm is empty)
+        fill = jnp.min(jnp.where(valid, z, jnp.inf), axis=1)
+        fill = jnp.where(jnp.isfinite(fill), fill, 0.0)  # all-padding arm
+        match = (cand[:, :, None] == ids[:, None, :]) & valid[:, None, :]
+        matched = jnp.any(match, axis=2)
+        # each candidate matches at most one entry of a (dedup'd) ranked
+        # list, so the masked sum IS the matched entry's z
+        s = jnp.sum(match.astype(jnp.float32) * z[:, None, :], axis=2)
+        return jnp.where(matched, s, fill[:, None])
+
+    fused = alpha * arm_score(vals_a, ids_a) + (1.0 - alpha) * arm_score(
+        vals_b, ids_b
+    )
+
+    # Mask padding and duplicate candidates (keep the first occurrence) —
+    # identical dedup semantics to rrf_fuse_device.
+    col = jnp.arange(c, dtype=jnp.int32)
+    earlier = col[None, :, None] > col[None, None, :]
+    dup = jnp.any((cand[:, :, None] == cand[:, None, :]) & earlier, axis=2)
+    valid = (cand >= 0) & ~dup
+    fused = jnp.where(valid, fused, NEG_INF)
+
+    neg, ids_sorted = jax.lax.sort((-fused, cand), num_keys=2, dimension=1)
+    fused_sorted = -neg
+    if c < k:
         fused_sorted = jnp.pad(
             fused_sorted, ((0, 0), (0, k - c)), constant_values=-jnp.inf
         )

@@ -152,6 +152,61 @@ def rrf_fuse(
     return vals_arr, ids_arr
 
 
+def zblend_fuse(
+    vals_a: np.ndarray,
+    ids_a: np.ndarray,
+    vals_b: np.ndarray,
+    ids_b: np.ndarray,
+    k: int,
+    *,
+    alpha: float = 0.5,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Z-normalised score-blend fusion oracle (mirrors
+    ops/fusion.py::zblend_fuse_device): per arm, z-normalise the valid
+    (id >= 0) scores; a candidate absent from an arm takes the arm's
+    minimum z (0 when the arm is empty); fused = alpha * z_a +
+    (1 - alpha) * z_b; ties by ascending doc id. Inputs (K,)/(B, K)."""
+    single = np.asarray(ids_a).ndim == 1
+    va, ia = np.atleast_2d(vals_a), np.atleast_2d(ids_a)
+    vb, ib = np.atleast_2d(vals_b), np.atleast_2d(ids_b)
+    out_ids, out_vals = [], []
+    for b in range(ia.shape[0]):
+        arm_z: list[dict[int, float]] = []
+        fills: list[float] = []
+        for vals, ids in ((va[b], ia[b]), (vb[b], ib[b])):
+            m = ids >= 0
+            if m.any():
+                v = vals[m].astype(np.float64)
+                z = (v - v.mean()) / np.sqrt(v.var() + 1e-6)
+                arm_z.append({int(d): float(s) for d, s in zip(ids[m], z)})
+                fills.append(float(z.min()))
+            else:
+                arm_z.append({})
+                fills.append(0.0)
+        docs = sorted(set(arm_z[0]) | set(arm_z[1]))
+        fused = np.array(
+            [
+                alpha * arm_z[0].get(d, fills[0])
+                + (1 - alpha) * arm_z[1].get(d, fills[1])
+                for d in docs
+            ],
+            dtype=np.float32,
+        )
+        docs_arr = np.array(docs, dtype=np.int64)
+        order = np.lexsort((docs_arr, -fused))[:k]
+        ids = docs_arr[order]
+        v = fused[order]
+        if len(ids) < k:
+            ids = np.concatenate([ids, -np.ones(k - len(ids), np.int64)])
+            v = np.concatenate([v, np.zeros(k - len(v), np.float32)])
+        out_ids.append(ids.astype(np.int32))
+        out_vals.append(v.astype(np.float32))
+    ids_arr, vals_arr = np.stack(out_ids), np.stack(out_vals)
+    if single:
+        return vals_arr[0], ids_arr[0]
+    return vals_arr, ids_arr
+
+
 def hybrid_topk(
     index: PostingsIndex,
     embeddings: np.ndarray,
