@@ -200,6 +200,42 @@ def synthetic_synonym_corpus(
     return docs, synonym_map
 
 
+def synthetic_template_corpus(
+    n_docs: int,
+    *,
+    n_concepts: int = 2000,
+    mean_len: int = 12,
+    seed: int = 0,
+) -> tuple[list[str], dict]:
+    """A second vocabulary-mismatch family with a COMPOSITIONAL query
+    surface — guards the encoder-training recipe against overfitting the
+    synonym generator (VERDICT r4 item 3: "a second independent synthetic
+    family").
+
+    Documents render concept ``c`` as the single token ``ta{c}``; the
+    query-side surface is the two-token phrase ``tb{j} tc{k}`` with
+    ``c = j * F + k`` (F = ceil(sqrt(n_concepts))), so neither phrase
+    token alone identifies the concept and neither ever occurs in any
+    document. Where the synonym family tests 1:1 substitution memory,
+    this family tests composition: the encoder must combine two query
+    tokens through attention to match one document token. Returns
+    (docs, phrase_map) with ``phrase_map["ta7"] == "tb0 tc7"`` (for
+    F >= 8); the map plugs into :func:`flip_tokens` unchanged — a
+    flipped token renders as two tokens when the query joins on spaces."""
+    rng = np.random.default_rng(seed)
+    f = int(np.ceil(np.sqrt(n_concepts)))
+    probs = _zipf_probs(n_concepts)
+    lens = np.clip(rng.poisson(mean_len, size=n_docs), 3, 4 * mean_len)
+    docs = []
+    for n in lens:
+        concepts = rng.choice(n_concepts, size=int(n), p=probs)
+        docs.append(" ".join(f"ta{c}" for c in concepts))
+    phrase_map = {
+        f"ta{c}": f"tb{c // f} tc{c % f}" for c in range(n_concepts)
+    }
+    return docs, phrase_map
+
+
 def flip_tokens(
     tokens: list, synonym_map: dict, flip_p: float, rng: np.random.Generator
 ) -> list:

@@ -89,6 +89,7 @@ def build_query_plan(
     sort: bool = True,
     use_native: bool = True,
     doc_mask: np.ndarray | None = None,
+    n_threads: int = 0,  # native planner threads; 0 = hardware concurrency
 ) -> QueryPlan:
     """Assemble the padded (doc_id, weight) plan for a batch of queries.
 
@@ -165,6 +166,7 @@ def build_query_plan(
             queries_term_ids,
             max_postings_per_term,
             multi_budget if include_multi_term else 0,
+            n_threads=n_threads,
             doc_mask=doc_mask,
         )
         if res is not None:

@@ -50,9 +50,27 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=96)
     ap.add_argument("--lr", type=float, default=1.5e-3)
     ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--depth", type=int, default=2)
+    ap.add_argument("--heads", type=int, default=4)
+    ap.add_argument("--vocab", type=int, default=8192,
+                    help="encoder hash-vocabulary size (the r4 default 8192 "
+                    "collides ~20%% of a 4000-surface vocabulary; 32768 "
+                    "cuts that to ~6%%)")
     ap.add_argument("--queries", type=int, default=500)
     ap.add_argument("--ckpt-dir", default="/tmp/encoder_quality_ckpt")
     ap.add_argument("--out", default=None, help="results JSON path")
+    ap.add_argument(
+        "--family", choices=("synonym", "template"), default="synonym",
+        help="mismatch generator family: 1:1 synonym surfaces, or the "
+        "compositional two-token template phrases "
+        "(index/synthetic.py::synthetic_template_corpus)",
+    )
+    ap.add_argument(
+        "--platform", choices=("cpu", "native"), default="cpu",
+        help="'cpu' pins the hermetic CPU platform (default); 'native' "
+        "keeps the environment's backend (the real TPU where available — "
+        "training and corpus embedding run ~orders faster there)",
+    )
     ap.add_argument(
         "--rerank-only",
         action="store_true",
@@ -62,13 +80,18 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    if args.platform == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np  # noqa: F401  (report arithmetic below)
 
-    from openintel_tpu.index.synthetic import synthetic_synonym_corpus
+    from openintel_tpu.index.synthetic import (
+        synthetic_synonym_corpus,
+        synthetic_template_corpus,
+    )
     from openintel_tpu.models.encoder import EncoderConfig, NeuralEmbedder
     from openintel_tpu.models.eval import (
         evaluate_corpus,
@@ -82,13 +105,20 @@ def main() -> None:
     def log(msg: str) -> None:
         print(f"[{time.time() - t0:7.1f}s] {msg}", flush=True)
 
-    docs, syn = synthetic_synonym_corpus(
-        args.n_docs, n_concepts=args.n_concepts, seed=41
+    gen = (
+        synthetic_synonym_corpus
+        if args.family == "synonym"
+        else synthetic_template_corpus
     )
-    log(f"corpus: {len(docs)} docs, {args.n_concepts} concepts")
+    docs, syn = gen(args.n_docs, n_concepts=args.n_concepts, seed=41)
+    log(
+        f"corpus: {len(docs)} docs, {args.n_concepts} concepts "
+        f"({args.family} family)"
+    )
 
     cfg = EncoderConfig(
-        vocab_size=8192, dim=args.dim, depth=2, heads=4, max_len=32
+        vocab_size=args.vocab, dim=args.dim, depth=args.depth,
+        heads=args.heads, max_len=32,
     )
     res = train_encoder(
         docs, cfg, steps=args.steps, batch_size=args.batch, lr=args.lr,
@@ -105,14 +135,21 @@ def main() -> None:
     results: dict = {
         "config": {
             k: getattr(args, k)
-            for k in ("n_docs", "n_concepts", "steps", "batch", "lr", "dim")
+            for k in (
+                "n_docs", "n_concepts", "steps", "batch", "lr", "dim",
+                "depth", "heads", "vocab", "family",
+            )
         },
         "encoder_step": res.step,
         "tables": {},
     }
+    default_name = (
+        "encoder_quality.json"
+        if args.family == "synonym"
+        else f"encoder_quality_{args.family}.json"
+    )
     out_path = Path(
-        args.out
-        or Path(__file__).parent.parent / "docs" / "encoder_quality.json"
+        args.out or Path(__file__).parent.parent / "docs" / default_name
     )
     if args.rerank_only and out_path.exists():
         results["tables"] = json.loads(out_path.read_text()).get(

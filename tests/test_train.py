@@ -217,3 +217,36 @@ def test_make_pairs_synonym_substitution():
     }
     # fully-flipped queries share no token ids with the documents
     assert q_vocab and not (q_vocab & doc_vocab)
+
+
+def test_template_corpus_composes_phrases():
+    """The second mismatch family (VERDICT r4 item 3): doc surface is one
+    token per concept; the query surface is a two-token phrase that never
+    occurs in any document and uniquely determines the concept."""
+    import numpy as np
+
+    from openintel_tpu.index.synthetic import (
+        flip_tokens,
+        synthetic_template_corpus,
+    )
+
+    docs, phrase_map = synthetic_template_corpus(200, n_concepts=50, seed=3)
+    assert len(docs) == 200 and len(phrase_map) == 50
+    doc_vocab = {t for d in docs for t in d.split()}
+    assert doc_vocab <= set(phrase_map)  # docs only use the ta-surface
+    # phrases are two tokens, never document tokens, and injective
+    seen = set()
+    f = int(np.ceil(np.sqrt(50)))
+    for tok, phrase in phrase_map.items():
+        parts = phrase.split()
+        assert len(parts) == 2
+        assert not (set(parts) & doc_vocab)
+        assert phrase not in seen
+        seen.add(phrase)
+        c = int(tok[2:])
+        assert parts[0] == f"tb{c // f}" and parts[1] == f"tc{c % f}"
+    # flip_tokens renders a flipped token as the two-token phrase on join
+    rng = np.random.default_rng(0)
+    q = " ".join(flip_tokens(["ta7", "ta3"], phrase_map, 1.0, rng))
+    assert q == f"{phrase_map['ta7']} {phrase_map['ta3']}"
+    assert len(q.split()) == 4
