@@ -41,6 +41,11 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    bench_t0 = time.time()
+    # soft wall-clock budget: optional late arms (the 10M-doc pass) skip
+    # with a recorded reason instead of risking the driver's timeout
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 2400))
+
     # Persistent compile cache: the remote TPU compile helper takes minutes
     # per program; cache hits make repeat bench runs near-instant.
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -247,6 +252,80 @@ def main() -> None:
         f"copy {e2e_device_secs/total_q*1e3:.2f} ms/q); planning keeps "
         f"pace with the {qps:,.0f} QPS device rate at "
         f"{plan_cores_for_device_rate} host cores"
+    )
+
+    # PIPELINED end-to-end (round-4 verdict item 1): the same work split
+    # into waves served through serving.PipelinedSearcher — a producer
+    # thread plans+stages wave i+1 (GIL-releasing C++ planner + device
+    # transfers) while the device executes wave i and the host copies wave
+    # i-1. Compared against a sequential loop over the SAME waves
+    # (like-for-like; end_to_end_qps above keeps the historical one-shot
+    # series).
+    from openintel_tpu.serving import PipelinedSearcher
+
+    wave_nb = min(16, n_batches)
+    wave_q = wave_nb * batch
+    n_waves = max(1, total_q // wave_q)
+    waves = [
+        (
+            term_ids[i * wave_q : (i + 1) * wave_q],
+            q[i * wave_q : (i + 1) * wave_q],
+        )
+        for i in range(n_waves)
+    ]
+    pipe = PipelinedSearcher(retriever, depth=2)
+    _ = list(
+        pipe.run_prepared_stream(iter(waves[:1]), k=k,
+                                 candidates_per_arm=c_arm)
+    )  # warm the wave-shaped scan program
+    s = time.time()
+    for w in waves:
+        _ = retriever.run_prepared(
+            retriever.prepare(*w, k=k, candidates_per_arm=c_arm)
+        )
+    seq_waved_secs = time.time() - s
+    s = time.time()
+    n_out = sum(
+        r.ids.shape[0]
+        for r in pipe.run_prepared_stream(
+            iter(waves), k=k, candidates_per_arm=c_arm
+        )
+    )
+    pipe_secs = time.time() - s
+    assert n_out == n_waves * wave_q, (n_out, n_waves, wave_q)
+    pipelined_qps = n_out / pipe_secs
+    seq_waved_qps = n_out / seq_waved_secs
+    log(
+        f"pipelined : {pipelined_qps:,.0f} QPS end-to-end over {n_waves} x "
+        f"{wave_q}-query waves (sequential over the same waves: "
+        f"{seq_waved_qps:,.0f}; overlap gain "
+        f"{pipelined_qps/seq_waved_qps:.2f}x)"
+    )
+
+    # Planner thread scaling, MEASURED on this host (replaces the linear
+    # extrapolation behind plan_cores_for_device_rate with a curve wherever
+    # cores exist; on a 1-core host the table honestly has one row).
+    avail_cores = os.cpu_count() or 1
+    tlist = [t for t in (1, 2, 4, 8, 16) if t <= avail_cores]
+    if avail_cores not in tlist:
+        tlist.append(avail_cores)
+    sample_n = min(8192, total_q)
+    planner_threads_ms: dict[str, float] = {}
+    for nt in tlist:
+        best_t = float("inf")
+        for _ in range(2):
+            s = time.time()
+            _p = build_query_plan(
+                index, term_ids[:sample_n],
+                max_postings_per_term=prune_m,
+                multi_budget=max(256, c_arm), sort=True, n_threads=nt,
+            )
+            best_t = min(best_t, time.time() - s)
+        del _p
+        planner_threads_ms[str(nt)] = round(best_t / sample_n * 1e3, 4)
+    log(
+        f"planner thread scaling (ms/query): {planner_threads_ms} "
+        f"[{avail_cores} core(s) on this host]"
     )
 
     # Per-arm diagnostics through the same scanned shapes (raw wall clock,

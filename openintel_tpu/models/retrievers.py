@@ -1090,10 +1090,19 @@ class HybridRetriever:
                 ids=np.zeros((0, prep.k), np.int32),
                 scores=np.zeros((0, prep.k), np.float32),
             )
+        return self.finalize_prepared(prep, self.run_prepared_device(prep))
+
+    def finalize_prepared(
+        self, prep: "PreparedBatch", device_out
+    ) -> SearchResult:
+        """Copy-back + (filtered) starvation patching for a device result
+        already dispatched via ``run_prepared_device``. Split from
+        ``run_prepared`` so pipelined serving (serving.PipelinedSearcher)
+        can dispatch wave i+1 before blocking on wave i's copy."""
         nb, db = prep.queries.shape[:2]
         b, k = prep.n_queries, prep.k
         if prep.filter_mask is not None:
-            vals, ids, surv = self.run_prepared_device(prep)
+            vals, ids, surv = device_out
             # np.array (copy): asarray of a device array is read-only and
             # the starved rows get patched in place below
             ids_np = np.array(ids).reshape(nb * db, k)
@@ -1113,7 +1122,7 @@ class HybridRetriever:
                 ids_np[starved] = fb.ids
                 vals_np[starved] = fb.scores
             return SearchResult(ids=ids_np[:b], scores=vals_np[:b])
-        vals, ids = self.run_prepared_device(prep)
+        vals, ids = device_out
         return SearchResult(
             ids=np.asarray(ids).reshape(nb * db, k)[:b],
             scores=np.asarray(vals).reshape(nb * db, k)[:b],

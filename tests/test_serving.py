@@ -296,3 +296,85 @@ def test_unfiltered_wave_stays_on_plain_program():
 
     with pytest.raises(ValueError, match="align"):
         co.search(["a", "b"], k=3, filters=[None])
+
+
+# ---------------------------------------------------------------------------
+# PipelinedSearcher: overlapped plan/stage -> device -> copy for wave streams
+# ---------------------------------------------------------------------------
+
+
+def _pipeline_fixture(n_docs=300, dim=64):
+    from openintel_tpu.models.retrievers import HybridRetriever
+    from openintel_tpu.ops.bm25 import encode_query
+
+    texts = [f"tok{i} alpha beta{i % 13} gamma{i % 5}" for i in range(n_docs)]
+    r = HybridRetriever.build(texts, dim=dim, device_batch=8)
+    waves = []
+    for w in range(4):
+        queries = [f"tok{(w * 7 + j) % n_docs} alpha" for j in range(5 + w)]
+        term_ids = [encode_query(r.bm25.index, t) for t in queries]
+        waves.append((term_ids, r.dense.embedder(queries)))
+    return r, waves
+
+
+def test_pipelined_stream_matches_sequential():
+    """Every wave's pipelined result is bit-identical to the sequential
+    prepare->run_prepared path, in order (incl. a filtered wave)."""
+    from openintel_tpu.serving import PipelinedSearcher
+
+    r, waves = _pipeline_fixture()
+    mask = np.zeros(r.n_docs, bool)
+    mask[::2] = True
+    waves.append((waves[0][0], waves[0][1], {"filter_mask": mask}))
+
+    pipe = PipelinedSearcher(r, depth=2)
+    got = list(pipe.run_prepared_stream(iter(waves), k=5))
+    assert len(got) == len(waves)
+    for wave, res in zip(waves, got):
+        term_ids, emb, *rest = wave
+        want = r.run_prepared(
+            r.prepare(term_ids, emb, k=5, **(rest[0] if rest else {}))
+        )
+        np.testing.assert_array_equal(res.ids, want.ids)
+        np.testing.assert_allclose(res.scores, want.scores, rtol=1e-6)
+
+
+def test_pipelined_search_stream_strings():
+    from openintel_tpu.serving import PipelinedSearcher
+
+    r, _ = _pipeline_fixture(n_docs=100)
+    pipe = PipelinedSearcher(r)
+    out = list(
+        pipe.search_stream(iter([["tok3 alpha"], ["tok7 alpha", "beta2"]]), k=4)
+    )
+    assert [o.ids.shape for o in out] == [(1, 4), (2, 4)]
+    assert 3 in out[0].ids[0] and 7 in out[1].ids[0]
+
+
+def test_pipelined_stream_handles_empty_wave():
+    from openintel_tpu.serving import PipelinedSearcher
+
+    r, waves = _pipeline_fixture(n_docs=100)
+    stream = [waves[0], ([], np.zeros((0, 64), np.float32)), waves[1]]
+    got = list(PipelinedSearcher(r).run_prepared_stream(iter(stream), k=5))
+    assert [g.ids.shape[0] for g in got] == [
+        len(waves[0][0]), 0, len(waves[1][0])
+    ]
+    want = r.run_prepared(r.prepare(*waves[1], k=5))
+    np.testing.assert_array_equal(got[2].ids, want.ids)
+
+
+def test_pipelined_stream_producer_error_propagates():
+    from openintel_tpu.serving import PipelinedSearcher
+
+    r, waves = _pipeline_fixture(n_docs=100)
+
+    def bad_waves():
+        yield waves[0]
+        raise RuntimeError("ingest exploded")
+
+    it = PipelinedSearcher(r).run_prepared_stream(bad_waves(), k=5)
+    first = next(it)
+    assert first.ids.shape[0] == len(waves[0][0])
+    with pytest.raises(RuntimeError, match="ingest exploded"):
+        list(it)
