@@ -37,8 +37,17 @@ def test_bench_emits_contracted_json():
     for key in ("metric", "value", "unit", "vs_baseline", "value_net_rtt",
                 "dispatch_rtt_ms", "recall_at_10_vs_exact",
                 "recall_at_10_min", "recall_sample_queries",
-                "served_surface", "bm25_arm_rtt_bound"):
+                "served_surface", "bm25_arm_rtt_bound",
+                # round-5 contract: every headline claim in the one artifact
+                "pipelined_end_to_end_qps", "sequential_waved_qps",
+                "planner_threads_ms_per_query", "latency_ms",
+                "served_b64_concurrent_qps", "coalescer_caller_latency_ms",
+                "index_build_docs_per_s_core", "qps_10M_docs_single_chip",
+                "bench_wall_s"):
         assert key in doc, key
+    for pct in ("p50", "p95", "p99"):
+        assert pct in doc["latency_ms"]["b1"]
+        assert pct in doc["coalescer_caller_latency_ms"]
     assert doc["unit"] == "queries/sec/chip"
     assert doc["value"] > 0
     # the headline is RAW wall clock through the served surface — it can
