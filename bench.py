@@ -123,7 +123,12 @@ def main() -> None:
     retriever = HybridRetriever(
         index, dense_index, kernel=dense_mode, device_batch=batch
     )
-    log(f"retriever: kernel={retriever.kernel} ({time.time()-t0:.1f}s)")
+    # captured for the artifact: the 10M arm rebinds `retriever` to None
+    fusion_name, fusion_alpha = retriever.fusion, retriever.blend_alpha
+    log(
+        f"retriever: kernel={retriever.kernel} fusion={fusion_name} "
+        f"({time.time()-t0:.1f}s)"
+    )
 
     # Queries: mid-frequency terms (log-uniform rank 50..vocab) + embeddings
     # near random docs, so both arms have signal.
@@ -669,21 +674,34 @@ def main() -> None:
         )
     dn_f32, dn_bf16 = best32[1], best16[1]
     log(f"reference dense rankings for {sample} queries ({time.time()-t0:.1f}s)")
-    bm_exact = [ref.bm25_topk(index, term_ids[i], c_arm)[1] for i in range(sample)]
+    bm_pairs = [ref.bm25_topk(index, term_ids[i], c_arm) for i in range(sample)]
+    bm_exact = [ids for _, ids in bm_pairs]
+
+    # The oracle fuses with the SAME function the served retriever uses
+    # (zblend default since the measured A/B — docs/benchmarks.md "Fusion");
+    # score fusion needs the arm scores, not just the rankings.
+    def fuse_ref(bm_vals, bm_ids, dn_vals, dn_ids):
+        if fusion_name == "zblend":
+            return ref.zblend_fuse(
+                np.asarray(bm_vals, np.float32), np.asarray(bm_ids),
+                np.asarray(dn_vals, np.float32), np.asarray(dn_ids),
+                k, alpha=fusion_alpha,
+            )
+        return ref.rrf_fuse([bm_ids, dn_ids], k)
     b_ids_dev = np.asarray(outs_b[1]).reshape(total_q, -1)[:sample]
     d_ids_dev = np.asarray(outs_d[1]).reshape(total_q, -1)[:sample]
     rec_f32, rec_stored, rec_arm_b, rec_arm_d = [], [], [], []
     failures = []
     for i in range(sample):
         got = {int(d) for d in hyb_ids[i] if d >= 0}
-        _, ri = ref.rrf_fuse([bm_exact[i], dn_f32[i]], k)
+        _, ri = fuse_ref(bm_pairs[i][0], bm_exact[i], best32[0][i], dn_f32[i])
         exact = {int(d) for d in ri if d >= 0}
         if exact:
             r = len(exact & got) / len(exact)
             rec_f32.append(r)
             if r < 1.0:
                 failures.append((i, exact - got))
-        _, ri_s = ref.rrf_fuse([bm_exact[i], dn_bf16[i]], k)
+        _, ri_s = fuse_ref(bm_pairs[i][0], bm_exact[i], best16[0][i], dn_bf16[i])
         exact_s = {int(d) for d in ri_s if d >= 0}
         if exact_s:
             rec_stored.append(len(exact_s & got) / len(exact_s))
@@ -763,6 +781,7 @@ def main() -> None:
             retr_10m = HybridRetriever(
                 index_10m, dense_10m, kernel=dense_mode, device_batch=batch
             )
+            retr_fusion, retr_alpha = retr_10m.fusion, retr_10m.blend_alpha
             log(
                 f"10M corpus + retriever staged ({time.time()-t0:.0f}s; "
                 f"budget left {remaining():.0f}s)"
@@ -827,12 +846,19 @@ def main() -> None:
                         np.asarray(i, np.int64) + lo,
                     )
                 bm10 = [
-                    ref.bm25_topk(index_10m, term_ids[i], c_arm)[1]
+                    ref.bm25_topk(index_10m, term_ids[i], c_arm)
                     for i in range(n_s)
                 ]
                 recs = []
                 for i in range(n_s):
-                    _, ri = ref.rrf_fuse([bm10[i], best_s[1][i]], k)
+                    if retr_fusion == "zblend":
+                        _, ri = ref.zblend_fuse(
+                            np.asarray(bm10[i][0], np.float32), bm10[i][1],
+                            best_s[0][i], best_s[1][i],
+                            k, alpha=retr_alpha,
+                        )
+                    else:
+                        _, ri = ref.rrf_fuse([bm10[i][1], best_s[1][i]], k)
                     exact = {int(d) for d in ri if d >= 0}
                     if exact:
                         got = {int(d) for d in got10[i] if d >= 0}
@@ -891,6 +917,10 @@ def main() -> None:
         "bm25_arm_qps_raw": round(nq / best_b, 1),
         "bm25_arm_rtt_bound": bool(best_b < 2 * rtt),
         "dense_mode": dense_mode,
+        # the fusion the served program AND the recall oracle used (zblend
+        # is the measured default since the round-5 A/B; fusion_ab.py)
+        "fusion": fusion_name,
+        "blend_alpha": fusion_alpha if fusion_name == "zblend" else None,
         "served_surface": "HybridRetriever.run_prepared",
         "backend": backend,
     }

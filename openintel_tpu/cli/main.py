@@ -134,6 +134,17 @@ def build_parser() -> argparse.ArgumentParser:
         "xla elsewhere — the benchmarked production config)",
     )
     p.add_argument(
+        "--fusion", choices=["zblend", "rrf"], default="zblend",
+        help="hybrid arm fusion: zblend (z-normalised score blend — the "
+        "measured A/B winner, docs/benchmarks.md 'Fusion') or rrf "
+        "(rank-only reciprocal-rank fusion)",
+    )
+    p.add_argument(
+        "--blend-alpha", type=float, default=None, metavar="A",
+        help="zblend lexical weight (default 0.7, the measured sweep "
+        "winner; dense gets 1-A)",
+    )
+    p.add_argument(
         "--include-ids", default=None, metavar="IDS",
         help="filtered search: only rank these doc ids "
         "(comma list, ranges ok: '3,10-20,512')",
@@ -722,6 +733,14 @@ def run_search(args) -> tuple[str, int]:
 
     queries = args.query
     kernel = kernel_from_flag(getattr(args, "kernel", "auto"))
+    from openintel_tpu.ops.fusion import BLEND_ALPHA
+
+    fusion = getattr(args, "fusion", "zblend")
+    blend_alpha = getattr(args, "blend_alpha", None)
+    if blend_alpha is None:
+        blend_alpha = BLEND_ALPHA
+    elif fusion != "zblend":
+        return "error: --blend-alpha only applies to --fusion zblend", 1
     filter_mask = None
     inc_spec = getattr(args, "include_ids", None)
     exc_spec = getattr(args, "exclude_ids", None)
@@ -749,6 +768,7 @@ def run_search(args) -> tuple[str, int]:
             sharded = ShardedHybridRetriever(
                 postings, dense, embedder, data=data, corpus=corpus,
                 kernel=sharded_kernel_name(kernel),
+                fusion=fusion, blend_alpha=blend_alpha,
             )
         except ValueError as e:
             return f"error: --mesh {args.mesh}: {e}", 1
@@ -765,7 +785,10 @@ def run_search(args) -> tuple[str, int]:
             queries, k=args.k, filter_mask=filter_mask
         )
     else:
-        res = HybridRetriever(postings, dense, embedder, kernel=kernel).search(
+        res = HybridRetriever(
+            postings, dense, embedder, kernel=kernel,
+            fusion=fusion, blend_alpha=blend_alpha,
+        ).search(
             queries, k=args.k, candidates_per_arm=2 * args.k,
             filter_mask=filter_mask,
         )

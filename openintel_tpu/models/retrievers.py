@@ -610,7 +610,14 @@ class DenseRetriever:
 
 
 class HybridRetriever:
-    """Flagship: BM25 + dense cosine fused with reciprocal-rank fusion.
+    """Flagship: BM25 + dense cosine fused with a z-normalised score blend.
+
+    The fusion default is the measured A/B winner (scripts/fusion_ab.py,
+    docs/benchmarks.md "Fusion"): ``fusion="zblend"`` with alpha 0.7 beats
+    rank-only RRF on exact-surface quality in both embedder regimes and
+    ties it on the vocabulary-mismatch set; RRF stays one flag away
+    (``fusion="rrf"``) and remains the default on the live updatable path,
+    whose cross-segment merge is rank-based (models/updatable.py).
 
     ``search`` runs ONE device dispatch regardless of query count: the
     query list is chunked into ``device_batch``-query sub-batches and the
@@ -628,7 +635,7 @@ class HybridRetriever:
         embedder: Optional[Callable[[Sequence[str]], np.ndarray]] = None,
         *,
         rrf_k: float = RRF_K,
-        fusion: str = "rrf",  # "rrf" | "zblend" (A/B: scripts/fusion_ab.py)
+        fusion: str = "zblend",  # "zblend" (measured winner) | "rrf"
         blend_alpha: float = BLEND_ALPHA,
         use_pallas: Optional[bool] = None,
         kernel: Optional[str] = None,  # "xla" | "pallas" | "fast" | "int8" | "int4" | None=auto
@@ -666,7 +673,7 @@ class HybridRetriever:
         dim: int = 384,
         dtype=np.float32,
         rrf_k: float = RRF_K,
-        fusion: str = "rrf",
+        fusion: str = "zblend",
         blend_alpha: float = BLEND_ALPHA,
         use_pallas: Optional[bool] = None,
         kernel: Optional[str] = None,

@@ -255,9 +255,16 @@ class UpdatableHybridRetriever:
         self, postings: PostingsIndex, dense: DenseIndex, embedder, *,
         kernel: Optional[str], device_batch: int,
     ):
-        """Construct (and device-stage) a main-segment retriever."""
+        """Construct (and device-stage) a main-segment retriever.
+
+        Pins ``fusion="rrf"`` regardless of HybridRetriever's (zblend)
+        default: the live path's cross-segment merge fuses main+delta
+        *rankings* with rrf_fuse_device, and the delta-free fast path
+        delegates to this base — both must rank identically across an
+        add/delete, which z-blended scores (normalised over different
+        candidate pools per segment) would not guarantee."""
         return HybridRetriever(
-            postings, dense, embedder,
+            postings, dense, embedder, fusion="rrf",
             kernel=kernel, rrf_k=self.rrf_k, device_batch=device_batch,
         )
 

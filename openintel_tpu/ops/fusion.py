@@ -140,7 +140,12 @@ def rrf_fuse_device(
     return jnp.where(invalid, 0.0, vals), jnp.where(invalid, -1, ids)
 
 
-BLEND_ALPHA = 0.5  # lexical weight in the z-blend (dense gets 1 - alpha)
+# Lexical weight in the z-blend (dense gets 1 - alpha). 0.7 is the measured
+# winner of the alpha sweep (scripts/fusion_ab.py, docs/fusion_ab.json):
+# exact-surface R@10/MRR@10 0.840/0.706 (hashing) and 0.845/0.711 (neural)
+# vs 0.820/0.606 and 0.838/0.705 for rrf_k=60, with mismatch-set quality
+# identical — see docs/benchmarks.md "Fusion".
+BLEND_ALPHA = 0.7
 _Z_EPS = 1e-6
 
 

@@ -15,6 +15,7 @@ import numpy as np
 from openintel_tpu.index.schema import PostingsIndex
 
 RRF_K = 60.0
+BLEND_ALPHA = 0.7  # mirrors ops/fusion.py::BLEND_ALPHA (measured alpha sweep)
 
 
 def rank_topk(scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -159,7 +160,7 @@ def zblend_fuse(
     ids_b: np.ndarray,
     k: int,
     *,
-    alpha: float = 0.5,
+    alpha: float = BLEND_ALPHA,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Z-normalised score-blend fusion oracle (mirrors
     ops/fusion.py::zblend_fuse_device): per arm, z-normalise the valid
@@ -216,14 +217,26 @@ def hybrid_topk(
     *,
     candidates_per_arm: int | None = None,
     rrf_k: float = RRF_K,
+    fusion: str = "zblend",
+    blend_alpha: float = BLEND_ALPHA,
     doc_mask: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Reference hybrid: BM25 top-c + dense top-c -> RRF -> top-k.
+    """Reference hybrid: BM25 top-c + dense top-c -> fuse -> top-k.
 
-    With ``doc_mask``, the reference FILTERED hybrid: each arm ranks only
-    unmasked docs (full-corpus idf), then fuses — the oracle for
-    ``HybridRetriever.search(..., filter_mask=...)``."""
+    ``fusion`` mirrors HybridRetriever's default (z-normalised score blend
+    since the measured A/B; ``"rrf"`` for the rank-only alternative and the
+    live-updatable path). With ``doc_mask``, the reference FILTERED hybrid:
+    each arm ranks only unmasked docs (full-corpus idf), then fuses — the
+    oracle for ``HybridRetriever.search(..., filter_mask=...)``."""
     c = candidates_per_arm or k
-    _, bm_ids = bm25_topk(index, query_term_ids, c, doc_mask=doc_mask)
-    _, dn_ids = cosine_topk(embeddings, query_embedding, c, doc_mask=doc_mask)
+    bm_vals, bm_ids = bm25_topk(index, query_term_ids, c, doc_mask=doc_mask)
+    dn_vals, dn_ids = cosine_topk(
+        embeddings, query_embedding, c, doc_mask=doc_mask
+    )
+    if fusion == "zblend":
+        return zblend_fuse(
+            np.asarray(bm_vals, np.float32), bm_ids,
+            np.asarray(dn_vals, np.float32), dn_ids,
+            k, alpha=blend_alpha,
+        )
     return rrf_fuse([bm_ids, dn_ids], k, rrf_k=rrf_k)

@@ -36,7 +36,7 @@ from openintel_tpu.index.schema import DenseIndex, PostingsIndex
 from openintel_tpu.models.embedding import HashingEmbedder
 from openintel_tpu.models.retrievers import SearchResult
 from openintel_tpu.ops.bm25 import _bucket, build_query_plan, encode_query
-from openintel_tpu.ops.fusion import RRF_K
+from openintel_tpu.ops.fusion import BLEND_ALPHA, RRF_K
 from openintel_tpu.parallel.mesh import CORPUS_AXIS, DATA_AXIS, make_mesh
 from openintel_tpu.parallel.sharded import (
     sharded_bm25_topk,
@@ -196,6 +196,8 @@ class ShardedHybridRetriever:
         corpus: Optional[int] = None,
         kernel: Optional[str] = None,  # xla | pallas | pallas_fast | int8 | int4 | None=auto
         rrf_k: float = RRF_K,
+        fusion: str = "zblend",  # the single-chip default (measured A/B)
+        blend_alpha: float = BLEND_ALPHA,
         block_size: int = 4096,
         max_postings_per_term: Optional[int] = None,
         multi_budget: int = 256,
@@ -243,7 +245,11 @@ class ShardedHybridRetriever:
                 "pallas_fast | int8 | int4)"
             )
         self.kernel = kernel
+        if fusion not in ("rrf", "zblend"):
+            raise ValueError(f"unknown fusion {fusion!r}")
         self.rrf_k = rrf_k
+        self.fusion = fusion
+        self.blend_alpha = blend_alpha
         self.block_size = block_size
         self.max_postings_per_term = max_postings_per_term
         self.multi_budget = multi_budget
@@ -399,8 +405,8 @@ class ShardedHybridRetriever:
         mask-aware BM25 plan rows + RRF). Exact at any selectivity, like
         the single-chip surface."""
         from openintel_tpu.models.retrievers import filtered_fetch_width
-        from openintel_tpu.ops.fusion import rrf_fuse_device
         from openintel_tpu.parallel.sharded import (
+            _fuse_device,
             sharded_bm25_topk,
             sharded_dense_topk_masked,
             sharded_hybrid_filtered_topk,
@@ -422,6 +428,7 @@ class ShardedHybridRetriever:
                 pdi_d[:, lo : lo + db], pw_d[:, lo : lo + db],
                 mask_dev, g_dev[lo : lo + db], k,
                 candidates_per_arm=c, c_fetch=c_fetch, rrf_k=self.rrf_k,
+                fusion=self.fusion, blend_alpha=self.blend_alpha,
                 block_size=self.block_size, kernel=self.kernel,
                 presorted=meta.presorted, max_run=meta.max_terms,
                 interpret=self.interpret,
@@ -448,19 +455,22 @@ class ShardedHybridRetriever:
 
             def arm(g, sub):
                 rows, r = self._pad_group_rows(starved[sub], db)
-                _, d_ids = sharded_dense_topk_masked(
+                d_vals, d_ids = sharded_dense_topk_masked(
                     self.mesh, op, q[rows],
                     mask_dev[g],  # row slice of the resident device stack
                     c,
                     transposed=transposed, block_size=self.block_size,
                 )
-                _, b_ids = sharded_bm25_topk(
+                b_vals, b_ids = sharded_bm25_topk(
                     self.mesh,
                     pdi_d[:, rows], pw_d[:, rows], self.shard_size, c,
                     presorted=meta.presorted, max_run=meta.max_terms,
                 )
-                fvals, fids = rrf_fuse_device(
-                    jnp.asarray(b_ids), jnp.asarray(d_ids), k, self.rrf_k
+                fvals, fids = _fuse_device(
+                    self.fusion,
+                    jnp.asarray(b_vals), jnp.asarray(b_ids),
+                    jnp.asarray(d_vals), jnp.asarray(d_ids),
+                    k, self.rrf_k, self.blend_alpha,
                 )
                 return np.asarray(fvals)[:r], np.asarray(fids)[:r]
 
@@ -617,6 +627,7 @@ class ShardedHybridRetriever:
             vals, ids = sharded_hybrid_topk_scan(
                 self.mesh, self._emb, qbs, pdis, pws, k,
                 candidates_per_arm=c, rrf_k=self.rrf_k,
+                fusion=self.fusion, blend_alpha=self.blend_alpha,
                 block_size=self.block_size, kernel=self.kernel,
                 presorted=meta.presorted, max_run=meta.max_terms,
                 interpret=self.interpret,
@@ -736,6 +747,7 @@ class ShardedHybridRetriever:
             vals, ids = sharded_hybrid_topk(
                 self.mesh, self._emb, q, jnp.asarray(pdi), jnp.asarray(pw), k,
                 candidates_per_arm=c, rrf_k=self.rrf_k,
+                fusion=self.fusion, blend_alpha=self.blend_alpha,
                 block_size=self.block_size, kernel=self.kernel,
                 presorted=meta.presorted, max_run=meta.max_terms,
                 interpret=self.interpret,
@@ -834,6 +846,7 @@ class ShardedHybridRetriever:
                 self.mesh, self._emb, q[lo : lo + db],
                 pdi_d[:, lo : lo + db], pw_d[:, lo : lo + db], k,
                 candidates_per_arm=c, rrf_k=self.rrf_k,
+                fusion=self.fusion, blend_alpha=self.blend_alpha,
                 block_size=self.block_size, kernel=self.kernel,
                 presorted=meta.presorted, max_run=meta.max_terms,
                 interpret=self.interpret,

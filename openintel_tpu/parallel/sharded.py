@@ -24,7 +24,12 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from openintel_tpu.ops.dense import dense_topk_xla
-from openintel_tpu.ops.fusion import RRF_K, rrf_fuse_device
+from openintel_tpu.ops.fusion import (
+    BLEND_ALPHA,
+    RRF_K,
+    rrf_fuse_device,
+    zblend_fuse_device,
+)
 from openintel_tpu.parallel.mesh import CORPUS_AXIS, DATA_AXIS
 
 
@@ -238,6 +243,15 @@ def _bm25_program(mesh, shard_size, k, presorted, max_run):
     )
 
 
+def _fuse_device(fusion, b_vals, b_top, d_vals, d_top, k, rrf_k, alpha):
+    """Fuse merged global arm rankings by the configured function — the
+    same zblend-default / rrf-alternative contract as the single-chip
+    HybridRetriever._fuse_arms (models/retrievers.py)."""
+    if fusion == "zblend":
+        return zblend_fuse_device(b_vals, b_top, d_vals, d_top, k, alpha)
+    return rrf_fuse_device(b_top, d_top, k, rrf_k)
+
+
 def sharded_hybrid_topk(
     mesh: Mesh,
     doc_emb: jax.Array,  # (N, D) corpus-sharded — (D, N) for kernel="pallas_fast"
@@ -248,6 +262,8 @@ def sharded_hybrid_topk(
     *,
     candidates_per_arm: Optional[int] = None,
     rrf_k: float = RRF_K,
+    fusion: str = "zblend",
+    blend_alpha: float = BLEND_ALPHA,
     block_size: int = 4096,
     kernel: str = "xla",
     presorted: bool = False,
@@ -281,7 +297,7 @@ def sharded_hybrid_topk(
         mesh, shard_size, k, c, float(rrf_k), block_size, kernel,
         presorted, max_run, interpret,
         n_docs if n_docs_true is None else n_docs_true,
-        return_arms,
+        return_arms, fusion, float(blend_alpha),
     )
     return f(doc_emb, queries, plan_doc_ids, plan_weights, rescore, queries_i8)
 
@@ -289,7 +305,8 @@ def sharded_hybrid_topk(
 @functools.lru_cache(maxsize=64)
 def _hybrid_program(
     mesh, shard_size, k, c, rrf_k, block_size, kernel, presorted, max_run,
-    interpret, n_docs_true, return_arms=False,
+    interpret, n_docs_true, return_arms=False, fusion="zblend",
+    blend_alpha=BLEND_ALPHA,
 ):
     """Build + JIT the full sharded hybrid program once per static config
     (per-batch re-tracing measured ~20x slower on the virtual mesh)."""
@@ -321,7 +338,9 @@ def _hybrid_program(
         b_ids_g = jax.lax.all_gather(b_gids, CORPUS_AXIS)
         d_mvals, d_top = _merge_gathered(d_vals_g, d_ids_g, c)
         b_mvals, b_top = _merge_gathered(b_vals_g, b_ids_g, c)
-        fused = rrf_fuse_device(b_top, d_top, k, rrf_k)
+        fused = _fuse_device(
+            fusion, b_mvals, b_top, d_mvals, d_top, k, rrf_k, blend_alpha
+        )
         if not return_arms:
             return fused
         # per-arm padding keeps the single-arm contract: 0.0 at -1 ids
@@ -360,6 +379,8 @@ def sharded_hybrid_topk_scan(
     *,
     candidates_per_arm: Optional[int] = None,
     rrf_k: float = RRF_K,
+    fusion: str = "zblend",
+    blend_alpha: float = BLEND_ALPHA,
     block_size: int = 4096,
     kernel: str = "xla",
     presorted: bool = False,
@@ -387,6 +408,7 @@ def sharded_hybrid_topk_scan(
         mesh, shard_size, k, c, float(rrf_k), block_size, kernel,
         presorted, max_run, interpret,
         n_docs if n_docs_true is None else n_docs_true,
+        fusion, float(blend_alpha),
     )
     return f(doc_emb, queries, plan_doc_ids, plan_weights, rescore, queries_i8)
 
@@ -394,12 +416,12 @@ def sharded_hybrid_topk_scan(
 @functools.lru_cache(maxsize=64)
 def _hybrid_scan_program(
     mesh, shard_size, k, c, rrf_k, block_size, kernel, presorted, max_run,
-    interpret, n_docs_true,
+    interpret, n_docs_true, fusion="zblend", blend_alpha=BLEND_ALPHA,
 ):
     """jit(scan(shard_map-hybrid)) — built once per static config."""
     inner = _hybrid_program(
         mesh, shard_size, k, c, rrf_k, block_size, kernel, presorted,
-        max_run, interpret, n_docs_true,
+        max_run, interpret, n_docs_true, False, fusion, blend_alpha,
     )
 
     def run(doc_emb, qbs, pdis, pws, rescore, q8s):
@@ -429,6 +451,8 @@ def sharded_hybrid_filtered_topk(
     candidates_per_arm: Optional[int] = None,
     c_fetch: Optional[int] = None,  # per-shard dense over-fetch width
     rrf_k: float = RRF_K,
+    fusion: str = "zblend",
+    blend_alpha: float = BLEND_ALPHA,
     block_size: int = 4096,
     kernel: str = "xla",
     presorted: bool = False,
@@ -470,7 +494,7 @@ def sharded_hybrid_filtered_topk(
         queries_i8 = jnp.zeros(queries.shape, jnp.int8)
     f = _hybrid_filtered_program(
         mesh, shard_size, k, c, cf, float(rrf_k), block_size, kernel,
-        presorted, max_run, interpret,
+        presorted, max_run, interpret, fusion, float(blend_alpha),
     )
     return f(
         doc_emb, queries, groups, plan_doc_ids, plan_weights, rescore,
@@ -481,7 +505,7 @@ def sharded_hybrid_filtered_topk(
 @functools.lru_cache(maxsize=64)
 def _hybrid_filtered_program(
     mesh, shard_size, k, c, c_fetch, rrf_k, block_size, kernel, presorted,
-    max_run, interpret,
+    max_run, interpret, fusion="zblend", blend_alpha=BLEND_ALPHA,
 ):
     from openintel_tpu.ops.bm25 import bm25_topk_device
     from openintel_tpu.ops.fusion import mask_compact_ranked_vals
@@ -510,9 +534,11 @@ def _hybrid_filtered_program(
         d_ids_g = jax.lax.all_gather(d_gids, CORPUS_AXIS)
         b_vals_g = jax.lax.all_gather(b_vals, CORPUS_AXIS)
         b_ids_g = jax.lax.all_gather(b_gids, CORPUS_AXIS)
-        _, d_top = _merge_gathered(d_vals_g, d_ids_g, c)
-        _, b_top = _merge_gathered(b_vals_g, b_ids_g, c)
-        vals, ids = rrf_fuse_device(b_top, d_top, k, rrf_k)
+        d_mvals, d_top = _merge_gathered(d_vals_g, d_ids_g, c)
+        b_mvals, b_top = _merge_gathered(b_vals_g, b_ids_g, c)
+        vals, ids = _fuse_device(
+            fusion, b_mvals, b_top, d_mvals, d_top, k, rrf_k, blend_alpha
+        )
         surv_g = jax.lax.all_gather(surv, CORPUS_AXIS)  # (S, B)
         return vals, ids, surv_g
 

@@ -103,10 +103,12 @@ class ShardedUpdatableHybridRetriever(UpdatableHybridRetriever):
         kernel: Optional[str], device_batch: int,
     ) -> ShardedHybridRetriever:
         cfg = self._mesh_cfg
+        # fusion="rrf" for the same reason as the single-chip updatable's
+        # _new_base: the cross-segment merge is rank-based
         base = ShardedHybridRetriever(
             postings, dense, embedder,
             mesh=cfg["mesh"], data=cfg["data"], corpus=cfg["corpus"],
-            kernel=kernel, rrf_k=self.rrf_k,
+            kernel=kernel, rrf_k=self.rrf_k, fusion="rrf",
             block_size=cfg["block_size"],
             max_postings_per_term=cfg["max_postings_per_term"],
             multi_budget=cfg["multi_budget"],

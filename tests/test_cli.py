@@ -129,6 +129,29 @@ def test_index_and_search_roundtrip(tmp_path, capsys):
     )
     assert code == 0 and "doc 1" in out
 
+    # the measured-loser fusion stays one flag away (--fusion rrf), and
+    # --blend-alpha composes with the zblend default
+    out, code = run_cli(
+        capsys,
+        "search", "quick fox", "--index", str(tmp_path / "idx"),
+        "-k", "2", "--format", "json", "--fusion", "rrf",
+    )
+    assert code == 0
+    assert json.loads(out)[0]["hits"][0]["doc_id"] == 0
+    out, code = run_cli(
+        capsys,
+        "search", "quick fox", "--index", str(tmp_path / "idx"),
+        "-k", "2", "--format", "json", "--blend-alpha", "0.5",
+    )
+    assert code == 0
+    assert json.loads(out)[0]["hits"][0]["doc_id"] == 0
+    out, code = run_cli(
+        capsys,
+        "search", "quick fox", "--index", str(tmp_path / "idx"),
+        "--fusion", "rrf", "--blend-alpha", "0.5",
+    )
+    assert code == 1 and "--blend-alpha only applies" in out
+
 
 def test_train_index_search_with_encoder(tmp_path, capsys):
     corpus = tmp_path / "corpus.txt"

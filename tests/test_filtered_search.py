@@ -170,7 +170,7 @@ def test_hybrid_filtered_matches_oracle(corpus, queries, kernel):
             10, candidates_per_arm=20, doc_mask=mask,
         )
         np.testing.assert_array_equal(res.ids[b], ri)
-        np.testing.assert_allclose(res.scores[b], rv, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(res.scores[b], rv, rtol=1e-4, atol=1e-5)
 
 
 @pytest.mark.parametrize("kernel", ["fast", "int4"])
@@ -216,7 +216,7 @@ def test_hybrid_starvation_fallback_exact(corpus, queries, kernel):
             10, candidates_per_arm=20, doc_mask=mask,
         )
         np.testing.assert_array_equal(res.ids[b], ri)
-        np.testing.assert_allclose(res.scores[b], rv, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(res.scores[b], rv, rtol=1e-4, atol=1e-5)
 
 
 def test_hybrid_filtered_multibatch_matches_single(corpus):
@@ -344,7 +344,7 @@ def test_hybrid_grouped_matches_per_mask(corpus, queries, kernel):
         )
         np.testing.assert_array_equal(got.ids[b], want.ids[0])
         np.testing.assert_allclose(
-            got.scores[b], want.scores[0], rtol=1e-5, atol=1e-7
+            got.scores[b], want.scores[0], rtol=1e-4, atol=1e-5
         )
 
 
@@ -369,7 +369,7 @@ def test_hybrid_grouped_mixed_starvation(corpus, queries):
         )
         np.testing.assert_array_equal(got.ids[b], want.ids[0])
         np.testing.assert_allclose(
-            got.scores[b], want.scores[0], rtol=1e-5, atol=1e-7
+            got.scores[b], want.scores[0], rtol=1e-4, atol=1e-5
         )
 
 

@@ -51,9 +51,12 @@ def test_kernel_passthrough_int8(corpus):
 
     docs, postings, dense, embedder = corpus
     queries = synthetic_queries_from_docs(docs, 5, seed=13)
-    got = HybridRetriever(postings, dense, embedder, kernel="int8").search(
-        queries, k=10, candidates_per_arm=20
-    )
+    # fusion="rrf": rank fusion keeps the hand composition exactly
+    # order-stable, isolating the KERNEL plumbing under test (z-blend's
+    # fused-program parity is covered by test_fusion + the oracle tests)
+    got = HybridRetriever(
+        postings, dense, embedder, kernel="int8", fusion="rrf"
+    ).search(queries, k=10, candidates_per_arm=20)
     lex = BM25Retriever(postings).search(queries, k=20)
     dn = DenseRetriever(dense, embedder, kernel="int8").search(queries, k=20)
     _, ids = rrf_fuse_device(jnp.asarray(lex.ids), jnp.asarray(dn.ids), 10)
@@ -215,9 +218,9 @@ def test_kernel_passthrough_int4(corpus):
 
     docs, postings, dense, embedder = corpus
     queries = synthetic_queries_from_docs(docs, 5, seed=23)
-    got = HybridRetriever(postings, dense, embedder, kernel="int4").search(
-        queries, k=10, candidates_per_arm=20
-    )
+    got = HybridRetriever(
+        postings, dense, embedder, kernel="int4", fusion="rrf"
+    ).search(queries, k=10, candidates_per_arm=20)
     lex = BM25Retriever(postings).search(queries, k=20)
     dn = DenseRetriever(dense, embedder, kernel="int4").search(queries, k=20)
     _, ids = rrf_fuse_device(jnp.asarray(lex.ids), jnp.asarray(dn.ids), 10)

@@ -110,9 +110,12 @@ def test_100k_sharded_lifecycle_matches_single_chip(big_corpus):
     # 5. compacted handoff: the folded segments serve bit-identically
     # through a FRESH plain sharded component (the documented
     # live-to-sharded handoff, now at scale)
+    # fusion="rrf" matches the live component being handed off from (the
+    # updatable path pins rank fusion); this asserts the segment FOLD is
+    # bit-exact, not the fusion default
     handoff = ShardedHybridRetriever(
         sharded.main_postings, sharded.main_dense, embedder,
-        data=2, corpus=4, kernel="xla",
+        data=2, corpus=4, kernel="xla", fusion="rrf",
     )
     _same(
         handoff.search(q2, k=10, candidates_per_arm=20),

@@ -140,7 +140,7 @@ def test_sharded_hybrid_matches_reference():
         rv, ri = ref.hybrid_topk(
             global_idx, emb, tids, q_emb[b], K, candidates_per_arm=2 * K
         )
-        np.testing.assert_allclose(np.asarray(vals)[b], rv, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(vals)[b], rv, rtol=1e-4, atol=1e-5)
         np.testing.assert_array_equal(np.asarray(ids)[b], ri)
 
 

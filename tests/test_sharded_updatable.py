@@ -65,7 +65,10 @@ def _oracle(upd):
     merged = merge_postings(upd._base_postings(st), st.delta_postings, upd.n_docs)
     all_emb = np.concatenate([upd._base_dense_rows(st), st.delta_emb])
     dense = DenseIndex.from_embeddings(all_emb, dtype=upd._store_dtype)
-    return HybridRetriever(merged, dense, upd._embedder(st), kernel="xla")
+    # fusion="rrf": the live path's rank-based cross-segment fusion
+    return HybridRetriever(
+        merged, dense, upd._embedder(st), kernel="xla", fusion="rrf"
+    )
 
 
 def _assert_same(got, want, rtol=1e-5, atol=1e-6):

@@ -42,7 +42,11 @@ def extra_docs(corpus):
 
 
 def _oracle(upd):
-    """HybridRetriever over the frozen-statistics combined index."""
+    """HybridRetriever over the frozen-statistics combined index.
+
+    Pins fusion="rrf" — the live path's fusion (models/updatable.py
+    _new_base): the cross-segment merge is rank-based, so the oracle must
+    fuse the same way even though the static flagship default is zblend."""
     merged = merge_postings(
         upd.base.bm25.index, upd._st.delta_postings, upd.n_docs
     )
@@ -52,7 +56,7 @@ def _oracle(upd):
     )
     dense = DenseIndex.from_embeddings(all_emb, dtype=upd._store_dtype)
     return HybridRetriever(
-        merged, dense, upd.base.dense.embedder, kernel="xla"
+        merged, dense, upd.base.dense.embedder, kernel="xla", fusion="rrf"
     )
 
 
@@ -326,7 +330,10 @@ def test_compact_in_place_keeps_serving(corpus, extra_docs):
     }
     queries = synthetic_queries_from_docs(docs, 4, seed=86)
     got = upd.search(queries, k=10, candidates_per_arm=20)
-    want = HybridRetriever(want_post, want_dense, embedder, kernel="xla").search(
+    # fusion="rrf": upd serves the live path's rank-based fusion
+    want = HybridRetriever(
+        want_post, want_dense, embedder, kernel="xla", fusion="rrf"
+    ).search(
         queries, k=10, candidates_per_arm=20
     )
     np.testing.assert_array_equal(got.ids, want.ids)
