@@ -849,16 +849,17 @@ def main() -> None:
                     ref.bm25_topk(index_10m, term_ids[i], c_arm)
                     for i in range(n_s)
                 ]
+                # same oracle-fusion protocol as the headline recall arm —
+                # ONE copy (fuse_ref) so the two can't drift; the retriever's
+                # resolved fusion must match what fuse_ref closed over
+                assert (retr_fusion, retr_alpha) == (
+                    fusion_name, fusion_alpha,
+                ), (retr_fusion, retr_alpha, fusion_name, fusion_alpha)
                 recs = []
                 for i in range(n_s):
-                    if retr_fusion == "zblend":
-                        _, ri = ref.zblend_fuse(
-                            np.asarray(bm10[i][0], np.float32), bm10[i][1],
-                            best_s[0][i], best_s[1][i],
-                            k, alpha=retr_alpha,
-                        )
-                    else:
-                        _, ri = ref.rrf_fuse([bm10[i][1], best_s[1][i]], k)
+                    _, ri = fuse_ref(
+                        bm10[i][0], bm10[i][1], best_s[0][i], best_s[1][i]
+                    )
                     exact = {int(d) for d in ri if d >= 0}
                     if exact:
                         got = {int(d) for d in got10[i] if d >= 0}

@@ -741,6 +741,13 @@ def run_search(args) -> tuple[str, int]:
         blend_alpha = BLEND_ALPHA
     elif fusion != "zblend":
         return "error: --blend-alpha only applies to --fusion zblend", 1
+    elif not 0.0 <= blend_alpha <= 1.0:
+        # outside [0,1] one arm gets a NEGATIVE weight — higher cosine
+        # similarity would silently push documents DOWN the ranking
+        return (
+            f"error: --blend-alpha must be in [0, 1] (got {blend_alpha})",
+            1,
+        )
     filter_mask = None
     inc_spec = getattr(args, "include_ids", None)
     exc_spec = getattr(args, "exclude_ids", None)

@@ -189,12 +189,17 @@ def verify_ok_text(label: str, count: int, try_cmd: str) -> str:
 
 
 def verify_err_text(err: Exception, unauthorized_hint: str) -> str:
+    """Per-cause hint selection (setup.rs:150-163). The reference matches
+    on message substrings; our adapters phrase some failures by HTTP status
+    (reddit.py raises "token request failed (HTTP 401)" without the word
+    "unauthorized"), so the status codes are matched too — otherwise a
+    wrong client secret gets the generic connectivity hint."""
     msg = str(err)
-    if "unauthorized" in msg:
+    if "unauthorized" in msg or "HTTP 401" in msg:
         hint = unauthorized_hint
-    elif "rate limited" in msg:
+    elif "rate limited" in msg or "HTTP 429" in msg:
         hint = "You're being rate-limited right now — wait a minute and re-run."
-    elif "forbidden" in msg:
+    elif "forbidden" in msg or "HTTP 403" in msg:
         hint = (
             "Your token authenticated but access was refused — most often "
             "exhausted API credits. Check Billing -> Credits in the X "

@@ -184,6 +184,11 @@ def zblend_fuse_device(
         # with its own worst observed z (0 when the arm is empty)
         fill = jnp.min(jnp.where(valid, z, jnp.inf), axis=1)
         fill = jnp.where(jnp.isfinite(fill), fill, 0.0)  # all-padding arm
+        # padded entries carry -inf scores, so their z is -inf; zero them
+        # BEFORE the masked sum — 0 * (-inf) is NaN under IEEE, and only an
+        # XLA select-fold (not guaranteed across backends/interpret mode)
+        # keeps the jitted path from poisoning every candidate's score
+        z = jnp.where(valid, z, 0.0)
         match = (cand[:, :, None] == ids[:, None, :]) & valid[:, None, :]
         matched = jnp.any(match, axis=2)
         # each candidate matches at most one entry of a (dedup'd) ranked

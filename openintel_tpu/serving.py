@@ -111,6 +111,21 @@ class PipelinedSearcher:
         stop = threading.Event()
         _END, _ERR = object(), object()
 
+        def _put(item) -> bool:
+            # stop-aware put: a plain q.put can block forever when the
+            # consumer abandons the generator with the queue full — the
+            # finally-drain below races the producer's in-flight put, and
+            # a producer that wins the race then parks on the _END put
+            # with nothing left to consume (leaking the thread and its
+            # device-staged batch). Bounded waits re-check `stop`.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for wave in waves:
@@ -118,16 +133,17 @@ class PipelinedSearcher:
                         return
                     term_ids, emb, *rest = wave
                     kwargs = rest[0] if rest else {}
-                    q.put(
+                    if not _put(
                         self.retriever.prepare(
                             term_ids, emb, k=k,
                             candidates_per_arm=candidates_per_arm,
                             device_batch=device_batch, **kwargs,
                         )
-                    )
-                q.put(_END)
+                    ):
+                        return
+                _put(_END)
             except BaseException as e:  # noqa: BLE001 — delivered below
-                q.put((_ERR, e))
+                _put((_ERR, e))
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -162,7 +178,8 @@ class PipelinedSearcher:
                 yield self.retriever.finalize_prepared(*pending)
         finally:
             stop.set()
-            # unblock a producer waiting on a full queue, then drain
+            # drain staged batches so their device buffers free promptly;
+            # the producer's puts are stop-aware so it exits on its own
             while True:
                 try:
                     q.get_nowait()

@@ -187,11 +187,12 @@ def main() -> int:
     rng = np.random.default_rng(1)
     emb = rng.standard_normal((n_docs, dim), dtype=np.float32)
     emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
-    store_dtype = np.float32
-    if on_tpu:
-        import ml_dtypes
+    # same storage mapping + BENCH_STORE knob as bench.py — the two benches
+    # must measure the same precision for the "same" config
+    from openintel_tpu.index.schema import dense_store_dtype
 
-        store_dtype = ml_dtypes.bfloat16
+    store = _os.environ.get("BENCH_STORE", "bf16" if on_tpu else "f32")
+    store_dtype = dense_store_dtype(store)
     retriever = HybridRetriever(
         index,
         DenseIndex.from_embeddings(emb, dtype=store_dtype),

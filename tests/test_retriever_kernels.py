@@ -230,3 +230,40 @@ def test_kernel_passthrough_int4(corpus):
     exact = DenseRetriever(dense, embedder, kernel="xla").search(queries, k=10)
     d4 = DenseRetriever(dense, embedder, kernel="int4").search(queries, k=10)
     assert _recall(d4, exact) >= 0.9
+
+
+def test_kernel_passthrough_int8_zblend_default_pairing(corpus):
+    """The PRODUCTION TPU pairing is kernel=int8 + fusion=zblend (bench.py
+    defaults) — cover it against the hand-composed arms fused through the
+    device z-blend. Unlike rrf (rank-only), z-blend consumes the dense arm's
+    SCORES, so this pins that the int8 turbo path feeds exact-rescored f32
+    values into fusion (a regression to pre-rescore quantised scores would
+    reorder the blend and fail here while every rrf test stays green)."""
+    import jax.numpy as jnp
+
+    from openintel_tpu.models.retrievers import BM25Retriever
+    from openintel_tpu.ops.fusion import zblend_fuse_device
+
+    docs, postings, dense, embedder = corpus
+    queries = synthetic_queries_from_docs(docs, 5, seed=16)
+    got = HybridRetriever(
+        postings, dense, embedder, kernel="int8", fusion="zblend"
+    ).search(queries, k=10, candidates_per_arm=20)
+    lex = BM25Retriever(postings).search(queries, k=20)
+    dn = DenseRetriever(dense, embedder, kernel="int8").search(queries, k=20)
+    _, ids = zblend_fuse_device(
+        jnp.asarray(lex.scores), jnp.asarray(lex.ids),
+        jnp.asarray(dn.scores), jnp.asarray(dn.ids), 10,
+    )
+    np.testing.assert_array_equal(got.ids, np.asarray(ids))
+    # and the dense scores the blend consumed are the EXACT f32 cosines of
+    # the candidates, not quantised int8 approximations
+    emb_q = np.asarray(embedder(list(queries)), np.float32)
+    emb_d = np.asarray(dense.embeddings, np.float32)
+    for b in range(5):
+        for j, doc in enumerate(dn.ids[b]):
+            if doc < 0:
+                continue
+            exact = float(emb_q[b] @ emb_d[doc])
+            np.testing.assert_allclose(dn.scores[b, j], exact, rtol=2e-5,
+                                       atol=2e-5)
